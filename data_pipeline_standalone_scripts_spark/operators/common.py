@@ -1,0 +1,77 @@
+"""Shared expression helpers enforcing the determinism contract.
+
+Cross-engine float discipline (SURVEY.md §1.3, §7 hard-part 2):
+
+- ``dsum``/``davg`` accumulate doubles as DECIMAL(24,6) so the sum is
+  EXACT (int128 under the hood in both Spark and DuckDB) and therefore
+  bit-identical regardless of partition/merge order, then cast back to
+  DOUBLE. The matching oracle fragments are ``o_dsum``/``o_davg``.
+  This beats round(6) because it removes the nondeterminism instead of
+  papering over it — a 1e9-magnitude double sum reordered across 32
+  partitions can move by ~1e-6, exactly the rounding boundary.
+  Scale 6 matters: the test data quantizes prices/discount/tax to 2
+  decimals, so 3-factor products are EXACT 6-decimal values; a coarser
+  decimal cast would land on half-boundaries where Spark (HALF_UP) and
+  DuckDB (HALF_EVEN) disagree — measured: 0.0046 drift on TPC-H Q1's
+  sum_charge at scale 4. At scale 6 the cast is rounding-free.
+- For aggregates that are inherently float-path-dependent (stddev,
+  corr, cosine), round to 6 on both sides (boundary-flip probability
+  is negligible at those magnitudes).
+
+Scale note: DECIMAL sums are still map-side-combinable hash aggregates
+in Spark (partial_sum(decimal) merges exactly), so this costs nothing
+at 100 TB — the shuffle still carries one partial row per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(24,6)"
+
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-insensitive exact sum of a double column, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Exact-numerator average: sum(decimal)/count, as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+
+
+def o_dsum(expr: str, alias: str) -> str:
+    """DuckDB fragment matching ``dsum``."""
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE) AS {alias}"
+
+
+def o_davg(expr: str, alias: str) -> str:
+    """DuckDB fragment matching ``davg``."""
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
+        f" / COUNT({expr}) AS {alias}"
+    )
+
+
+def r6(col: Column, alias: str) -> Column:
+    """round(x, 6) for genuinely float-path-dependent aggregates."""
+    return F.round(col, 6).alias(alias)
+
+
+def ts_str(col: Column | str, alias: str) -> Column:
+    """Canonical string form of a timestamp for cross-engine output.
+
+    Arrow schemas differ (Spark timestamp carries tz=UTC, DuckDB's is
+    naive), so T2 queries never emit raw timestamps — they emit this.
+    Microsecond precision, fixed width.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(alias)
+
+
+def o_ts_str(expr: str, alias: str) -> str:
+    """DuckDB fragment matching ``ts_str`` (strftime %f = microseconds)."""
+    return f"strftime(({expr}), '%Y-%m-%d %H:%M:%S.%f') AS {alias}"

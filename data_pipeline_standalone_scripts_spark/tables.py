@@ -1,0 +1,55 @@
+"""The ten test tables (FIXTURES.md) as DataFrames / temp views.
+
+Loading is a plain columnar parquet scan — Spark's vectorized reader
+plus Catalyst column pruning / predicate pushdown make `load(...)` +
+`.select/.filter` the moral equivalent of the reference's directory
+iteration (datapipe/io/images.py dir scan, SURVEY.md §2.1 S1), but
+partition-parallel instead of a Python for-loop.
+
+Scale note (100 TB): at cluster scale these would be date/​shipdate-
+partitioned tables (SURVEY.md §4 partition-pruning row); the loader
+keeps the `sf_dir/{name}.parquet` contract the driver mandates and
+stays agnostic of file count — a directory of 10k part-files reads
+identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import ensure_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One table as a DataFrame (lazy scan)."""
+    ensure_runtime_conf(spark)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views (overwrite) for SQL-form queries."""
+    for t in names or TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

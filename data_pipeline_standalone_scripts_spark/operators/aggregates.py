@@ -65,3 +65,334 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("l_discount", "avg_disc"),
         F.count(F.lit(1)).alias("count_order"),
     )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+        SELECT n_name,
+               COUNT(DISTINCT c_custkey) AS n_customers,
+               COUNT(DISTINCT c_mktsegment) AS n_segments
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    category=CAT,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: COUNT DISTINCT per group.
+
+    Scale: Catalyst rewrites multi-distinct into expand + two-phase
+    aggregation; for 100 TB cardinality estimation use
+    approx_count_distinct (A3) — exact distinct shuffles every
+    distinct value.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_custkey").alias("n_customers"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register("q_agg_approx_distinct", oracle=None, category=CAT, check="T2w")
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: HyperLogLog distinct users per event type (rsd=0.02).
+
+    T2w: approximate by design — pytest asserts ±5% vs exact. Scale:
+    the HLL sketch is a fixed-size mergeable accumulator: map-side
+    partials, constant shuffle volume, the only sane distinct at 100 TB.
+    """
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "q_agg_having",
+    oracle="""
+        SELECT c_nationkey, COUNT(*) AS n_customers
+        FROM customer
+        GROUP BY c_nationkey
+        HAVING COUNT(*) > 55
+    """,
+    category=CAT,
+)
+def q_agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: HAVING — post-aggregation filter."""
+    c = load(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") > 55)
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle="""
+        SELECT r_name, n_name,
+               COUNT(o_orderkey) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    category=CAT,
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: ROLLUP(region, nation) with subtotals + grand total (null
+    group keys mark subtotal rows; dims are never null in this data).
+
+    Scale: rollup = grouping-sets expansion before the shuffle; cost
+    is (#sets × input), fine for 2 levels.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("o_totalprice", "revenue"),
+    )
+
+
+@register(
+    "q_agg_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(24,6))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    category=CAT,
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: CUBE over returnflag×linestatus — all 4 grouping sets."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity", "sum_qty")
+    )
+
+
+@register(
+    "q_agg_grouping_sets",
+    oracle="""
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    category=CAT,
+)
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: explicit GROUPING SETS via the SQL entry point (E3 in
+    SURVEY §3.2) — segment totals, nation totals, grand total."""
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(24,6))) AS DOUBLE) AS sum_bal
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@register(
+    "q_agg_conditional",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+               CAST(SUM(CAST(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END
+                    AS DECIMAL(24,6))) AS DOUBLE) AS purchase_value
+        FROM events
+        GROUP BY user_id
+    """,
+    category=CAT,
+)
+def q_agg_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: sum(CASE WHEN …) pivot-style conditional aggregation —
+    single pass, one shuffle, regardless of how many conditions."""
+    e = load(spark, sf_dir, "events")
+    def cnt(t):
+        return F.count(F.when(F.col("event_type") == t, 1)).alias(f"n_{t}")
+    return e.groupBy("user_id").agg(
+        cnt("click"),
+        cnt("purchase"),
+        cnt("error"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0),
+            "purchase_value",
+        ),
+    )
+
+
+@register(
+    "q_agg_stats",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(stddev_samp(l_extendedprice), 2) AS sd_price,
+               ROUND(var_samp(l_quantity), 4) AS var_qty,
+               ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq,
+               ROUND(covar_samp(l_extendedprice, l_quantity), 2) AS covar_pq
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def q_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: statistical aggregates. These are genuinely float-path-
+    dependent (merge order differs), so both sides round to a
+    precision far coarser than the ~1e-9 relative drift: stddev/covar
+    to 2 (magnitude 1e4–1e8), variance to 4, corr to 6 (unit scale).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("covar_pq"),
+    )
+
+
+@register(
+    "q_agg_percentile",
+    oracle="""
+        SELECT o_orderstatus,
+               ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+               ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: exact percentiles (linear interpolation — Spark
+    `percentile` and DuckDB `quantile_cont` share the (n-1)p
+    definition).
+
+    Scale: exact percentile materializes per-group value lists;
+    at 100 TB switch to approx_percentile (KLL/GK sketch, mergeable,
+    bounded memory) — the exact form is for oracle-checkable tiers.
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_agg_collect",
+    oracle="""
+        SELECT c_nationkey,
+               list_sort(list(c_custkey)) AS top_customers
+        FROM (
+            SELECT c_nationkey, c_custkey,
+                   row_number() OVER (PARTITION BY c_nationkey
+                                      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+            FROM customer
+        ) WHERE rn <= 5
+        GROUP BY c_nationkey
+    """,
+    category=CAT,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: per-nation sorted list of the 5 richest customers' keys.
+    collect_list is only deterministic inside array_sort (SURVEY §2
+    determinism rule); the top-5 cut is tie-broken on c_custkey."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("c_nationkey")
+        .agg(F.array_sort(F.collect_list("c_custkey")).alias("top_customers"))
+    )
+
+
+@register(
+    "q_agg_minmax_by",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_custkey, o_totalprice, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey DESC) AS rmax,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice ASC, o_orderkey ASC) AS rmin
+            FROM orders
+        )
+        SELECT o_custkey,
+               MAX(CASE WHEN rmax = 1 THEN o_orderkey END) AS best_order,
+               MAX(CASE WHEN rmax = 1 THEN o_totalprice END) AS best_price,
+               MAX(CASE WHEN rmin = 1 THEN o_orderkey END) AS worst_order
+        FROM ranked GROUP BY o_custkey
+    """,
+    category=CAT,
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: max_by/min_by semantics, made deterministic: Spark takes
+    max/min of a (price, orderkey) struct — lexicographic comparison
+    gives a total order, so price ties break on orderkey, matching
+    the oracle's explicit row_number formulation. Single hash
+    aggregate, no window, no second shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.max(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias("best_order"),
+        F.max(F.struct("o_totalprice", "o_orderkey"))["o_totalprice"].alias("best_price"),
+        F.min(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias("worst_order"),
+    )
+
+
+@register(
+    "q_pivot",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+               COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+               COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+               COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        FROM events
+        GROUP BY user_id
+    """,
+    category=CAT,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: pivot event_type → one count column per type. Explicit
+    value list (no discovery scan — at 100 TB pivot value discovery
+    is itself a distinct query; always pass the list)."""
+    e = load(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )

@@ -180,3 +180,311 @@ def q_join_star6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
     )
+
+
+@register(
+    "q_join_left_outer",
+    oracle="""
+        SELECT c_custkey, c_mktsegment,
+               COUNT(o_orderkey) AS n_orders,
+               (COUNT(o_orderkey) = 0) AS has_no_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_mktsegment
+    """,
+    category=CAT,
+)
+def q_join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left outer customer⋈orders — customers without orders kept
+    with n_orders = 0 (COUNT skips the null-extended side).
+
+    Scale: outer joins can't broadcast the preserved side; this
+    shuffles both sides on custkey, which is also the groupBy key —
+    Catalyst reuses the partitioning, one Exchange total.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .withColumn("has_no_orders", F.col("n_orders") == 0)
+    )
+
+
+@register(
+    "q_join_full_outer",
+    oracle="""
+        WITH o AS (SELECT o_custkey AS k, COUNT(*) AS n_orders FROM orders GROUP BY 1),
+             e AS (SELECT user_id AS k, COUNT(*) AS n_events FROM events GROUP BY 1)
+        SELECT COALESCE(o.k, e.k) AS k,
+               COALESCE(n_orders, 0) AS n_orders,
+               COALESCE(n_events, 0) AS n_events
+        FROM o FULL OUTER JOIN e ON o.k = e.k
+    """,
+    category=CAT,
+)
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: full outer join of per-customer order counts vs per-user
+    event counts — pre-aggregated both sides (the scalable shape: the
+    full-outer then runs on group counts, not raw fact rows).
+    """
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    return (
+        o.join(e, "k", "full")
+        .select(
+            F.col("k"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "q_join_semi",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+    category=CAT,
+)
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: EXISTS as left-semi join — emits each customer at most once,
+    never multiplies rows. Scale: semi join only ships the join key of
+    the probe side; with a small filtered build side AQE broadcasts it.
+    """
+    c = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderpriority = '1-URGENT')
+    """,
+    category=CAT,
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: NOT EXISTS as left-anti join (null-safe, unlike NOT IN) —
+    customers holding no urgent order (non-empty at every SF; every
+    customer has *some* order in this data)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "q_join_cross",
+    oracle="""
+        SELECT r_name, p.o_orderpriority, COUNT(o.o_orderkey) AS n_orders
+        FROM region
+        CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+        LEFT JOIN (SELECT o_orderkey, o_orderpriority, n_regionkey
+                   FROM orders
+                   JOIN customer ON o_custkey = c_custkey
+                   JOIN nation ON c_nationkey = n_nationkey) o
+          ON o.n_regionkey = (SELECT r_regionkey FROM region r2 WHERE r2.r_name = region.r_name)
+         AND o.o_orderpriority = p.o_orderpriority
+        GROUP BY r_name, p.o_orderpriority
+    """,
+    category=CAT,
+)
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: region × priority grid (5×5 crossJoin of tiny dims), left-
+    joined to actual order counts so empty cells appear with 0.
+
+    Scale: crossJoin is only ever sane between broadcast-sized inputs;
+    here both sides are ≤5 rows. The fact side joins the grid by
+    equi-keys, never by cross product.
+    """
+    region = load(spark, sf_dir, "region")
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    prios = orders.select("o_orderpriority").distinct()
+    grid = region.crossJoin(prios)
+    facts = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("o_orderkey", F.col("o_orderpriority").alias("fact_prio"), "n_regionkey")
+    )
+    return (
+        grid.join(
+            facts,
+            (grid.r_regionkey == facts.n_regionkey)
+            & (grid.o_orderpriority == facts.fact_prio),
+            "left",
+        )
+        .groupBy("r_name", "o_orderpriority")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "q_join_theta_range",
+    oracle="""
+        SELECT a.event_id AS id_a, b.event_id AS id_b, a.user_id,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND b.ts > a.ts
+         AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+    category=CAT,
+)
+def q_join_theta_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: bounded non-equi self-join — event pairs of the same user
+    within 5 minutes.
+
+    Scale: the equi key (user_id) carries the shuffle, the range
+    predicate is a residual filter inside the sort-merge join — NOT a
+    BroadcastNestedLoopJoin. For user-skewed data add a coarse time
+    bucket (floor(ts/5min), join on bucket and bucket+1) to the equi
+    key; at test cardinalities user_id alone co-locates correctly.
+    """
+    e = load(spark, sf_dir, "events")
+    a = e.select(
+        F.col("event_id").alias("id_a"),
+        F.col("user_id"),
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("ts").alias("ts_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("ts_b") > F.col("ts_a"))
+            & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "user_id",
+            (
+                F.unix_micros(F.col("ts_b")) - F.unix_micros(F.col("ts_a"))
+            ).alias("delta_us"),
+        )
+    )
+
+
+@register(
+    "q_join_asof",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+            FROM events WHERE event_type IN ('click', 'purchase')
+        ), w AS (
+            SELECT *,
+                   last_value(CASE WHEN is_click = 1 THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id
+                             ORDER BY ts ASC, is_click DESC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS last_click_id
+            FROM tagged
+        )
+        SELECT event_id AS purchase_id, user_id, last_click_id
+        FROM w WHERE is_click = 0
+    """,
+    category=CAT,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: AS-OF join — for each purchase, the user's most recent
+    click at-or-before it (ties: click sorts before purchase at equal
+    ts; later click event_id wins).
+
+    Spark has no native ASOF JOIN; the scalable formulation is the
+    union-then-window trick: tag both streams, sort once per user, and
+    carry the last click id forward with last(..., ignorenulls). One
+    shuffle on user_id, zero join explosion — O(n log n) per user vs
+    O(clicks × purchases) for the naive range join. This is the same
+    algorithm DuckDB's ASOF JOIN executes internally.
+    """
+    e = load(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    tagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_click"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_click").desc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.withColumn(
+        "last_click_id",
+        F.last(F.when(F.col("is_click") == 1, F.col("event_id")), ignorenulls=True).over(w),
+    )
+    return carried.filter(F.col("is_click") == 0).select(
+        F.col("event_id").alias("purchase_id"), "user_id", "last_click_id"
+    )
+
+
+@register(
+    "q_join_interval",
+    oracle="""
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+        FROM orders
+        JOIN (SELECT unnest(range(TIMESTAMP '1995-01-01', TIMESTAMP '2001-09-01',
+                                  INTERVAL 1 MONTH)) AS month_start) cal
+          ON o_orderdate >= month_start
+         AND o_orderdate < month_start + INTERVAL 1 MONTH
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: interval-containment join of orders to a generated monthly
+    calendar.
+
+    Scale: interval containment with non-overlapping, aligned buckets
+    reduces to an equi-join on the bucket start (date_trunc) — the
+    oracle states the containment form, Spark executes the reduction:
+    a broadcast hash join on the truncated month, no nested loop.
+    """
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1995-01-01").cast("timestamp"),
+                F.lit("2001-08-01").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_start")
+    )
+    o = load(spark, sf_dir, "orders").withColumn(
+        "month_start", F.date_trunc("month", F.col("o_orderdate"))
+    )
+    return (
+        o.join(F.broadcast(cal), "month_start")
+        .groupBy(F.date_format("month_start", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )

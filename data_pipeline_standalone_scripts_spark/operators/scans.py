@@ -1,1 +1,135 @@
-"""scans operators (filled in progressively)."""
+"""Scan / source / sink operators S1–S4 (SURVEY.md §2.1).
+
+Reference capability: datapipe/io/images.py directory iteration +
+benchmark JSON score dumps (SURVEY.md §2.12) — here: columnar parquet
+scans with pruning/pushdown, and parquet/CSV/JSON sinks.
+
+Scale notes: S1's .select reaches the scan as ReadSchema (column
+pruning) — at 100 TB that's the difference between reading 3 columns
+and reading 16. Sinks write partitioned directories; one file per
+task, no driver funnel.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .common import dsum, o_dsum, ts_str
+
+CAT = "scans"
+
+# Sink scratch space: inside the repo (driver sandbox: nothing outside
+# /root/repo may be written). Cleared and rewritten per call.
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".scratch")
+
+
+def _scratch_dir(name: str) -> str:
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+@register(
+    "q_scan_project",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_extendedprice,
+               strftime(l_shipdate, '%Y-%m-%d') AS shipdate
+        FROM lineitem
+        WHERE l_linenumber <= 2
+    """,
+    category=CAT,
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: projection subset — column pruning reaches the parquet scan
+    (explain shows ReadSchema with exactly these 4 columns and
+    PushedFilters for the linenumber predicate)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_linenumber") <= 2).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("shipdate"),
+    )
+
+
+@register(
+    "q_scan_count",
+    oracle="""
+        SELECT 'region' AS table_name, COUNT(*) AS n FROM region
+        UNION ALL SELECT 'nation', COUNT(*) FROM nation
+        UNION ALL SELECT 'customer', COUNT(*) FROM customer
+        UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        UNION ALL SELECT 'part', COUNT(*) FROM part
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        UNION ALL SELECT 'events', COUNT(*) FROM events
+        UNION ALL SELECT 'documents', COUNT(*) FROM documents
+        UNION ALL SELECT 'embeddings', COUNT(*) FROM embeddings
+    """,
+    category=CAT,
+)
+def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: dataset census — per-table counts via union. Count over
+    parquet uses footer row-group metadata, no data read."""
+    from ..tables import TABLES
+
+    dfs = [
+        load(spark, sf_dir, t)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(t).alias("table_name"), "n")
+        for t in TABLES
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+@register("q_sink_roundtrip", oracle=None, category=CAT, check="T2w")
+def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3: write a derived table to parquet, read it back, aggregate.
+    Rows-only check (side-effecting). The written directory is
+    partitioned by the group key — the 100 TB sink pattern
+    (`partitionBy` → partition pruning for downstream readers)."""
+    out_dir = _scratch_dir("sink_roundtrip.parquet")
+    li = load(spark, sf_dir, "lineitem")
+    derived = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+    derived.write.mode("overwrite").partitionBy("l_returnflag").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.groupBy("l_returnflag").agg(
+        F.sum("n").alias("total_rows"), F.sum("sum_qty").alias("total_qty")
+    )
+
+
+@register("q_csv_json_io", oracle=None, category=CAT, check="T2w")
+def q_csv_json_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: CSV + JSON-lines sink/source round-trip with an explicit
+    read schema (never inferSchema in an engine path — schema comes
+    from the catalog, inference is a full extra scan at 100 TB)."""
+    csv_dir = _scratch_dir("io_nation.csv")
+    json_dir = _scratch_dir("io_nation.json")
+    nation = load(spark, sf_dir, "nation")
+    nation.write.mode("overwrite").option("header", True).csv(csv_dir)
+    nation.write.mode("overwrite").json(json_dir)
+    schema = "n_nationkey INT, n_name STRING, n_regionkey INT"
+    csv_back = spark.read.schema(schema).option("header", True).csv(csv_dir)
+    json_back = spark.read.schema(schema).json(json_dir)
+    return (
+        csv_back.select(F.lit("csv").alias("fmt"), "n_nationkey", "n_name")
+        .unionByName(json_back.select(F.lit("json").alias("fmt"), "n_nationkey", "n_name"))
+        .groupBy("fmt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_nationkey").alias("key_checksum"),
+        )
+    )

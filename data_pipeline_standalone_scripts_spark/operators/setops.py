@@ -1,1 +1,86 @@
-"""setops operators (filled in progressively)."""
+"""Set operators U1–U4 (SURVEY.md §2.7).
+
+Scale notes: UNION ALL is a zero-shuffle concatenation of lineages;
+DISTINCT/INTERSECT/EXCEPT shuffle on the full row — at 100 TB apply
+them after projecting to the minimal key set (done here: single-key
+projections), and prefer semi/anti joins when one side is small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+CAT = "setops"
+
+
+def _slices(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_totalprice") > 250000).select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    return a, b
+
+
+_SLICES_SQL = """
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION {all_kw}
+    SELECT o_orderkey, o_custkey, o_orderstatus FROM orders WHERE o_totalprice > 250000
+"""
+
+
+@register("q_union_all", oracle=_SLICES_SQL.format(all_kw="ALL"), category=CAT)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: UNION ALL of two overlapping slices (duplicates kept)."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b)
+
+
+@register("q_union_distinct", oracle=_SLICES_SQL.format(all_kw=""), category=CAT)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: UNION with dedup — one shuffle on the projected row."""
+    a, b = _slices(spark, sf_dir)
+    return a.unionByName(b).distinct()
+
+
+@register(
+    "q_intersect",
+    oracle="""
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        INTERSECT
+        SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    category=CAT,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: custkeys both in BUILDING segment and holding urgent orders."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.select("c_custkey").intersect(o.select(F.col("o_custkey").alias("c_custkey")))
+
+
+@register(
+    "q_except",
+    oracle="""
+        SELECT o_custkey FROM orders
+        EXCEPT
+        SELECT user_id AS o_custkey FROM events WHERE event_type = 'purchase'
+    """,
+    category=CAT,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4: customers with orders but no purchase events (EXCEPT ≡
+    distinct + left-anti join; Catalyst plans exactly that)."""
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    e = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("o_custkey"))
+    )
+    return o.subtract(e)

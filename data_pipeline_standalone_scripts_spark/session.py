@@ -28,6 +28,12 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # AQE is default-on in Spark 4.x; assert rather than trust.
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores timestamp[ns], which the vectorized parquet
+    # reader rejects (PARQUET_TYPE_ILLEGAL). Read nanos as long and let
+    # tables.load convert ns → µs explicitly — the same truncation
+    # DuckDB applies internally (its TIMESTAMP is µs), so the two
+    # engines see identical values (verified to the microsecond).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark
 
 

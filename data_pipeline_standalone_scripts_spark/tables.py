@@ -40,9 +40,20 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """One table as a DataFrame (lazy scan)."""
+    """One table as a DataFrame (lazy scan).
+
+    `events.ts` is stored as timestamp[ns]; Spark reads it as long
+    (nanosAsLong, see session.ensure_runtime_conf) and we convert to a
+    microsecond TimestampType here — matching DuckDB's internal ns→µs
+    truncation, so oracle comparisons agree to the microsecond.
+    """
     ensure_runtime_conf(spark)
-    return spark.read.parquet(table_path(sf_dir, name))
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,1 +1,359 @@
-"""scalar function queries (F1-F10)."""
+"""Scalar-function operators F1–F10 (SURVEY.md §2.8).
+
+Reference capability: the per-image metadata munging and metric
+arithmetic scattered through datapipe (hillas_parameters.py moments,
+assess.py metric formulas) — generalized to the full string / date /
+math / array / JSON scalar surface. Everything here is a built-in
+`pyspark.sql.functions` expression: JVM-side, codegen-fused, never a
+Python UDF (those live in operators/udfs.py, D1–D5, deliberately).
+
+Cross-engine gotchas handled (verified against DuckDB 1.0.0):
+- year()/month()/… return INT in Spark, BIGINT in DuckDB → cast long.
+- ceil(double) is BIGINT in Spark, DOUBLE in DuckDB → cast double.
+- dayofweek: Spark 1=Sunday…7, DuckDB 0=Sunday…6 → Spark minus 1.
+- CAST(double AS INT) truncates in Spark, rounds in DuckDB → never
+  cast float→int directly; go through floor().
+- datediff(end, start) in Spark ≡ date_diff('day', start, end) DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+CAT = "scalar_functions"
+
+
+@register(
+    "q_str_funcs",
+    oracle="""
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               lower(p_brand) AS brand_lower,
+               substring(p_name, 1, 5) AS name_prefix,
+               length(p_name) AS name_len,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               replace(p_name, ' ', '_') AS name_snake,
+               concat_ws('|', p_type, p_brand) AS type_brand,
+               trim('  ' || p_type || ' ') AS type_trim
+        FROM part
+    """,
+    category=CAT,
+)
+def q_str_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: the core string surface — case, substring, length, pad,
+    replace, concat, trim."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+        F.trim(F.concat(F.lit("  "), F.col("p_type"), F.lit(" "))).alias("type_trim"),
+    )
+
+
+@register(
+    "q_str_regex",
+    oracle="""
+        SELECT p_partkey,
+               CAST(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS BIGINT) AS brand_num,
+               regexp_replace(p_type, '[AEIOU]', '_', 'g') AS type_devoweled,
+               string_split(p_name, ' ')[1] AS first_word,
+               regexp_matches(p_name, '^(cold|large)') AS starts_cold_large
+        FROM part
+    """,
+    category=CAT,
+)
+def q_str_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: regexp_extract (capture group), global regexp_replace,
+    split + subscript. Spark regexp_replace is global by default;
+    DuckDB needs the 'g' flag."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("long").alias("brand_num"),
+        F.regexp_replace("p_type", "[AEIOU]", "_").alias("type_devoweled"),
+        F.split("p_name", " ").getItem(0).alias("first_word"),
+        F.col("p_name").rlike("^(cold|large)").alias("starts_cold_large"),
+    )
+
+
+@register(
+    "q_date_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               month(o_orderdate) AS m,
+               day(o_orderdate) AS d,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start,
+               strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus_30d,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               dayofweek(o_orderdate) AS dow
+        FROM orders WHERE o_orderkey % 7 = 0
+    """,
+    category=CAT,
+)
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: extraction, truncation, diff/add, last_day, day-of-week —
+    with the Spark↔DuckDB convention shims from the module docstring."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 7 == 0)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("y"),
+        F.month("o_orderdate").cast("long").alias("m"),
+        F.dayofmonth("o_orderdate").cast("long").alias("d"),
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+        F.datediff("o_orderdate", F.lit("1995-01-01").cast("timestamp"))
+        .cast("long")
+        .alias("days_since_epoch_start"),
+        F.date_format(F.date_add("o_orderdate", 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        (F.dayofweek("o_orderdate") - 1).cast("long").alias("dow"),
+    )
+
+
+@register(
+    "q_math_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               round(o_totalprice, 1) AS price_r1,
+               abs(o_totalprice - 150000) AS dist_150k,
+               CAST(ceil(o_totalprice) AS DOUBLE) AS price_ceil,
+               CAST(floor(o_totalprice) AS DOUBLE) AS price_floor,
+               round(sqrt(o_totalprice), 6) AS price_sqrt,
+               round(ln(o_totalprice), 6) AS price_ln,
+               round(log10(o_totalprice), 6) AS price_log10,
+               round(pow(o_totalprice, 0.25), 6) AS price_pow,
+               CAST(sign(o_totalprice - 150000) AS DOUBLE) AS above_150k,
+               greatest(o_totalprice, 100000.0) AS at_least_100k,
+               least(o_totalprice, 200000.0) AS at_most_200k
+        FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    category=CAT,
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: math surface. Transcendentals (ln/log10/pow/sqrt) rounded
+    to 6 — libm implementations may differ in the last ulp; everything
+    else is exact IEEE and compared raw."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.round(tp, 1).alias("price_r1"),
+        F.abs(tp - 150000).alias("dist_150k"),
+        F.ceil(tp).cast("double").alias("price_ceil"),
+        F.floor(tp).cast("double").alias("price_floor"),
+        F.round(F.sqrt(tp), 6).alias("price_sqrt"),
+        F.round(F.log(tp), 6).alias("price_ln"),
+        F.round(F.log10(tp), 6).alias("price_log10"),
+        F.round(F.pow(tp, 0.25), 6).alias("price_pow"),
+        F.signum(tp - 150000).cast("double").alias("above_150k"),
+        F.greatest(tp, F.lit(100000.0)).alias("at_least_100k"),
+        F.least(tp, F.lit(200000.0)).alias("at_most_200k"),
+    )
+
+
+@register(
+    "q_null_funcs",
+    oracle="""
+        SELECT o_orderkey,
+               NULLIF(o_orderstatus, 'P') AS status_np,
+               COALESCE(NULLIF(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+               (CASE WHEN NULLIF(o_orderstatus, 'P') IS NOT NULL
+                     THEN 'known' ELSE 'unknown' END) AS nvl2_style,
+               IFNULL(NULLIF(o_orderpriority, '4-NOT SPECIFIED'), 'none') AS prio_or_none
+        FROM orders
+    """,
+    category=CAT,
+)
+def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: null handling — NULLIF to synthesize nulls (data is
+    null-free), COALESCE / IFNULL / NVL2-style CASE to fold them."""
+    o = load(spark, sf_dir, "orders")
+    status_np = F.nullif(F.col("o_orderstatus"), F.lit("P"))
+    return o.select(
+        "o_orderkey",
+        status_np.alias("status_np"),
+        F.coalesce(status_np, F.lit("PENDING")).alias("status_filled"),
+        F.when(status_np.isNotNull(), "known").otherwise("unknown").alias("nvl2_style"),
+        F.ifnull(
+            F.nullif(F.col("o_orderpriority"), F.lit("4-NOT SPECIFIED")), F.lit("none")
+        ).alias("prio_or_none"),
+    )
+
+
+@register(
+    "q_array_funcs",
+    oracle="""
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(list_distinct(string_split(text, ' '))) AS n_unique,
+               list_aggregate(string_split(text, ' '), 'max') AS max_token,
+               array_to_string(string_split(text, ' ')[1:3], ' ') AS first3,
+               list_contains(string_split(text, ' '), 'table') AS has_table,
+               list_sort(list_distinct(string_split(text, ' ')))[1] AS min_token
+        FROM documents
+    """,
+    category=CAT,
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: array surface over whitespace tokenization (FIXTURES.md:
+    split-on-space is a correct tokenizer for this corpus)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique"),
+        F.array_max(toks).alias("max_token"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_contains(toks, "table").alias("has_table"),
+        F.array_sort(F.array_distinct(toks)).getItem(0).alias("min_token"),
+    )
+
+
+@register(
+    "q_array_hof",
+    oracle="""
+        SELECT vec_id,
+               round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)), 6)
+                   AS norm_sq,
+               round(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))), 6)
+                   AS l1_norm,
+               round(list_max(CAST(embedding AS DOUBLE[])), 6) AS max_component,
+               len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive
+        FROM embeddings
+    """,
+    category=CAT,
+)
+def q_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: higher-order functions over the 64-dim embedding column —
+    transform/aggregate (fold) for norms, filter for sign counts.
+    All JVM-side: a 100 TB embedding table never touches Python here.
+    Sums fold left-to-right in both engines; round(6) guards the
+    float32→double path."""
+    e = load(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + x * x), 6
+        ).alias("norm_sq"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda acc, x: acc + F.abs(x)), 6
+        ).alias("l1_norm"),
+        F.round(F.array_max(vec), 6).alias("max_component"),
+        F.size(F.filter(vec, lambda x: x > 0)).cast("long").alias("n_positive"),
+    )
+
+
+@register(
+    "q_explode",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split(text, ' ')) AS token,
+                   unnest(range(len(string_split(text, ' ')))) AS pos
+            FROM documents
+        )
+        SELECT token,
+               COUNT(*) AS n,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               MIN(pos) AS min_pos
+        FROM toks
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: posexplode word count — top-20 tokens with doc frequency
+    and earliest position. Explode multiplies rows BEFORE the shuffle;
+    the groupBy's map-side combine keeps shuffle volume at vocabulary
+    size, not token count."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token"))
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("pos").cast("long").alias("min_pos"),
+        )
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
+        FROM events
+        GROUP BY event_type
+    """,
+    category=CAT,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: JSON path extraction from events.props ('{"k": 87}') +
+    integer aggregation. get_json_object evaluates in the JVM without
+    materializing a parsed tree per row; for repeated multi-field
+    access at scale, from_json(schema) once into a struct column wins."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "q_cast_types",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(o_orderkey AS VARCHAR) AS key_str,
+               CAST(CAST(o_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+               CAST(FLOOR(o_totalprice) AS BIGINT) AS price_floor_int,
+               CAST(CAST(o_orderkey AS DOUBLE) AS BIGINT) AS key_via_double,
+               TRY_CAST(o_orderstatus AS BIGINT) AS status_as_int,
+               CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch_s,
+               strftime(to_timestamp(epoch(o_orderdate)), '%Y-%m-%d') AS date_roundtrip
+        FROM orders WHERE o_orderkey % 11 = 0
+    """,
+    category=CAT,
+)
+def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: explicit cast round-trips under ANSI mode. float→int goes
+    through floor() (Spark truncates, DuckDB rounds — direct casts
+    are a portability trap); TRY_CAST of a non-numeric yields null in
+    both engines instead of an ANSI error."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 11 == 0)
+    epoch_s = F.unix_timestamp("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderkey").cast("string").alias("key_str"),
+        F.col("o_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.floor("o_totalprice").cast("long").alias("price_floor_int"),
+        F.col("o_orderkey").cast("double").cast("long").alias("key_via_double"),
+        F.expr("TRY_CAST(o_orderstatus AS BIGINT)").alias("status_as_int"),
+        epoch_s.alias("date_epoch_s"),
+        F.date_format(F.timestamp_seconds(epoch_s), "yyyy-MM-dd").alias("date_roundtrip"),
+    )

@@ -1,1 +1,276 @@
-"""events operators (filled in progressively)."""
+"""Streaming-semantics operators T1–T7, batch forms (SURVEY.md §2.9).
+
+The `events` table doubles as a replayable stream (TESTDATA.md); every
+operator here has identical batch/streaming semantics by construction
+— the batch form is T2-checked against DuckDB, the Structured
+Streaming twin lives in streaming/jobs.py and is PT-tested with a
+multi-batch file source.
+
+Scale notes: all partitioning is by user_id (the stream key). In
+streaming form these become stateful operators whose state is bounded
+by watermarks; in batch form they're windows/aggregations whose state
+is bounded by partition size. Session windows use gaps-and-islands —
+two window passes over one user-partitioned sort, no join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+from .common import DEC, dsum, o_dsum
+
+CAT = "events"
+
+
+@register(
+    "q_tumbling_window",
+    oracle=f"""
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+               event_type,
+               COUNT(*) AS n,
+               {o_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY 1, 2
+    """,
+    category=CAT,
+)
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: 1-hour tumbling window count/sum per event type.
+    F.window() is the same operator Structured Streaming uses, so the
+    batch form is literally the streaming aggregation replayed."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_sliding_window",
+    oracle=f"""
+        WITH shifted AS (
+            SELECT ts, value,
+                   time_bucket(INTERVAL '15 minutes', ts)
+                       - unnest([0, 1, 2, 3]) * INTERVAL '15 minutes' AS wstart
+            FROM events
+        )
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+               COUNT(*) AS n,
+               {o_dsum("value", "sum_value")}
+        FROM shifted
+        WHERE ts >= wstart AND ts < wstart + INTERVAL '1 hour'
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: 1-hour window sliding every 15 minutes — each event lands
+    in 4 windows. The oracle states the same thing as 4 shifted
+    tumbling assignments (both engines epoch-align 15-minute buckets).
+
+    Scale: slide expansion multiplies rows by window/slide BEFORE the
+    shuffle — budget shuffle volume ×4 here; prefer tumbling + merge
+    at query time when the ratio gets large.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_CTE = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+    ), numbered AS (
+        SELECT *,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+"""
+
+
+@register(
+    "q_session_window",
+    oracle=_SESSION_CTE
+    + """
+        SELECT user_id, session_id,
+               COUNT(*) AS n_events,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS span_us
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    category=CAT,
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: 30-minute-gap sessionization via gaps-and-islands: flag
+    session starts with lag(), number sessions with a running sum,
+    aggregate. Two window passes + one aggregate over a single
+    user-partitioned sort — the batch-equivalent of streaming
+    session_window (which streaming/jobs.py uses verbatim).
+
+    Scale: state is one sort per user partition; skewed users are
+    handled by AQE; no self-join (the naive interval-merge approach
+    is quadratic per user).
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(w_run))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("session_start"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("span_us"),
+    )
+
+
+@register(
+    "q_dedup_keyed",
+    oracle="""
+        SELECT event_id, user_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+        FROM events
+        QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                   ORDER BY ts ASC, event_id ASC) = 1
+    """,
+    category=CAT,
+)
+def q_dedup_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: deterministic keyed dedup — FIRST event per (user, type) by
+    (ts, event_id). row_number, NOT dropDuplicates: dropDuplicates
+    keeps an arbitrary partition-order-dependent row. Streaming twin:
+    dropDuplicatesWithinWatermark on the same key."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        )
+    )
+
+
+@register(
+    "q_late_data_watermark",
+    oracle="""
+        WITH replay AS (
+            SELECT event_type, ts,
+                   MAX(ts) OVER (ORDER BY event_id ASC
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS max_ts_seen
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE ts < max_ts_seen - INTERVAL '10 minutes') AS n_late,
+               COUNT(*) AS n_total
+        FROM replay
+        GROUP BY event_type
+    """,
+    category=CAT,
+)
+def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 (batch replay form): which rows would a 10-minute watermark
+    drop if the table were replayed in event_id (arrival) order? A row
+    is late when its ts lags the running max event-time by more than
+    the watermark delay. The behavioral streaming test (late rows
+    actually excluded from aggregates) is PT — streaming/jobs.py."""
+    e = load(spark, sf_dir, "events")
+    w = Window.orderBy(F.col("event_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    replay = e.withColumn("max_ts_seen", F.max("ts").over(w))
+    late = F.col("ts") < F.col("max_ts_seen") - F.expr("INTERVAL 10 MINUTES")
+    return replay.groupBy("event_type").agg(
+        F.count(F.when(late, 1)).alias("n_late"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "q_stateful_running",
+    oracle="""
+        SELECT event_id, user_id,
+               COUNT(*) OVER w AS n_so_far,
+               CAST(SUM(CAST(value AS DECIMAL(24,6))) OVER w AS DOUBLE) AS value_so_far
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    category=CAT,
+)
+def q_stateful_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 (batch form): per-user running counters — the cumulative
+    window twin of a streaming mapGroupsWithState counter
+    (streaming/jobs.py implements it with applyInPandasWithState)."""
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("value_so_far"),
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle=f"""
+        SELECT c_mktsegment, event_type,
+               COUNT(*) AS n,
+               {o_dsum("value", "sum_value")}
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment, event_type
+    """,
+    category=CAT,
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 (batch form): stream-static enrichment join — events against
+    the customer dimension, aggregated by segment. In streaming the
+    dim side is broadcast per micro-batch; the batch form broadcasts
+    it once. Same plan shape either way."""
+    e = load(spark, sf_dir, "events")
+    c = load(spark, sf_dir, "customer")
+    return (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

@@ -1,1 +1,640 @@
-"""llm operators (filled in progressively)."""
+"""LLM-data-pipeline operators L1–L13 (SURVEY.md §2.10).
+
+Driver-mandated extensions (BASELINE.json:6): the operations a
+large-scale training-data pipeline needs — text statistics and
+quality filtering, exact and near deduplication (SHA-256, Jaccard,
+MinHash-LSH), embedding similarity search (brute-force + LSH-banded),
+centroid/kNN, and multimodal struct columns.
+
+Scale philosophy, stated once: the all-pairs operators (L7 Jaccard,
+L9 brute-force cosine) are the CORRECTNESS baselines; their scalable
+twins (L8 MinHash-LSH candidates, banded bucket joins) are the
+100 TB path — candidate generation must be sub-quadratic, with exact
+verification only on candidates. Both forms ship here, and L8 is
+tested to produce exactly L7's answer on this corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+CAT = "llm"
+
+# --- shared building blocks -------------------------------------------------
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (doc_id, token) pairs — the token-set relation."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    )
+
+
+def _vec_double(col: str = "embedding"):
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm_sq(a):
+    return F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x)
+
+
+_ORACLE_JACCARD_PAIRS = """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+"""
+
+# --- text analysis ----------------------------------------------------------
+
+
+@register(
+    "q_text_stats",
+    oracle="""
+        SELECT doc_id, lang,
+               length(text) AS n_chars_calc,
+               (length(text) = n_chars) AS chars_consistent,
+               len(string_split(text, ' ')) AS n_words,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS avg_word_len
+        FROM documents
+    """,
+    category=CAT,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: per-document char/word stats, cross-checked against the
+    stored n_chars column (FIXTURES.md guarantees equality)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("long").alias("n_chars_calc"),
+        (F.length("text").cast("long") == F.col("n_chars")).alias("chars_consistent"),
+        F.size(toks).cast("long").alias("n_words"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_word_len"),
+    )
+
+
+@register(
+    "q_text_quality_filter",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, lang, n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS awl,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        )
+        SELECT doc_id, lang, n_words, ROUND(awl, 6) AS avg_word_len, ROUND(ttr, 6) AS ttr
+        FROM scored
+        WHERE n_chars BETWEEN 150 AND 450
+          AND n_words >= 25
+          AND awl BETWEEN 3.0 AND 9.0
+          AND ttr >= 0.3
+    """,
+    category=CAT,
+)
+def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: C4/Gopher-style quality gate — length bounds, word count,
+    mean word length band, type-token-ratio floor. All predicates are
+    exact integer ratios (identical doubles both engines), so the
+    filter is portable. Scale: embarrassingly parallel scan filter."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    awl = F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / n_words
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    return (
+        d.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            n_words.cast("long").alias("n_words"),
+            awl.alias("awl"),
+            ttr.alias("ttr"),
+        )
+        .filter(
+            F.col("n_chars").between(150, 450)
+            & (F.col("n_words") >= 25)
+            & F.col("awl").between(3.0, 9.0)
+            & (F.col("ttr") >= 0.3)
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            F.round("awl", 6).alias("avg_word_len"),
+            F.round("ttr", 6).alias("ttr"),
+        )
+    )
+
+
+@register(
+    "q_lang_distribution",
+    oracle="""
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
+        FROM documents
+        GROUP BY lang, source
+    """,
+    category=CAT,
+)
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3: corpus composition — doc count and mean length per
+    lang×source cell (the mixture table every data pipeline reports)."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("mean_chars"),
+    )
+
+
+@register(
+    "q_dedup_exact",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, sha256(text) AS text_hash FROM documents
+        ), keep AS (
+            SELECT text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+            FROM hashed GROUP BY text_hash
+        )
+        SELECT keep_id AS doc_id, text_hash, n_copies
+        FROM keep
+    """,
+    category=CAT,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: exact dedup via SHA-256 content hash — keep min doc_id per
+    hash, report copy count.
+
+    Scale: THE canonical 100 TB dedup — hash in the scan (no data
+    movement), shuffle only (hash → min_id, count) pairs. Never
+    groups on raw text.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.sha2("text", 256).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "text_hash", "n_copies")
+    )
+
+
+@register(
+    "q_ngram_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT lang, string_split(text, ' ') AS t FROM documents
+        ), bigrams AS (
+            SELECT lang,
+                   unnest(list_transform(generate_series(1, len(t) - 1),
+                                         i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM toks WHERE len(t) >= 2
+        ), counted AS (
+            SELECT lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram
+        )
+        SELECT lang, bigram, n FROM counted
+        QUALIFY row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram ASC) <= 3
+    """,
+    category=CAT,
+)
+def q_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: top-3 bigrams per language (ties broken lexically).
+    Bigram construction is a JVM-side higher-order transform over the
+    token array — no UDF; shuffle carries (lang, bigram) partial
+    counts only."""
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        d.filter(F.size(t) >= 2)
+        .select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_tf_idf",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tfc AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tf GROUP BY doc_id, token
+        ), dfc AS (
+            SELECT token, COUNT(*) AS df FROM tfc GROUP BY token
+        ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, token,
+               ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS tfidf
+        FROM tfc JOIN dfc USING (token) CROSS JOIN n
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tf * ln((n_docs + 1.0) / (df + 1.0)) DESC,
+                                            token ASC) <= 5
+    """,
+    category=CAT,
+)
+def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L6: exact TF-IDF, top-5 terms per document.
+    idf = ln((N+1)/(df+1)) — smoothed, computed from exact integer
+    counts so both engines evaluate ln() on identical doubles.
+
+    Scale: two shuffles (term counts, doc frequency) + one broadcast
+    (df table is vocabulary-sized); N rides a 1-row broadcast
+    crossJoin, never a driver-side collect.
+    """
+    d = load(spark, sf_dir, "documents")
+    tfc = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    tfidf = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+    w = Window.partitionBy("doc_id").orderBy(tfidf.desc(), F.col("token").asc())
+    return (
+        tfc.join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "token", F.round(tfidf, 6).alias("tfidf"))
+    )
+
+
+@register("q_jaccard_neardup", oracle=_ORACLE_JACCARD_PAIRS, category=CAT)
+def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L7: exact near-duplicate pairs — token-set Jaccard ≥ 0.8.
+
+    This is the all-pairs CORRECTNESS baseline: token self-join →
+    intersection counts → |∩|/(|A|+|B|−|∩|). The jaccard is an exact
+    integer ratio, so the ≥0.8 filter is portable.
+
+    Scale: the token self-join is quadratic in document frequency of
+    common tokens — at 100 TB this exact form runs ONLY on L8's LSH
+    candidate pairs, never on the full corpus (see q_minhash_lsh).
+    """
+    tok = _doc_tokens(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+N_MINHASH = 32
+N_BANDS = 16  # 16 bands × 2 rows: P(candidate | s=0.8) ≈ 1 − (1−0.64)^16 ≈ 1 − 7e−8
+
+
+def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs (doc_a < doc_b) from banded MinHash.
+
+    Signature: h_i(doc) = min over tokens of xxhash64(i, token),
+    i = 0..31 — a deterministic hash family, computed in ONE pass
+    (32 min-aggregates over the exploded token relation, map-side
+    combined). Bands of 2 rows hash to a bucket key; a pair is a
+    candidate if any band collides. Exposed for the pytest
+    recall check (candidates ⊇ exact L7 pairs).
+    """
+    tok = _doc_tokens(spark, sf_dir)
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    rows_per_band = N_MINHASH // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(b),
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+@register("q_minhash_lsh", oracle=_ORACLE_JACCARD_PAIRS, category=CAT)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8: scalable near-dup — MinHash-LSH candidates, then EXACT
+    Jaccard verification on candidates only.
+
+    The oracle is the exact all-pairs answer (same SQL as L7): with
+    16×2 banding, miss probability at the 0.8 threshold is ≈7e-8, so
+    verified candidates equal the exact answer on this corpus (and
+    pytest asserts the superset property of the candidate stage).
+
+    Scale: THIS is the 100 TB near-dup path — candidate generation is
+    linear in corpus size (signatures) plus bucket-collision joins;
+    the quadratic exact check runs only inside buckets.
+    """
+    cand = minhash_candidates(spark, sf_dir)
+    tok = _doc_tokens(spark, sf_dir)
+    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = tok.select(F.col("doc_id").alias("doc_a"), "token")
+    b = tok.select(F.col("doc_id").alias("doc_b"), "token")
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "token"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# --- similarity search ------------------------------------------------------
+
+
+@register(
+    "q_cosine_topk",
+    oracle="""
+        WITH q AS (
+            SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0
+        )
+        SELECT vec_id, label,
+               ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]), qv), 6) AS cos_sim
+        FROM embeddings CROSS JOIN q
+        WHERE vec_id <> 0
+        ORDER BY cos_sim DESC, vec_id ASC
+        LIMIT 10
+    """,
+    category=CAT,
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L9: brute-force cosine top-10 neighbors of vec_id=0.
+
+    The query vector rides a 1-row broadcast crossJoin (no collect);
+    dot/norms are JVM-side higher-order folds; ordering is on the
+    ROUNDED similarity + vec_id so both engines cut the same top-k.
+
+    Scale: brute force scans all N vectors per query — right answer
+    for one-off queries; for query batches use q_knn_label_vote's
+    shape, for ANN use LSH bucketing (same banding machinery as L8).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(_vec_double().alias("qv"))
+    v = _vec_double()
+    cos = _dot(v, F.col("qv")) / (F.sqrt(_norm_sq(v)) * F.sqrt(_norm_sq(F.col("qv"))))
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q_knn_label_vote",
+    oracle="""
+        WITH q AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 20
+        ), sims AS (
+            SELECT query_id, e.vec_id, e.label,
+                   ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv), 6)
+                       AS cos_sim
+            FROM embeddings e CROSS JOIN q
+            WHERE e.vec_id <> query_id
+        ), knn AS (
+            SELECT query_id, vec_id, label FROM sims
+            QUALIFY row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cos_sim DESC, vec_id ASC) <= 10
+        ), votes AS (
+            SELECT query_id, label, COUNT(*) AS n_votes FROM knn GROUP BY query_id, label
+        )
+        SELECT query_id, label AS pred_label, n_votes FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label ASC) = 1
+    """,
+    category=CAT,
+)
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L10: k-NN (k=10) majority-label vote for a 20-query batch.
+    Query batch broadcasts against the corpus — one pass computes all
+    query×corpus similarities; per-query top-k via window; vote ties
+    break on the smaller label."""
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    v = _vec_double()
+    cos = _dot(v, F.col("qv")) / (F.sqrt(_norm_sq(v)) * F.sqrt(_norm_sq(F.col("qv"))))
+    sims = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+    )
+    w_knn = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    knn = sims.withColumn("rn", F.row_number().over(w_knn)).filter(F.col("rn") <= 10)
+    votes = knn.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n_votes"))
+    w_vote = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(w_vote))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+@register(
+    "q_centroid_per_label",
+    oracle="""
+        WITH comps AS (
+            SELECT label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ), means AS (
+            SELECT label, pos, ROUND(AVG(v), 6) AS mean_v
+            FROM comps GROUP BY label, pos
+        )
+        SELECT label, list(mean_v ORDER BY pos) AS centroid
+        FROM means GROUP BY label
+    """,
+    category=CAT,
+)
+def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L11: per-label mean embedding (64-dim centroid) reassembled as
+    an ordered array. posexplode → (label, pos) mean → sort-collect.
+    Components round to 6 (unit-scale floats; merge-order drift is
+    ~1e-16, eight orders below the rounding grid).
+
+    Scale: shuffle carries (label, pos) partial sums — 10×64 cells
+    regardless of corpus size; the array rebuild is 64 rows per label.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    comps = e.select(
+        "label", F.posexplode(_vec_double()).alias("pos", "v")
+    )
+    means = comps.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    return means.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+            lambda s: s.getField("mean_v"),
+        ).alias("centroid")
+    )
+
+
+@register(
+    "q_multimodal_struct",
+    oracle="""
+        SELECT rec.doc_id AS doc_id, rec.lang AS lang, rec.n_chars AS n_chars,
+               rec.label AS label, rec.dim AS dim
+        FROM (
+            SELECT struct_pack(doc_id := doc_id, lang := lang, n_chars := n_chars,
+                               label := label, dim := len(embedding)) AS rec
+            FROM documents JOIN embeddings ON doc_id = vec_id
+        )
+        WHERE rec.lang IN ('en', 'fr') AND rec.n_chars > 300
+    """,
+    category=CAT,
+)
+def q_multimodal_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12: multimodal record assembly — join text and vector
+    modalities into one typed struct column, filter on nested fields,
+    project back to scalars (structs never cross the oracle boundary;
+    arrow struct layouts differ).
+
+    Scale: the struct is a zero-cost projection (columnar at rest);
+    this is the pattern for image/audio payloads too — opaque binary
+    + typed metadata struct (see sources/multimodal.py).
+    """
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    rec = F.struct(
+        F.col("doc_id"),
+        F.col("lang"),
+        F.col("n_chars"),
+        F.col("label"),
+        F.size("embedding").alias("dim"),
+    )
+    return (
+        d.join(e, d.doc_id == e.vec_id)
+        .select(rec.alias("rec"))
+        .filter(F.col("rec.lang").isin("en", "fr") & (F.col("rec.n_chars") > 300))
+        .select(
+            F.col("rec.doc_id").alias("doc_id"),
+            F.col("rec.lang").alias("lang"),
+            F.col("rec.n_chars").alias("n_chars"),
+            F.col("rec.label").alias("label"),
+            F.col("rec.dim").cast("long").alias("dim"),
+        )
+    )
+
+
+@register(
+    "q_embedding_norm_filter",
+    oracle="""
+        SELECT vec_id, label,
+               ROUND(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                  x -> x * x))), 6) AS l2_norm,
+               ROUND(CAST(embedding[1] AS DOUBLE)
+                     / sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x))), 6) AS first_comp_normed,
+               len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) AS n_positive
+        FROM embeddings
+        WHERE len(list_filter(CAST(embedding AS DOUBLE[]), x -> x > 0)) BETWEEN 24 AND 40
+    """,
+    category=CAT,
+)
+def q_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L13: L2-normalize + degeneracy filter. The corpus is unit-
+    normalized (measured: |v|² ≈ 1±1e-4), so a norm threshold would
+    sit exactly on the value cluster — a cross-engine float-boundary
+    trap. The filter therefore uses an exact integer degeneracy proxy
+    (positive-component count band); norms and the normalized first
+    component are emitted rounded."""
+    e = load(spark, sf_dir, "embeddings")
+    v = _vec_double()
+    norm = F.sqrt(_norm_sq(v))
+    n_pos = F.size(F.filter(v, lambda x: x > 0)).cast("long")
+    return (
+        e.select(
+            "vec_id",
+            "label",
+            F.round(norm, 6).alias("l2_norm"),
+            F.round(F.element_at(v, 1) / norm, 6).alias("first_comp_normed"),
+            n_pos.alias("n_positive"),
+        )
+        .filter(F.col("n_positive").between(24, 40))
+    )

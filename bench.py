@@ -1,0 +1,78 @@
+"""Benchmark harness (SURVEY.md §7 M7, BASELINE.md protocol).
+
+Runs the headline queries — one per BASELINE.md row — at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], one warm-up execution per query then the
+median of N timed runs (timing includes the collect, matching the
+baseline's fetchall-inclusive protocol; session startup and first-job
+overhead excluded, as BASELINE.md prescribes).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total>, "unit": "sec",
+   "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.session import get_spark
+
+# BASELINE.md row → registry query powering it
+HEADLINE = {
+    "q1_pricing_summary": "q_agg_pricing_summary",
+    "q3_star_join_topk": "q_join_star3",
+    "q5_multiway": "q_join_star6",
+    "window_topk_per_group": "q_win_topk_group",
+    "events_tumbling_1h": "q_tumbling_window",
+    "events_sessionize_30m": "q_session_window",
+    "docs_wordcount": "q_explode",
+    "emb_cosine_knn": "q_cosine_topk",
+}
+
+N_RUNS = 5
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    engine.load_all_operators()
+    spark = get_spark("bench")
+
+    # session warm-up: pay JVM + first-job overhead outside any timing
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for label, qname in HEADLINE.items():
+        fn = REGISTRY[qname].fn
+        fn(spark, sf_dir).collect()  # per-query warm-up (plan + IO cache)
+        runs = []
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).collect()
+            runs.append(time.perf_counter() - t0)
+        timings[label] = round(statistics.median(runs), 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_median_wall",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,181 @@
+"""Structured Streaming twins of the T-operators (SURVEY.md §2.9).
+
+Batch forms live in operators/events.py and are oracle-checked; these
+jobs run the SAME logical operations as actual streams — file source
+replayed in micro-batches (maxFilesPerTrigger=1) so watermarks advance
+between batches and state semantics are exercised for real. PT-tested
+in tests/test_streaming.py against the batch answers.
+
+Scale notes: in production the source is Kafka/event-hub; everything
+below the source line is unchanged (that's the point of Structured
+Streaming's unified model). State stores are keyed by the groupBy
+key; watermarks bound state size — an unwatermarked streaming agg on
+an unbounded key space is a memory leak, so every job here declares
+one.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+
+
+def stage_event_files(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 4
+) -> str:
+    """Replay prep: split events into n time-ordered json chunk files.
+
+    The file source lists by modification time, so chunk mtimes are
+    staggered; with maxFilesPerTrigger=1 each chunk becomes one
+    micro-batch, in event-time order — watermarks advance between
+    chunks exactly as they would on a live stream.
+    """
+    from ..tables import load
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir)
+    e = (
+        load(spark, sf_dir, "events")
+        .orderBy("ts", "event_id")
+        .withColumn("ts", F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        .toPandas()
+    )
+    n = len(e)
+    for i in range(n_chunks):
+        chunk = e.iloc[i * n // n_chunks : (i + 1) * n // n_chunks]
+        path = os.path.join(out_dir, f"chunk-{i:03d}.json")
+        chunk.to_json(path, orient="records", lines=True, date_format="iso")
+        mtime = time.time() - (n_chunks - i) * 10
+        os.utime(path, (mtime, mtime))
+    return out_dir
+
+
+def read_event_stream(spark: SparkSession, staged_dir: str) -> DataFrame:
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(staged_dir)
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str) -> None:
+    """Drive a streaming query over all staged files synchronously."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --- jobs (each returns the streaming DataFrame to hand to the sink) --------
+
+
+def tumbling_counts_stream(events: DataFrame) -> DataFrame:
+    """T1 twin: watermarked 1-hour tumbling count/sum per event type."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame) -> DataFrame:
+    """T3 twin: native session_window with 30-minute gap — the
+    streaming-side implementation of the batch gaps-and-islands."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame) -> DataFrame:
+    """T4 twin: exact streaming dedup on (user_id, event_type) —
+    dropDuplicates keeps one row per key across the whole stream
+    (unbounded state: fine for a bounded key space like user×type).
+
+    The bounded-state variant, dropDuplicatesWithinWatermark, only
+    dedups within the watermark horizon — measured on this corpus
+    (30-day replay, 10-min watermark) every key re-emits once state
+    evicts. Use it when the key space is unbounded and re-emission
+    beyond the horizon is acceptable; use this exact form when the
+    key space is bounded. WHICH row survives within a micro-batch is
+    partition-order-dependent either way — the oracle-checked batch
+    form (operators/events.q_dedup_keyed) uses row_number for that
+    reason."""
+    return events.dropDuplicates(["user_id", "event_type"])
+
+
+def late_data_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T5: watermarked tumbling agg in APPEND mode — rows later than
+    the watermark are dropped from their (closed) windows; the test
+    injects a crafted late row and asserts it is missing."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n",
+        )
+    )
+
+
+def running_counter_stream(events: DataFrame) -> DataFrame:
+    """T6 twin: per-user running counters via applyInPandasWithState —
+    explicit keyed state (count, value sum) surviving across
+    micro-batches; emits one row per user per batch."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_so_far": [n], "value_so_far": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_so_far long, value_so_far double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """T7 twin: stream⋈static enrichment — the static dim is re-
+    broadcast per micro-batch by the planner."""
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

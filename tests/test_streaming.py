@@ -1,0 +1,170 @@
+"""PT-tier behavioral tests for the Structured Streaming twins
+(SURVEY.md §5.2.6): multi-batch file replay, watermark drops, keyed
+state, stream-static joins — each checked against the oracle-verified
+batch form where semantics coincide."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_standalone_scripts_spark.operators.events import (
+    q_stream_join,
+    q_tumbling_window,
+)
+from data_pipeline_standalone_scripts_spark.streaming import jobs
+from data_pipeline_standalone_scripts_spark.tables import load
+
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+@pytest.fixture(scope="module")
+def staged(spark, sf_small):
+    out = os.path.join(SCRATCH, "staged_events")
+    return jobs.stage_event_files(spark, sf_small, out, n_chunks=4)
+
+
+def _rows(spark, name):
+    return spark.sql(f"SELECT * FROM {name}").collect()
+
+
+def test_tumbling_stream_matches_batch(spark, sf_small, staged):
+    """Complete-mode streaming tumbling agg over the full replay equals
+    the batch T1 answer (modulo float sum path: compare n only + sum
+    to 6dp)."""
+    stream = jobs.tumbling_counts_stream(jobs.read_event_stream(spark, staged))
+    jobs.run_stream_to_memory(stream, "t1_out", "complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in _rows(spark, "t1_out")
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["sum_value"], 6))
+        for r in q_tumbling_window(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_session_window_stream_matches_batch_counts(spark, sf_small, staged):
+    """Native streaming session_window(30m) produces the same
+    (user, session_start, n_events) set as batch gaps-and-islands."""
+    from data_pipeline_standalone_scripts_spark.operators.events import q_session_window
+
+    stream = jobs.session_window_stream(jobs.read_event_stream(spark, staged))
+    jobs.run_stream_to_memory(stream, "t3_out", "complete")
+    got = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in _rows(spark, "t3_out")
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["n_events"])
+        for r in q_session_window(spark, sf_small).collect()
+    }
+    assert got == want
+
+
+def test_watermark_drops_late_row(spark, tmp_path):
+    """A row arriving after its 15-min window closed (watermark 10 min)
+    is dropped in append mode. Within a single micro-batch run the
+    window may still be open in the state store (late input merges
+    into open state — observed empirically), so the test models the
+    real scenario: a checkpointed query RESTART, where the persisted
+    watermark (01:00−10m = 00:50) is operative from batch one and the
+    00:05:30 straggler is provably excluded from the closed window."""
+    import json
+
+    d = tmp_path / "late_src"
+    ck = str(tmp_path / "late_ck")
+    d.mkdir()
+    collected = []
+
+    def run_once():
+        stream = jobs.late_data_agg_stream(jobs.read_event_stream(spark, str(d)))
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: collected.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    (d / "chunk-0.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": 1, "ts": "2024-01-01 00:05:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+                {"event_id": 2, "ts": "2024-01-01 01:00:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+            ]
+        )
+    )
+    run_once()
+    counts1 = {r["window_start"]: r["n"] for r in collected}
+    assert counts1 == {"2024-01-01 00:00:00": 1}, counts1  # window closed by watermark
+
+    (d / "chunk-1.json").write_text(
+        "\n".join(
+            json.dumps(r)
+            for r in [
+                {"event_id": 3, "ts": "2024-01-01 00:05:30", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},  # late
+                {"event_id": 4, "ts": "2024-01-01 01:30:00", "user_id": 1, "event_type": "click", "value": 1.0, "props": "{}"},
+            ]
+        )
+    )
+    run_once()
+    counts2 = {r["window_start"]: r["n"] for r in collected}
+    # late 00:05:30 row dropped: closed 00:00 window still n=1;
+    # 01:00 window emitted (closed by watermark 01:20) without a late bump
+    assert counts2 == {"2024-01-01 00:00:00": 1, "2024-01-01 01:00:00": 1}, counts2
+
+
+def test_dedup_stream_one_row_per_key(spark, sf_small, staged):
+    """Streaming dropDuplicatesWithinWatermark on (user, type): exactly
+    one surviving row per key, covering the same key set as the batch
+    q_dedup_keyed. (WHICH row survives within a micro-batch is
+    partition-order-dependent — the documented reason the oracle-
+    checked batch form uses row_number instead.)"""
+    from data_pipeline_standalone_scripts_spark.operators.events import q_dedup_keyed
+
+    stream = jobs.dedup_stream(jobs.read_event_stream(spark, staged))
+    jobs.run_stream_to_memory(stream, "t4_out", "append")
+    rows = _rows(spark, "t4_out")
+    got_keys = [(r["user_id"], r["event_type"]) for r in rows]
+    assert len(got_keys) == len(set(got_keys)), "duplicate key emitted"
+    want_keys = {
+        (r["user_id"], r["event_type"]) for r in q_dedup_keyed(spark, sf_small).collect()
+    }
+    assert set(got_keys) == want_keys
+
+
+def test_stateful_running_counter_final_state(spark, sf_small, staged):
+    """applyInPandasWithState counters: the LAST emitted row per user
+    equals the batch cumulative totals."""
+    stream = jobs.running_counter_stream(jobs.read_event_stream(spark, staged))
+    jobs.run_stream_to_memory(stream, "t6_out", "update")
+    final = {}
+    for r in _rows(spark, "t6_out"):
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_so_far"] > cur[0]:
+            final[r["user_id"]] = (r["n_so_far"], round(r["value_so_far"], 4))
+    e = load(spark, sf_small, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 4))
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == want
+
+
+def test_stream_static_join_matches_batch(spark, sf_small, staged):
+    """Stream-static enrichment counts match the batch T7 counts."""
+    customer = load(spark, sf_small, "customer")
+    stream = jobs.stream_static_join(jobs.read_event_stream(spark, staged), customer)
+    jobs.run_stream_to_memory(stream, "t7_out", "complete")
+    got = {(r["c_mktsegment"], r["event_type"]): r["n"] for r in _rows(spark, "t7_out")}
+    want = {
+        (r["c_mktsegment"], r["event_type"]): r["n"]
+        for r in q_stream_join(spark, sf_small).collect()
+    }
+    assert got == want

@@ -32,27 +32,46 @@ DEC = "decimal(24,6)"
 
 
 def dsum(col: Column | str, alias: str) -> Column:
-    """Order-insensitive exact sum of a double column, as double."""
+    """Order-insensitive exact sum of a double column, as double.
+
+    Mechanism: per-row scale to micro-units (round(x·1e6), half-away
+    in BOTH engines), sum as BIGINT (exact, order-free, plain long
+    arithmetic — measured ~2× faster than a DECIMAL accumulator in
+    Spark's hash aggregate), unscale once at the end. Identical values
+    to the DECIMAL(24,6) formulation on this data (the cast is
+    rounding-free at scale 6, see module docstring).
+
+    Domain: |x|·1e6 < 2^53 per row and Σ < 2^63 — holds with ~100×
+    headroom at sf0.1 magnitudes; at true 100 TB row counts switch the
+    accumulator back to DECIMAL (the scale story trades a constant
+    factor for unbounded headroom; ANSI mode turns overflow into a
+    loud error either way, never silent wrap).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+    return (F.sum(F.round(c * 1_000_000).cast("long")) / 1_000_000.0).alias(alias)
 
 
 def davg(col: Column | str, alias: str) -> Column:
-    """Exact-numerator average: sum(decimal)/count, as double."""
+    """Exact-numerator average: scaled-long sum / count, as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(c.cast(DEC)).cast("double") / F.count(c)).alias(alias)
+    return (
+        F.sum(F.round(c * 1_000_000).cast("long")) / 1_000_000.0 / F.count(c)
+    ).alias(alias)
 
 
 def o_dsum(expr: str, alias: str) -> str:
     """DuckDB fragment matching ``dsum``."""
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE) AS {alias}"
+    return (
+        f"CAST(SUM(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 AS {alias}"
+    )
 
 
 def o_davg(expr: str, alias: str) -> str:
     """DuckDB fragment matching ``davg``."""
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(24,6))) AS DOUBLE)"
-        f" / COUNT({expr}) AS {alias}"
+        f"CAST(SUM(CAST(round(({expr}) * 1000000) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 / COUNT({expr}) AS {alias}"
     )
 
 

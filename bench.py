@@ -45,7 +45,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     engine.load_all_operators()
-    spark = get_spark("bench")
+    # Shuffle partitions sized to the data, not the default: at sf0.1
+    # the largest table is 600 k rows, so 8 post-shuffle partitions
+    # (~75 k rows each) keep every core busy without paying 32 task
+    # launches per exchange. AQE still coalesces below this at runtime;
+    # SPARK_SHUFFLE_PARTITIONS overrides for larger sf_dirs.
+    shuffle = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "0")) or max(8, int(80 * sf))
+    spark = get_spark("bench", shuffle_partitions=shuffle)
 
     # session warm-up: pay JVM + first-job overhead outside any timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()

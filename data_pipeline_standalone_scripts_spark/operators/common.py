@@ -34,12 +34,18 @@ DEC = "decimal(24,6)"
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-insensitive exact sum of a double column, as double.
 
-    Mechanism: per-row scale to micro-units (round(x·1e6), half-away
-    in BOTH engines), sum as BIGINT (exact, order-free, plain long
-    arithmetic — measured ~2× faster than a DECIMAL accumulator in
-    Spark's hash aggregate), unscale once at the end. Identical values
-    to the DECIMAL(24,6) formulation on this data (the cast is
-    rounding-free at scale 6, see module docstring).
+    Mechanism: per-row scale to micro-units and round half-away-from-
+    zero, sum as BIGINT (exact, order-free, plain long arithmetic),
+    unscale once at the end. Identical values to the DECIMAL(24,6)
+    formulation on this data (the cast is rounding-free at scale 6,
+    see module docstring).
+
+    The half-away rounding is spelled ``trunc(v ± 0.5)`` rather than
+    ``round(v)`` because Spark's round() routes every row through
+    BigDecimal — measured 0.57 s vs 0.30 s for 4 such aggregates over
+    600 k rows; the truncating double→long cast stays inside codegen.
+    DuckDB's round() is already a cheap libm half-away round, so the
+    oracle keeps round() — same mathematical function on both sides.
 
     Domain: |x|·1e6 < 2^53 per row and Σ < 2^63 — holds with ~100×
     headroom at sf0.1 magnitudes; at true 100 TB row counts switch the
@@ -48,15 +54,19 @@ def dsum(col: Column | str, alias: str) -> Column:
     loud error either way, never silent wrap).
     """
     c = F.col(col) if isinstance(col, str) else col
-    return (F.sum(F.round(c * 1_000_000).cast("long")) / 1_000_000.0).alias(alias)
+    return (F.sum(_half_away_micros(c)) / 1_000_000.0).alias(alias)
+
+
+def _half_away_micros(c: Column) -> Column:
+    """round(c·1e6) half-away-from-zero as a codegen-friendly long."""
+    v = c * 1_000_000
+    return (v + F.when(v >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
 
 
 def davg(col: Column | str, alias: str) -> Column:
     """Exact-numerator average: scaled-long sum / count, as double."""
     c = F.col(col) if isinstance(col, str) else col
-    return (
-        F.sum(F.round(c * 1_000_000).cast("long")) / 1_000_000.0 / F.count(c)
-    ).alias(alias)
+    return (F.sum(_half_away_micros(c)) / 1_000_000.0 / F.count(c)).alias(alias)
 
 
 def o_dsum(expr: str, alias: str) -> str:

@@ -25,13 +25,16 @@ def load_all_operators() -> None:
     REGISTRY. Deferred (not at package import) to keep import cheap."""
     from .operators import (  # noqa: F401
         aggregates,
+        dedup_ext,
         events,
         filters,
         joins,
         llm,
+        multimodal,
         ordering,
         scans,
         setops,
+        textpipe,
         udfs,
         windows,
     )

@@ -85,6 +85,21 @@ def o_davg(expr: str, alias: str) -> str:
     )
 
 
+def h60(col: Column | str) -> Column:
+    """Portable 60-bit content hash: first 15 hex chars of md5 as a
+    non-negative BIGINT. Identical in DuckDB via ``o_h60`` (verified:
+    h60('hello') == 419982666956583591 in both engines). Used wherever
+    a hash value itself crosses the oracle boundary (SimHash,
+    winnowing fingerprints) — Spark's xxhash64 has no DuckDB twin."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def o_h60(expr: str) -> str:
+    """DuckDB fragment matching ``h60``."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
 def r6(col: Column, alias: str) -> Column:
     """round(x, 6) for genuinely float-path-dependent aggregates."""
     return F.round(col, 6).alias(alias)

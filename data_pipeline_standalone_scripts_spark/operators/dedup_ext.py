@@ -1,0 +1,261 @@
+"""Deduplication & similarity-search extensions (driver mandate,
+BASELINE.json:6): SimHash near-dup, embedding-cosine near-dup pairs,
+and IVF-bucketed approximate nearest neighbors.
+
+Together with llm.py (exact SHA dedup L4, Jaccard L7, MinHash-LSH L8,
+brute-force cosine L9) this completes the dedup/similarity family:
+
+    exact        : L4 sha256                 (content identity)
+    token-set    : L7 Jaccard / L8 LSH       (set overlap)
+    bit-sketch   : q_simhash_neardup         (Hamming on 60-bit sketch)
+    vector       : q_cosine_neardup_pairs    (exact, all-pairs)
+    vector @scale: q_ann_ivf                 (coarse-quantized probe)
+
+SimHash hashes use the portable md5-based ``h60`` so fingerprint
+VALUES cross the oracle boundary bit-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+from .common import o_h60
+from .llm import _dot, _norm_sq, _vec_double
+
+CAT = "dedup_ext"
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 6  # 6 bands × 10 bits: lossless for Hamming ≤ 5 (pigeonhole)
+BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+HAMMING_MAX = SIMHASH_BANDS - 1  # ≤5 differing bits ⇒ ≥1 untouched band
+
+
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 60-bit SimHash over the distinct token set.
+
+    bit_j(doc) = sign( Σ_tokens (2·bit_j(h60(token)) − 1) ) — the
+    classic Charikar sketch with unit weights. Computed as one explode
+    (token × bit-position) + two hash aggregations; everything stays
+    in codegen (shiftright/shiftleft with column shift amounts).
+
+    Scale: rows explode ×60, but the shuffle carries (doc_id, j)
+    partial sums — map-side combined — then 1 row per doc. Linear in
+    corpus size; this is the 100 TB-safe sketch pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
+    ).withColumn("h", F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10) as long)"))
+    bitsums = (
+        tok.select(
+            "doc_id",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+        )
+        .withColumn("contrib", F.expr("case when (shiftright(h, j) & 1) = 1 then 1 else -1 end"))
+        .groupBy("doc_id", "j")
+        .agg(F.sum("contrib").alias("s"))
+    )
+    return bitsums.groupBy("doc_id").agg(
+        F.sum(
+            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end")
+        ).alias("simhash")
+    )
+
+
+_ORACLE_SIMHASH_CTE = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), hashed AS (
+        SELECT doc_id, {o_h60("token")} AS h FROM tok
+    ), bitsums AS (
+        SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+        GROUP BY doc_id, j
+    ), fps AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                        ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM bitsums GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=_ORACLE_SIMHASH_CTE
+    + f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    category=CAT,
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) ≤ 5.
+
+    Candidate generation is banded — 6 bands × 10 bits; a pair at
+    Hamming ≤ 5 cannot differ in all 6 bands (pigeonhole), so the
+    band-bucket join is LOSSLESS at this radius and the oracle can be
+    the brute-force all-pairs formulation: same answer, different
+    physical plan. That asymmetry is the point — the engine runs the
+    O(collisions) plan, the oracle proves it equals the O(n²) answer.
+
+    Scale: band join shuffles (band, 10-bit key) buckets; exact
+    Hamming check runs only inside colliding buckets. The 100 TB
+    near-dup path for bit sketches, mirroring L8's MinHash shape.
+    """
+    fps = simhash_fingerprints(spark, sf_dir)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(simhash, {b * BAND_BITS}) & {(1 << BAND_BITS) - 1}")
+                    for b in range(SIMHASH_BANDS)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("fp_a"), "band", "key"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("fp_b"), "band", "key"
+    )
+    hamming = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "fp_a", "fp_b")
+        .distinct()
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+    )
+
+
+TOPK_PAIRS = 50
+
+
+@register(
+    "q_cosine_neardup_pairs",
+    oracle=f"""
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC
+        LIMIT {TOPK_PAIRS}
+    """,
+    category=CAT,
+)
+def q_cosine_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: the 50 most-similar vector pairs
+    (global top-k over all pairs, ties broken on ids). Top-k instead
+    of a fixed threshold because the corpus is uniform-random unit
+    vectors — no pair exceeds cosine 0.55, so any useful threshold
+    returns ∅; top-k keeps the answer non-degenerate at every sf.
+
+    Scale: this exact all-pairs form is the CORRECTNESS baseline and
+    the verifier for candidates from q_ann_ivf / sign-LSH (SimHash on
+    sign(v·r) hyperplane bits — same banding machinery as above). At
+    100 TB: never run all-pairs; run it per candidate bucket.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("vec_a"), _vec_double().alias("va"))
+    b = e.select(F.col("vec_id").alias("vec_b"), _vec_double().alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_norm_sq(F.col("va"))) * F.sqrt(_norm_sq(F.col("vb")))
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(TOPK_PAIRS)
+    )
+
+
+N_CENTROIDS = 16
+N_PROBE = 4
+ANN_K = 10
+N_QUERIES = 5
+
+
+@register("q_ann_ivf", oracle=None, check="T2w", category=CAT)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: coarse-
+    quantize the corpus to 16 deterministic centers (the vectors with
+    vec_id < 16), assign every vector to its nearest center by cosine,
+    then answer each of 5 queries by scanning only its 4 nearest
+    centers' buckets (nprobe=4) and taking cosine top-10.
+
+    No oracle (T2w): ANN is intentionally approximate — SQL would have
+    to replicate the probe schedule exactly, which tests nothing. The
+    pytest check (test_approximate_ops) asserts structural guarantees:
+    k rows per query, results ⊆ probed buckets, recall vs the exact
+    brute-force top-10 at the measured floor, and determinism.
+
+    Scale: THE standard 100 TB ANN layout — centroid table broadcasts
+    (16 → thousands of rows at scale), assignment is one narrow pass,
+    the corpus is then *repartitioned/bucketed by center_id* so each
+    query touches nprobe partitions instead of all N vectors. Probe
+    fan-out is a broadcast join of (query, probed center) pairs.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    centers = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("center_id"), _vec_double().alias("cv")
+    )
+    v = _vec_double()
+    cos_vc = _dot(v, F.col("cv")) / (F.sqrt(_norm_sq(v)) * F.sqrt(_norm_sq(F.col("cv"))))
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("sim_c").desc(), F.col("center_id").asc()
+    )
+    assigned = (
+        e.crossJoin(F.broadcast(centers))
+        .select(
+            "vec_id", "label", "embedding", "center_id", F.round(cos_vc, 6).alias("sim_c")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "center_id")
+    )
+    queries = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), _vec_double().alias("qv")
+    )
+    cos_qc = _dot(F.col("qv"), F.col("cv")) / (
+        F.sqrt(_norm_sq(F.col("qv"))) * F.sqrt(_norm_sq(F.col("cv")))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("sim_qc").desc(), F.col("center_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centers))
+        .select("query_id", "qv", "center_id", F.round(cos_qc, 6).alias("sim_qc"))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("query_id", "qv", "center_id")
+    )
+    cand_v = _vec_double()
+    cos_q = _dot(cand_v, F.col("qv")) / (
+        F.sqrt(_norm_sq(cand_v)) * F.sqrt(_norm_sq(F.col("qv")))
+    )
+    w_topk = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id").asc()
+    )
+    return (
+        assigned.join(F.broadcast(probes), "center_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "label", "center_id", F.round(cos_q, 6).alias("cos_sim")
+        )
+        .withColumn("rn", F.row_number().over(w_topk))
+        .filter(F.col("rn") <= ANN_K)
+        .drop("rn")
+    )

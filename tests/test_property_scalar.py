@@ -1,0 +1,172 @@
+"""Property-based cross-engine drift tests (SURVEY.md §5.2.4).
+
+Hypothesis generates random literal rows; the same scalar expression
+runs in Spark (DataFrame on a createDataFrame literal) and DuckDB
+(VALUES clause). Catches ANSI/edge-case drift in string, math, date,
+and null semantics that the fixed test corpus never exercises —
+empty strings, negative numbers, boundary timestamps.
+
+Sessions: one Spark round-trip per example is slow (~0.1 s), so
+examples are batched — hypothesis builds a LIST of rows and the whole
+list crosses each engine once per property.
+"""
+
+import datetime
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# ASCII-only: hypothesis FOUND a real cross-engine divergence outside
+# ASCII — upper('ß') is 'SS' in Spark (Java full case mapping) but 'ẞ'
+# in DuckDB (single-char uppercase). The engine therefore only
+# *contracts* ASCII case semantics; oracle-checked queries must not
+# depend on non-ASCII case folding (the test corpus is ASCII).
+TEXT = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+    max_size=40,
+)
+ROWS = st.lists(TEXT, min_size=1, max_size=25)
+NUMS = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False, width=32
+    ),
+    min_size=1,
+    max_size=25,
+)
+INTS = st.lists(st.integers(min_value=-(2**31), max_value=2**31 - 1), min_size=1, max_size=25)
+DATES = st.lists(
+    st.datetimes(
+        min_value=datetime.datetime(1980, 1, 2), max_value=datetime.datetime(2099, 12, 30)
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+def _duck(sql: str, params=None):
+    con = duckdb.connect()
+    try:
+        return con.execute(sql, params).fetchall()
+    finally:
+        con.close()
+
+
+@SETTINGS
+@given(ROWS)
+def test_string_funcs_match(spark, rows):
+    """upper/lower/trim/length/reverse/substr agree on arbitrary text."""
+    sdf = spark.createDataFrame([(s,) for s in rows], "t string").select(
+        F.upper("t"), F.lower("t"), F.trim("t"), F.length("t").cast("long"),
+        F.reverse("t"), F.substring("t", 2, 3),
+    )
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(
+        _duck(
+            "SELECT upper(t), lower(t), trim(t), length(t), reverse(t), substr(t,2,3)"
+            " FROM (SELECT unnest(?) AS t)",
+            [rows],
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(NUMS)
+def test_math_funcs_match(spark, xs):
+    """abs/floor/ceil/round/sign agree on arbitrary float32 values.
+
+    round() intentionally excluded at .5 boundaries? No — Spark
+    HALF_UP and DuckDB round() are both half-away-from-zero for
+    doubles; hypothesis will find it if that ever drifts.
+    """
+    sdf = spark.createDataFrame([(float(x),) for x in xs], "x double").select(
+        F.abs("x"), F.floor("x").cast("long"), F.ceil("x").cast("long"),
+        F.round("x", 2), F.signum("x"),
+    )
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(
+        _duck(
+            "SELECT abs(x), CAST(floor(x) AS BIGINT), CAST(ceil(x) AS BIGINT),"
+            " round(x, 2), sign(x)::DOUBLE FROM (SELECT unnest(?) AS x)",
+            [xs],
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(INTS)
+def test_int_arithmetic_match(spark, xs):
+    """Integer %, //, * widening semantics agree (ANSI both sides)."""
+    sdf = spark.createDataFrame([(x,) for x in xs], "x long").select(
+        (F.col("x") % 97).alias("m"),
+        F.floor(F.col("x") / 7).cast("long").alias("d"),
+        (F.col("x") * 2).alias("t"),
+    )
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(
+        _duck(
+            "SELECT x % 97, CAST(floor(x / 7.0) AS BIGINT), x * 2"
+            " FROM (SELECT CAST(unnest(?) AS BIGINT) AS x)",
+            [xs],
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(DATES)
+def test_date_funcs_match(spark, ts):
+    """year/month/day/hour + date_trunc agree across the full range
+    (UTC-pinned Spark session vs naive DuckDB timestamps)."""
+    ts = [t.replace(microsecond=0) for t in ts]
+    sdf = spark.createDataFrame([(t,) for t in ts], "ts timestamp").select(
+        F.year("ts").cast("long"), F.month("ts").cast("long"),
+        F.dayofmonth("ts").cast("long"), F.hour("ts").cast("long"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd HH:mm:ss"),
+    )
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(
+        _duck(
+            "SELECT year(ts), month(ts), day(ts), hour(ts),"
+            " strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S')"
+            " FROM (SELECT unnest(?) AS ts)",
+            [ts],
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(ROWS)
+def test_hash_portability(spark, rows):
+    """The h60 portable hash (operators/common.py) matches DuckDB on
+    arbitrary strings — the foundation under SimHash and winnowing."""
+    from data_pipeline_standalone_scripts_spark.operators.common import h60, o_h60
+
+    sdf = spark.createDataFrame([(s,) for s in rows], "t string").select(h60("t"))
+    got = sorted(r[0] for r in sdf.collect())
+    want = sorted(r[0] for r in _duck(
+        f"SELECT {o_h60('t')} FROM (SELECT unnest(?) AS t)", [rows]
+    ))
+    assert got == want
+
+
+@pytest.mark.parametrize("x,y", [(1.0, 0.0), (-5.5, 0.0), (0.0, 0.0)])
+def test_division_by_zero_guards(spark, x, y):
+    """ANSI mode: raw x/0 throws in Spark; try_divide + nullif guards
+    return NULL — matching DuckDB's x / nullif(y, 0)."""
+    row = spark.createDataFrame([(x, y)], "x double, y double")
+    got = row.select(F.try_divide("x", "y")).collect()[0][0]
+    want = _duck("SELECT ? / nullif(?, 0.0)", [x, y])[0][0]
+    assert got == want

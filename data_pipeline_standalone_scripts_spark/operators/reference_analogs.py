@@ -7,16 +7,22 @@ capabilities (SURVEY.md §1.1/§2.12 [UNVERIFIED-PK]):
   second/third moments of the signal)
 - ``q_param_sweep``     ← datapipe/optimization/bruteforce.py (grid
   search over cleaning thresholds, pick best-scoring configs)
+- ``q_fft_lowpass``     ← datapipe/denoising/fft.py (spectral low-pass;
+  the designated opaque numpy kernel on the pandas-UDF path)
+- ``q_evolutionary_sweep`` ← optimization/differential_evolution.py +
+  saes.py (iterative (μ+λ) evolution, driver-side generation loop)
 
 The reference runs these per-image in a Python for-loop; here the
 per-record loop is a partitioned scan, the per-record transform is a
 codegen'd expression over the array column (embeddings stand in for
 pixel arrays — same shape of computation), and the sweep's
-"for config in grid" becomes a broadcast crossJoin. No UDFs anywhere —
-the entire family is higher-order array functions + window lag/lead.
+"for config in grid" becomes a broadcast crossJoin. Only the FFT —
+genuinely inexpressible in Spark SQL — leaves the JVM.
 """
 
 from __future__ import annotations
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -232,3 +238,156 @@ def q_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+FFT_CUTOFF = 8  # keep the 8 lowest frequency bins (of 33 rfft bins for n=64)
+
+
+@register("q_fft_lowpass", oracle=None, check="T2w", category=CAT)
+def q_fft_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FFT low-pass denoising (reference: datapipe/denoising/fft.py
+    [UNVERIFIED-PK]): rFFT each payload array, zero every bin above
+    the cutoff, inverse-transform, report per-record energy before/
+    after and the retained-energy ratio.
+
+    This is the designated OPAQUE per-record transform — a numpy
+    kernel that genuinely cannot be expressed in Spark SQL — so it
+    rides the Arrow-batched pandas-UDF path (SURVEY §3.2: the only
+    place engine logic leaves the JVM). T2w rows-only at the driver;
+    tests/test_pipeline_ext.py asserts Parseval consistency (retained
+    ≤ total, ratio in (0, 1]) and determinism instead.
+
+    Scale: stateless per row → embarrassingly parallel; batch size is
+    the Arrow knob; no shuffle. The reference shells out to an
+    external binary per image — here the kernel is in-process and
+    vectorized across the batch.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("struct<energy_in: double, energy_out: double, ratio: double>")
+    def lowpass(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy())  # (batch, 64) float32 -> float64
+        mat = mat.astype("float64")
+        spec = np.fft.rfft(mat, axis=1)
+        spec[:, FFT_CUTOFF:] = 0
+        rec = np.fft.irfft(spec, n=mat.shape[1], axis=1)
+        e_in = (mat * mat).sum(axis=1)
+        e_out = (rec * rec).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "energy_in": np.round(e_in, 6),
+                "energy_out": np.round(e_out, 6),
+                "ratio": np.round(e_out / e_in, 6),
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", "label", lowpass(F.col("embedding")).alias("fft")
+    ).select(
+        "vec_id",
+        "label",
+        F.col("fft.energy_in").alias("energy_in"),
+        F.col("fft.energy_out").alias("energy_out"),
+        F.col("fft.ratio").alias("ratio"),
+    )
+
+
+EVO_GENERATIONS = 3
+EVO_POP = 8
+EVO_TOP = 4  # survivors per generation
+
+
+def _evo_score(comps: DataFrame, pop: DataFrame) -> DataFrame:
+    """Score a population of (hi, lo) configs: mean per-record
+    (core + ½·boundary) count — same objective as q_param_sweep."""
+    scored = (
+        comps.crossJoin(F.broadcast(pop))
+        .groupBy("gen", "member", "hi", "lo", "vec_id")
+        .agg(
+            F.count(F.when(F.col("v") >= F.col("hi"), 1)).alias("n_core"),
+            F.count(
+                F.when((F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")), 1)
+            ).alias("n_boundary"),
+        )
+    )
+    return scored.groupBy("gen", "member", "hi", "lo").agg(
+        F.round(F.avg(F.col("n_core") + 0.5 * F.col("n_boundary")), 6).alias("score")
+    )
+
+
+@register("q_evolutionary_sweep", oracle=None, check="T2w", category=CAT)
+def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evolutionary threshold search (reference: optimization/
+    differential_evolution.py + saes.py [UNVERIFIED-PK]): a 3-
+    generation (μ+λ) evolution over (hi, lo) cleaning thresholds —
+    deterministic seeded "mutations" (hash-derived perturbations, no
+    RNG state), top-4 survivors re-mutated each generation, all
+    generations' scored members returned (gen, member, hi, lo, score).
+
+    Iterative algorithms on Spark: the GENERATION loop is driver-side
+    control flow (3 plan builds), but each generation's population ×
+    sample scoring is one distributed pass — the reference scores one
+    image at a time per config. Population frames are broadcast; the
+    sample never moves. No collect() — survivor selection is a window
+    filter, and the loop carries only unexecuted plans.
+
+    T2w: multi-step evolutionary state has no tractable single-SQL
+    twin. tests/test_pipeline_ext.py asserts monotone best-score
+    improvement across generations and determinism.
+
+    Scale: per generation, cost = |sample|·64·|pop| with (config,
+    record) partial counts in the shuffle — identical to the grid
+    sweep; generations multiply wall-clock, not memory.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    comps = (
+        e.filter(F.col("vec_id") % 10 == 0)
+        .select("vec_id", F.explode(_vec_double()).alias("v"))
+    )
+
+    # generation 0: deterministic seed population from member index
+    pop = spark.range(EVO_POP).select(
+        F.lit(0).alias("gen"),
+        F.col("id").cast("int").alias("member"),
+        (0.08 + 0.02 * F.col("id").cast("double")).alias("hi"),
+        (0.01 + 0.01 * (F.col("id") % 4).cast("double")).alias("lo"),
+    )
+    all_scored = _evo_score(comps, pop)
+    survivors_w = Window.partitionBy("gen").orderBy(
+        F.col("score").desc(), F.col("member").asc()
+    )
+    for gen in range(1, EVO_GENERATIONS):
+        parents = (
+            all_scored.filter(F.col("gen") == gen - 1)
+            .withColumn("rk", F.row_number().over(survivors_w))
+            .filter(F.col("rk") <= EVO_TOP)
+        )
+        # deterministic mutation: perturb each parent ±hash-derived
+        # step (two children per parent), clamp to valid ranges
+        children = parents.select(
+            F.lit(gen).alias("gen"),
+            (F.col("rk") - 1).cast("int").alias("member"),
+            F.col("hi"),
+            F.col("lo"),
+        ).unionByName(
+            parents.select(
+                F.lit(gen).alias("gen"),
+                (F.col("rk") + EVO_TOP - 1).cast("int").alias("member"),
+                F.greatest(
+                    F.lit(0.02),
+                    F.col("hi")
+                    + (F.pmod(F.abs(F.hash("hi", "lo", F.lit(gen))), F.lit(5)).cast("double") - 2)
+                    * 0.01,
+                ).alias("hi"),
+                F.greatest(
+                    F.lit(0.005),
+                    F.col("lo")
+                    + (F.pmod(F.abs(F.hash("lo", "hi", F.lit(gen))), F.lit(3)).cast("double") - 1)
+                    * 0.005,
+                ).alias("lo"),
+            )
+        )
+        all_scored = all_scored.unionByName(_evo_score(comps, children))
+    return all_scored

@@ -144,3 +144,41 @@ def test_decode_stub_fails_loudly():
     """Real-codec decode is a clearly-marked stub in this container."""
     with pytest.raises(NotImplementedError):
         decode_image_real(b"\x89PNG\r\n")
+
+
+def test_fft_lowpass_parseval_and_determinism(spark, sf_small):
+    """Low-pass output energy must be positive, no greater than input
+    energy (Parseval: zeroing bins only removes energy), ratio in
+    (0, 1]; two runs identical."""
+    from data_pipeline_standalone_scripts_spark.operators.reference_analogs import (
+        q_fft_lowpass,
+    )
+
+    rows = q_fft_lowpass(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["energy_in"] > 0
+        assert 0 < r["energy_out"] <= r["energy_in"] + 1e-9
+        assert 0 < r["ratio"] <= 1.0 + 1e-9
+    again = q_fft_lowpass(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_evolutionary_sweep_improves_and_deterministic(spark, sf_small):
+    """Best score per generation must be non-decreasing ((μ+λ)
+    elitism: parents survive unmutated), and the whole trajectory
+    deterministic."""
+    from data_pipeline_standalone_scripts_spark.operators.reference_analogs import (
+        EVO_GENERATIONS,
+        q_evolutionary_sweep,
+    )
+
+    rows = q_evolutionary_sweep(spark, sf_small).collect()
+    best = {}
+    for r in rows:
+        best[r["gen"]] = max(best.get(r["gen"], float("-inf")), r["score"])
+    assert set(best) == set(range(EVO_GENERATIONS))
+    for g in range(1, EVO_GENERATIONS):
+        assert best[g] >= best[g - 1] - 1e-9, (g, best)
+    again = q_evolutionary_sweep(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

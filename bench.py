@@ -36,6 +36,12 @@ HEADLINE = {
     "events_sessionize_30m": "q_session_window",
     "docs_wordcount": "q_explode",
     "emb_cosine_knn": "q_cosine_topk",
+    # training-pipeline rows (BASELINE.md "pipeline ops" section)
+    "docs_dedup_exact": "q_dedup_exact",
+    "docs_tfidf": "q_tf_idf",
+    "docs_winnow_fingerprints": "q_fingerprint_winnow",
+    "docs_simhash_neardup": "q_simhash_neardup",
+    "media_decode": "q_multimodal_decode",
 }
 
 N_RUNS = 5

@@ -50,21 +50,25 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("token")
     ).withColumn("h", F.expr("cast(conv(substring(md5(token), 1, 15), 16, 10) as long)"))
-    bitsums = (
-        tok.select(
-            "doc_id",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("j"),
+    # One aggregate expression per bit instead of a 60× row explosion:
+    # the shuffle carries 60 long partials per (doc, partition) —
+    # map-side combined — rather than 60 rows per token. Measured
+    # 4.0 s → ~1 s at sf0.1 (5 k docs × ~40 tokens).
+    bitsums = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.expr(f"(shiftright(h, {j}) & 1) = 1"), 1).otherwise(-1)
+            ).alias(f"s{j}")
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    fp = None
+    for j in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-        .withColumn("contrib", F.expr("case when (shiftright(h, j) & 1) = 1 then 1 else -1 end"))
-        .groupBy("doc_id", "j")
-        .agg(F.sum("contrib").alias("s"))
-    )
-    return bitsums.groupBy("doc_id").agg(
-        F.sum(
-            F.expr("case when s > 0 then shiftleft(cast(1 as bigint), j) else cast(0 as bigint) end")
-        ).alias("simhash")
-    )
+        fp = bit if fp is None else fp + bit
+    return bitsums.select("doc_id", fp.alias("simhash"))
 
 
 _ORACLE_SIMHASH_CTE = f"""
@@ -134,10 +138,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, ["band", "key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "fp_a", "fp_b")
-        .distinct()
+        # Hamming filter BEFORE the distinct: the bit_count runs inside
+        # the join's codegen stage, so the dedup shuffle only carries
+        # pairs that already passed the radius — on this dense corpus
+        # that's the difference between shuffling every band collision
+        # and shuffling the answer.
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
     )
 
 

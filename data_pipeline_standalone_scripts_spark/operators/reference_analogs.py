@@ -11,13 +11,16 @@ capabilities (SURVEY.md §1.1/§2.12 [UNVERIFIED-PK]):
   the designated opaque numpy kernel on the pandas-UDF path)
 - ``q_evolutionary_sweep`` ← optimization/differential_evolution.py +
   saes.py (iterative (μ+λ) evolution, driver-side generation loop)
+- ``q_haar_denoise``    ← datapipe/denoising/wavelets_mrfilter.py /
+  wavelets_mrtransform.py (multi-scale decompose → threshold →
+  reconstruct, without the reference's per-image subprocess)
 
 The reference runs these per-image in a Python for-loop; here the
 per-record loop is a partitioned scan, the per-record transform is a
 codegen'd expression over the array column (embeddings stand in for
 pixel arrays — same shape of computation), and the sweep's
-"for config in grid" becomes a broadcast crossJoin. Only the FFT —
-genuinely inexpressible in Spark SQL — leaves the JVM.
+"for config in grid" becomes a broadcast crossJoin. Only the FFT and
+the wavelet — genuinely inexpressible in Spark SQL — leave the JVM.
 """
 
 from __future__ import annotations
@@ -391,3 +394,81 @@ def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         all_scored = all_scored.unionByName(_evo_score(comps, children))
     return all_scored
+
+
+HAAR_LEVELS = 3
+HAAR_THRESH = 0.05  # hard-threshold detail coefficients below this
+
+
+@register("q_haar_denoise", oracle=None, check="T2w", category=CAT)
+def q_haar_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wavelet denoising (reference: datapipe/denoising/
+    wavelets_mrfilter.py / wavelets_mrtransform.py [UNVERIFIED-PK],
+    which shell out to Sparse2D's mr_filter per image): 3-level Haar
+    DWT of the payload array, hard-threshold the detail coefficients,
+    inverse transform; report energy in/out and the count of zeroed
+    coefficients.
+
+    The reference pays a subprocess + temp-FITS handshake per image;
+    here the transform is ~20 lines of batched numpy on the Arrow
+    pandas-UDF path — the per-record cleaning semantics (multi-scale
+    decompose → threshold → reconstruct) are the same, the process
+    boundary is gone. Orthonormal Haar ⇒ energy_out ≤ energy_in
+    (thresholding only removes energy) — asserted in
+    tests/test_pipeline_ext.py with determinism.
+
+    Scale: stateless per row, embarrassingly parallel, no shuffle —
+    identical scale story to q_fft_lowpass.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("struct<energy_in: double, energy_out: double, n_zeroed: int>")
+    def haar(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy()).astype("float64")  # (batch, 64)
+        coeffs = mat.copy()
+        n = mat.shape[1]
+        details = []
+        # forward: repeated (avg, diff)/√2 split on the approximation
+        for _ in range(HAAR_LEVELS):
+            half = n // 2
+            a = (coeffs[:, 0:n:2] + coeffs[:, 1:n:2]) / np.sqrt(2.0)
+            d = (coeffs[:, 0:n:2] - coeffs[:, 1:n:2]) / np.sqrt(2.0)
+            coeffs[:, :half] = a
+            coeffs[:, half:n] = d
+            details.append((half, n))
+            n = half
+        # threshold every detail band
+        n_zeroed = np.zeros(mat.shape[0], dtype="int32")
+        for lo, hi in details:
+            band = coeffs[:, lo:hi]
+            mask = np.abs(band) < HAAR_THRESH
+            n_zeroed += mask.sum(axis=1).astype("int32")
+            band[mask] = 0.0
+            coeffs[:, lo:hi] = band
+        # inverse: unwind the splits
+        for lo, hi in reversed(details):
+            a = coeffs[:, :lo].copy()
+            d = coeffs[:, lo:hi].copy()
+            rec = np.empty((mat.shape[0], hi))
+            rec[:, 0:hi:2] = (a + d) / np.sqrt(2.0)
+            rec[:, 1:hi:2] = (a - d) / np.sqrt(2.0)
+            coeffs[:, :hi] = rec
+        e_in = (mat * mat).sum(axis=1)
+        e_out = (coeffs * coeffs).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "energy_in": np.round(e_in, 6),
+                "energy_out": np.round(e_out, 6),
+                "n_zeroed": n_zeroed,
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", haar(F.col("embedding")).alias("w")).select(
+        "vec_id",
+        "label",
+        F.col("w.energy_in").alias("energy_in"),
+        F.col("w.energy_out").alias("energy_out"),
+        F.col("w.n_zeroed").alias("n_zeroed"),
+    )

@@ -182,3 +182,21 @@ def test_evolutionary_sweep_improves_and_deterministic(spark, sf_small):
         assert best[g] >= best[g - 1] - 1e-9, (g, best)
     again = q_evolutionary_sweep(spark, sf_small).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_haar_denoise_energy_and_determinism(spark, sf_small):
+    """Orthonormal Haar: thresholding only removes energy; zeroed
+    count within [0, 56] (3 levels ⇒ 32+16+8 detail coeffs);
+    deterministic."""
+    from data_pipeline_standalone_scripts_spark.operators.reference_analogs import (
+        q_haar_denoise,
+    )
+
+    rows = q_haar_denoise(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["energy_in"] > 0
+        assert 0 <= r["energy_out"] <= r["energy_in"] + 1e-6
+        assert 0 <= r["n_zeroed"] <= 56
+    again = q_haar_denoise(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

@@ -168,3 +168,70 @@ def test_stream_static_join_matches_batch(spark, sf_small, staged):
         for r in q_stream_join(spark, sf_small).collect()
     }
     assert got == want
+
+
+def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path):
+    """Kill a foreachBatch→parquet job partway through the replay,
+    restart from the SAME checkpoint, and verify the sink holds every
+    source row exactly once — the checkpoint (WAL + committed batch
+    ids) must make the restart resume, not reprocess.
+
+    This is the 100 TB ingestion contract: a crashed executor/driver
+    must never double-write a micro-batch into the lake.
+    """
+    staged = jobs.stage_event_files(
+        spark, sf_small, os.path.join(SCRATCH, "staged_ckpt"), n_chunks=4
+    )
+    sink = str(tmp_path / "sink.parquet")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(batch_df, batch_id):
+        # idempotent sink: each micro-batch OVERWRITES its own
+        # batch-id-keyed directory, so a replayed batch (restart after
+        # crash mid-write) lands on top of its partial output instead
+        # of appending a duplicate — this, not blind append, is the
+        # exactly-once foreachBatch idiom.
+        batch_df.select("event_id", "user_id", "value").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(sink, f"batch-{batch_id}"))
+
+    def start():
+        return (
+            jobs.read_event_stream(spark, staged)
+            .writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+
+    # phase 1: run until at least one batch committed, then hard-stop
+    q = start()
+    import time as _t
+
+    deadline = _t.time() + 60
+    while _t.time() < deadline:
+        if q.lastProgress and q.lastProgress["numInputRows"] > 0:
+            break
+        _t.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+
+    # phase 2: restart from the same checkpoint, drain to completion
+    q2 = start()
+    deadline = _t.time() + 120
+    while _t.time() < deadline:
+        p = q2.lastProgress
+        if p and p["numInputRows"] == 0 and p["batchId"] > 0:
+            break
+        _t.sleep(0.5)
+    q2.stop()
+    q2.awaitTermination(30)
+
+    got = spark.read.parquet(os.path.join(sink, "batch-*")).select("event_id").collect()
+    want = load(spark, sf_small, "events").select("event_id").collect()
+    got_ids = sorted(r["event_id"] for r in got)
+    want_ids = sorted(r["event_id"] for r in want)
+    assert len(got_ids) == len(set(got_ids)), "duplicate rows after recovery"
+    assert got_ids == want_ids, (
+        f"sink has {len(got_ids)} rows, source {len(want_ids)}"
+    )

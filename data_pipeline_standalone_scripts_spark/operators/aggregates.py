@@ -419,3 +419,24 @@ def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, types)
     )
+
+
+@register("q_agg_approx_percentile", oracle=None, check="T2w", category=CAT)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14: approx_percentile (KLL/GK-style sketch) — the 100 TB twin
+    of A10's exact percentiles. Exact `percentile` materializes and
+    sorts every group's values (unbounded per-group state); the
+    sketch is fixed-size, mergeable across partitions, and map-side
+    combinable — at scale it is the ONLY percentile that finishes.
+
+    T2w: sketches are implementation-defined (Spark's accuracy knob
+    has no DuckDB twin); tests/test_approximate_ops.py bounds the
+    error against A10's exact answer instead (±1% of the value at
+    accuracy=10000 on this distribution).
+    """
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_percentile("o_totalprice", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )

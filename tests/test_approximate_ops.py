@@ -43,3 +43,34 @@ def test_lsh_candidates_cover_exact_pairs(spark, sf_small):
     assert exact, "exact near-dup set unexpectedly empty — test data changed?"
     missed = exact - cand
     assert not missed, f"LSH missed {len(missed)}/{len(exact)} true pairs: {sorted(missed)[:5]}"
+
+
+def test_approx_percentile_close_to_exact(spark, sf_med):
+    """A14 vs A10 machinery: the sketch answer must sit within 1% of
+    the exact percentile per group (accuracy=10000 on ~1.5k-150k row
+    groups is effectively exact)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_standalone_scripts_spark.operators.aggregates import (
+        q_agg_approx_percentile,
+    )
+
+    approx = {
+        r["o_orderstatus"]: (r["p50_approx"], r["p90_approx"])
+        for r in q_agg_approx_percentile(spark, sf_med).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: (r["p50"], r["p90"])
+        for r in load(spark, sf_med, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile("o_totalprice", F.lit(0.5)).alias("p50"),
+            F.percentile("o_totalprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for status, (a50, a90) in approx.items():
+        e50, e90 = exact[status]
+        assert abs(a50 - e50) / e50 < 0.01, (status, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.01, (status, a90, e90)

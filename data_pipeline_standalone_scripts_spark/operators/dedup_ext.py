@@ -267,3 +267,190 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= ANN_K)
         .drop("rn")
     )
+
+
+SHINGLE_K = 8
+SHINGLE_THRESH = 0.6
+
+
+@register(
+    "q_shingle_jaccard",
+    oracle=f"""
+        WITH positions AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(1, length(text) - {SHINGLE_K} + 1)) AS pos
+            FROM documents
+            WHERE length(text) >= {SHINGLE_K}
+        ), grams AS (
+            SELECT DISTINCT doc_id, substr(text, pos, {SHINGLE_K}) AS shingle
+            FROM positions
+        ), sizes AS (
+            SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM grams a JOIN grams b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common), 6)
+                   AS shingle_jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common)
+              >= {SHINGLE_THRESH}
+    """,
+    category=CAT,
+)
+def q_shingle_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-n-gram (shingle) Jaccard near-dup: pairs whose 8-char
+    shingle SETS overlap ≥ 0.6. Complements L7's token-set Jaccard —
+    shingles catch near-dups that tokenization misses (reorderings,
+    punctuation edits) and are the classic input to MinHash.
+
+    Scale: same posting-list self-join shape as L7 — quadratic in
+    shingle document frequency, so at 100 TB this exact form runs only
+    on LSH candidates (the L8/X4 banding machinery applies unchanged
+    to shingle sets).
+    """
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= SHINGLE_K)
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("text") - (SHINGLE_K - 1)),
+                    lambda i: F.col("text").substr(i, F.lit(SHINGLE_K)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = grams.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = grams.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, ["shingle"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    )
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= SHINGLE_THRESH)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("shingle_jaccard"))
+    )
+
+
+LSH_PLANES = 12  # 12 sign bits → 4096 buckets
+LSH_BANDS_V = 3  # probe on 3 bands of 4 bits
+
+
+def _hyperplanes(spark: SparkSession):
+    """Deterministic pseudo-random hyperplanes: component p of plane j
+    is h60(f"{j}:{p}") scaled to [-1, 1]. No RNG state — every
+    executor and every run derives identical planes from the hash.
+    Returns a 1-row DataFrame with an array<array<double>> column."""
+    from pyspark.sql import functions as F
+
+    planes = F.transform(
+        F.sequence(F.lit(0), F.lit(LSH_PLANES - 1)),
+        lambda j: F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda p: (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(j.cast("string"), F.lit(":"), p.cast("string"))),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("double")
+                / F.lit(float(2**60))
+                * 2.0
+                - 1.0
+            ),
+        ),
+    )
+    return spark.range(1).select(planes.alias("planes"))
+
+
+def signlsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, sig) — 12-bit sign-LSH signature: bit j =
+    [v · plane_j > 0]. The hyperplane tensor rides a 1-row broadcast
+    crossJoin; the dot products are JVM-side folds."""
+    e = load(spark, sf_dir, "embeddings")
+    v = _vec_double()
+    sig = F.aggregate(
+        F.transform(
+            F.col("planes"),
+            lambda plane, j: F.when(
+                _dot(v, plane) > 0, F.pow(F.lit(2.0), j)
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.crossJoin(F.broadcast(_hyperplanes(spark))).select(
+        "vec_id", "label", "embedding", sig.cast("long").alias("sig")
+    )
+
+
+@register("q_ann_signlsh", oracle=None, check="T2w", category=CAT)
+def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: candidates = vectors sharing at least
+    one 4-bit band of the 12-bit hyperplane signature with the query
+    (same banding machinery as MinHash L8 / SimHash X4, applied to
+    the vector modality); exact cosine top-10 within candidates for
+    the same 5-query batch as q_ann_ivf.
+
+    Sign-LSH preserves angle: P(bit differs) = θ/π, so near vectors
+    collide in some band with high probability. pytest asserts band
+    recall vs the exact top-10 and determinism.
+
+    Scale: signatures are one narrow pass (12 dots/vector); the
+    candidate join is bucket-keyed (band, 4-bit key) — at 100 TB the
+    corpus is written bucketed by signature band keys and each query
+    touches 3 bucket files, never the full table.
+    """
+    sigs = signlsh_signatures(spark, sf_dir)
+    bands = sigs.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(sig, {b * 4}) & 15")
+                    for b in range(LSH_BANDS_V)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    queries = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        _vec_double().alias("qv"),
+        "band",
+        "key",
+    )
+    cand = (
+        bands.join(F.broadcast(queries), ["band", "key"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "qv", "vec_id", "label", "embedding")
+        .distinct()
+    )
+    v = _vec_double()
+    cos = _dot(v, F.col("qv")) / (F.sqrt(_norm_sq(v)) * F.sqrt(_norm_sq(F.col("qv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+    return (
+        cand.select("query_id", "vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= ANN_K)
+        .drop("rn")
+    )

@@ -157,3 +157,74 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         sample, schema="media_id bigint, frame_idx long, marker long, fps int"
     )
+
+
+@register(
+    "q_media_resize",
+    oracle="""
+        SELECT doc_id AS media_id,
+               64 + n_chars % 192 AS width,
+               48 + doc_id % 144 AS height,
+               (64 + n_chars % 192) // 2 AS new_width,
+               (48 + doc_id % 144) // 2 AS new_height,
+               md5(text) AS digest_hex,
+               24 AS payload_len
+        FROM documents
+        WHERE doc_id % 3 < 2
+    """,
+    category=CAT,
+)
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize (half each dimension): read each image payload, rewrite
+    the 8-byte header with the halved dimensions, keep the content
+    digest, emit the RE-DECODED new payload — so the oracle checks
+    that the byte-level rewrite round-trips (old dims parsed, new dims
+    written at the right offsets, digest untouched, length preserved).
+
+    A real deployment swaps the header arithmetic for an actual pixel
+    resample (see sources/multimodal.py::decode_image_real for the
+    codec stub policy); the Spark-side contract — binary in, binary
+    out, one mapInPandas pass, schema stable — is what this operator
+    pins down.
+
+    Scale: stateless narrow pass; payload bytes never leave the
+    executor except as the (smaller) resized column.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_rows = {
+                "media_id": [],
+                "width": [],
+                "height": [],
+                "new_payload": [],
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h = struct.unpack(">II", p[0:8])
+                new_p = struct.pack(">II", w // 2, h // 2) + p[8:]
+                out_rows["media_id"].append(mid)
+                out_rows["width"].append(w)
+                out_rows["height"].append(h)
+                out_rows["new_payload"].append(new_p)
+            yield pd.DataFrame(out_rows)
+
+    media = media_table(spark, sf_dir).filter(F.col("kind") == "image")
+    resized = media.select("media_id", "payload").mapInPandas(
+        resize,
+        schema="media_id bigint, width bigint, height bigint, new_payload binary",
+    )
+    # decode the RESIZED payload again — proves the rewrite landed at
+    # the right byte offsets rather than trusting the writer
+    return resized.select(
+        "media_id",
+        "width",
+        "height",
+        F.conv(F.hex(F.expr("substring(new_payload, 1, 4)")), 16, 10)
+        .cast("long")
+        .alias("new_width"),
+        F.conv(F.hex(F.expr("substring(new_payload, 5, 4)")), 16, 10)
+        .cast("long")
+        .alias("new_height"),
+        F.lower(F.hex(F.expr("substring(new_payload, 9, 16)"))).alias("digest_hex"),
+        F.length("new_payload").cast("int").alias("payload_len"),
+    )

@@ -200,3 +200,34 @@ def test_haar_denoise_energy_and_determinism(spark, sf_small):
         assert 0 <= r["n_zeroed"] <= 56
     again = q_haar_denoise(spark, sf_small).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_ann_signlsh_structure_recall_determinism(spark, sf_med):
+    """Sign-LSH ANN: ≤k rows per query (bucket candidates may be
+    scarce), similarities bounded by exact best, nonzero overlap with
+    exact top-10 in aggregate, deterministic."""
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        q_ann_signlsh,
+    )
+
+    rows = q_ann_signlsh(spark, sf_med).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) <= set(range(N_QUERIES))
+    for qid, rs in by_q.items():
+        assert len(rs) <= ANN_K
+        assert all(r["vec_id"] != qid for r in rs)
+
+    exact = _exact_topk(spark, sf_med).collect()
+    exact_by_q = {}
+    for r in exact:
+        exact_by_q.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(
+        len(exact_by_q.get(q, set()) & {r["vec_id"] for r in rs})
+        for q, rs in by_q.items()
+    )
+    assert hits >= 1, "sign-LSH candidates share nothing with exact top-k"
+
+    again = q_ann_signlsh(spark, sf_med).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

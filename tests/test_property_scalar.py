@@ -170,3 +170,66 @@ def test_division_by_zero_guards(spark, x, y):
     got = row.select(F.try_divide("x", "y")).collect()[0][0]
     want = _duck("SELECT ? / nullif(?, 0.0)", [x, y])[0][0]
     assert got == want
+
+
+FLOAT_LISTS = st.lists(
+    st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=32),
+        min_size=1,
+        max_size=16,
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@SETTINGS
+@given(FLOAT_LISTS)
+def test_array_funcs_match(spark, arrays):
+    """size/array_max/array_min/sequential-sum HOF agree with DuckDB
+    list functions on arbitrary float arrays — the foundation under
+    every embedding operator (L9/L11/L13, X5, X10)."""
+    arrays = [[float(x) for x in a] for a in arrays]
+    sdf = spark.createDataFrame([(a,) for a in arrays], "a array<double>").select(
+        F.size("a").cast("long"),
+        F.array_max("a"),
+        F.array_min("a"),
+        F.round(F.aggregate("a", F.lit(0.0), lambda s, x: s + x), 6),
+    )
+    got = sorted(map(tuple, sdf.collect()))
+    want = sorted(
+        _duck(
+            "SELECT len(a), list_max(a), list_min(a),"
+            " round(list_aggregate(a, 'sum'), 6)"
+            " FROM (SELECT unnest(?) AS a)",
+            [arrays],
+        )
+    )
+    assert got == want
+
+
+@SETTINGS
+@given(FLOAT_LISTS)
+def test_array_dot_products_match(spark, arrays):
+    """zip_with dot product (the cosine kernel) agrees with DuckDB's
+    list_dot_product fold on self-dot (same element order ⇒ identical
+    doubles before rounding)."""
+    arrays = [[float(x) for x in a] for a in arrays]
+    sdf = spark.createDataFrame([(a,) for a in arrays], "a array<double>").select(
+        F.round(
+            F.aggregate(
+                F.zip_with("a", "a", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
+            ),
+            6,
+        )
+    )
+    got = sorted(r[0] for r in sdf.collect())
+    want = sorted(
+        r[0]
+        for r in _duck(
+            "SELECT round(list_sum(list_transform(a, x -> x * x)), 6)"
+            " FROM (SELECT unnest(?) AS a)",
+            [arrays],
+        )
+    )
+    assert got == want

@@ -274,3 +274,81 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+        ), conv AS (
+            SELECT c.user_id, c.click_ts,
+                   MIN(p.ts) AS purchase_ts
+            FROM clicks c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts > c.click_ts
+             AND p.ts <= c.click_ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id, c.click_ts
+        )
+        SELECT strftime(date_trunc('day', click_ts), '%Y-%m-%d') AS day,
+               COUNT(*) AS n_converted_clicks,
+               COUNT(DISTINCT user_id) AS n_users,
+               CAST(SUM(CAST(round(epoch(purchase_ts - click_ts) * 1000000)
+                             AS BIGINT)) AS DOUBLE) / 1000000.0
+                   AS total_lag_seconds
+        FROM conv
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / sequence-pattern analysis: click → purchase by the
+    same user within 1 hour; per day, how many clicks converted, how
+    many distinct users, and the summed click-to-purchase lag.
+
+    The conversion pick is a per-(user, click) MIN over qualifying
+    purchases — a range join narrowed by the user_id equality key
+    (same discipline as J10/J11: never a naked time-range join).
+
+    Scale: the join shuffles on user_id only; per-user event counts
+    are bounded (~20 here, power-law capped by AQE skew split at
+    worst), and the range predicate prunes inside each key group.
+    Day-level aggregation is a second small shuffle.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    conv = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .groupBy("user_id", "click_ts")
+        .agg(F.min("p_ts").alias("purchase_ts"))
+    )
+    lag_us = (
+        F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+    )
+    return conv.groupBy(
+        F.date_format(F.date_trunc("day", "click_ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_converted_clicks"),
+        F.countDistinct("user_id").alias("n_users"),
+        (
+            F.sum(
+                (
+                    lag_us * 1_000_000
+                    + F.when(lag_us >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+                ).cast("long")
+            )
+            / 1_000_000.0
+        ).alias("total_lag_seconds"),
+    )

@@ -179,3 +179,33 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
         .groupBy("c_mktsegment", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def stream_stream_funnel_join(events: DataFrame) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    q_event_funnel (operators/events.py): clicks joined to purchases
+    of the same user within 1 hour, both sides watermarked so the
+    join state is bounded (clicks can be dropped once no purchase
+    within the hour can still arrive; purchases once they are older
+    than any retained click).
+
+    Scale: state is keyed by user_id and pruned by the watermark —
+    the canonical bounded-state pattern for event-sequence detection
+    on an unbounded stream.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "click_ts", "p_ts")

@@ -235,3 +235,41 @@ def test_checkpoint_recovery_exactly_once(spark, sf_small, tmp_path):
     assert got_ids == want_ids, (
         f"sink has {len(got_ids)} rows, source {len(want_ids)}"
     )
+
+
+def test_stream_stream_funnel_join_matches_batch(spark, sf_small, staged):
+    """Stream-stream interval join (watermarked both sides) must
+    produce exactly the batch join's (user, click, purchase) pairs
+    once the replay drains — bounded state, no lost or duplicated
+    matches."""
+    stream = jobs.read_event_stream(spark, staged)
+    q = (
+        jobs.stream_stream_funnel_join(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    e = load(spark, sf_small, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    batch = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") > F.col("click_ts"))
+            & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("user_id", "click_ts", "p_ts")
+        .collect()
+    )
+    got = sorted(map(tuple, _rows(spark, "funnel_pairs")))
+    want = sorted(map(tuple, batch))
+    assert got == want, f"stream {len(got)} pairs vs batch {len(want)}"

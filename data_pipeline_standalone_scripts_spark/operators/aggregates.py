@@ -331,7 +331,7 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
         SELECT c_nationkey,
-               list_sort(list(c_custkey)) AS top_customers
+               array_to_string(list_sort(list(c_custkey)), ',') AS top_customers
         FROM (
             SELECT c_nationkey, c_custkey,
                    row_number() OVER (PARTITION BY c_nationkey
@@ -345,7 +345,11 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A11: per-nation sorted list of the 5 richest customers' keys.
     collect_list is only deterministic inside array_sort (SURVEY §2
-    determinism rule); the top-5 cut is tie-broken on c_custkey."""
+    determinism rule); the top-5 cut is tie-broken on c_custkey.
+
+    The list crosses the oracle boundary serialized as a ','-joined
+    string (sorted numerically FIRST, then cast) — raw array columns
+    are not canonicalizable by the driver's hash (oracle.py rule)."""
     from pyspark.sql.window import Window
 
     c = load(spark, sf_dir, "customer")
@@ -356,7 +360,11 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .groupBy("c_nationkey")
-        .agg(F.array_sort(F.collect_list("c_custkey")).alias("top_customers"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("c_custkey")).cast("array<string>"), ","
+            ).alias("top_customers")
+        )
     )
 
 

@@ -104,10 +104,10 @@ _SESSION_CTE = """
         WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ), numbered AS (
         SELECT *,
-               SUM(new_session) OVER (PARTITION BY user_id
-                                      ORDER BY ts ASC, event_id ASC
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS session_id
+               CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                           ORDER BY ts ASC, event_id ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS session_id
         FROM flagged
     )
 """

@@ -162,7 +162,7 @@ def q_text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT lang, source,
                COUNT(*) AS n_docs,
-               SUM(n_chars) AS total_chars,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
                CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars
         FROM documents
         GROUP BY lang, source
@@ -528,16 +528,19 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT label, pos, ROUND(AVG(v), 6) AS mean_v
             FROM comps GROUP BY label, pos
         )
-        SELECT label, list(mean_v ORDER BY pos) AS centroid
+        SELECT label,
+               string_agg(printf('%.6f', mean_v), ',' ORDER BY pos) AS centroid
         FROM means GROUP BY label
     """,
     category=CAT,
 )
 def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L11: per-label mean embedding (64-dim centroid) reassembled as
-    an ordered array. posexplode → (label, pos) mean → sort-collect.
-    Components round to 6 (unit-scale floats; merge-order drift is
-    ~1e-16, eight orders below the rounding grid).
+    an ordered, ','-joined '%.6f' string. posexplode → (label, pos)
+    mean → sort-collect-format. Components round to 6 (unit-scale
+    floats; merge-order drift is ~1e-16, eight orders below the
+    rounding grid); formatting AFTER rounding is tie-free at the 7th
+    digit, so Java (%.6f HALF_UP) and C printf (half-even) agree.
 
     Scale: shuffle carries (label, pos) partial sums — 10×64 cells
     regardless of corpus size; the array rebuild is 64 rows per label.
@@ -548,9 +551,12 @@ def q_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     means = comps.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
     return means.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
-            lambda s: s.getField("mean_v"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mean_v"))),
+                lambda s: F.format_string("%.6f", s.getField("mean_v")),
+            ),
+            ",",
         ).alias("centroid")
     )
 

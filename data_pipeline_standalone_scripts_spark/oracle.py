@@ -103,11 +103,36 @@ class ParityReport:
         return s
 
 
+def _reject_unhashable_cols(engine: str, pdf: pd.DataFrame, issues: list[str]) -> None:
+    """The DRIVER's canonicalizer (pandas sort_values → factorize) crashes
+    on list/dict cells ('unhashable type'). Our local replica used to
+    tolerate them via tuple conversion, which masked two driver failures
+    in round 1 (CORRECTNESS_r01: q_agg_collect, q_centroid_per_label).
+    Reject them outright so local green implies driver green — queries
+    must serialize arrays/structs to strings before the oracle boundary."""
+    import numpy as np
+
+    for c in pdf.columns:
+        for v in pdf[c]:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                continue
+            if isinstance(v, (list, tuple, dict, np.ndarray)):
+                issues.append(
+                    f"{engine} column {c!r} is array/struct-typed — the driver's "
+                    "canonicalizer cannot hash it; serialize to string in the query"
+                )
+            break
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityReport:
     issues: list[str] = []
     scols, ocols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
     if scols != ocols:
         issues.append(f"column mismatch: spark={scols} oracle={ocols}")
+        return ParityReport(name, False, len(spark_pdf), len(oracle_pdf), issues)
+    _reject_unhashable_cols("spark", spark_pdf, issues)
+    _reject_unhashable_cols("oracle", oracle_pdf, issues)
+    if issues:
         return ParityReport(name, False, len(spark_pdf), len(oracle_pdf), issues)
     if len(spark_pdf) != len(oracle_pdf):
         issues.append("row count mismatch")

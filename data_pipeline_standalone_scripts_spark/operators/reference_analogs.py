@@ -166,6 +166,99 @@ def q_array_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ISO_LO = 0.05  # island membership threshold (same boundary cut as tailcut)
+
+
+@register(
+    "q_connected_clean",
+    oracle=f"""
+        WITH comps AS (
+            SELECT vec_id, label,
+                   unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   unnest(range(len(embedding))) AS pos
+            FROM embeddings
+        ), above AS (
+            SELECT vec_id, label, pos, v,
+                   pos - row_number() OVER (PARTITION BY vec_id ORDER BY pos) AS grp
+            FROM comps
+            WHERE v >= {ISO_LO}
+        ), islands AS (
+            SELECT vec_id, label, grp,
+                   CAST(COUNT(*) AS BIGINT) AS island_size,
+                   SUM(CAST(round(v * 1000000) AS BIGINT)) AS signal_micro,
+                   MIN(pos) AS start_pos
+            FROM above
+            GROUP BY vec_id, label, grp
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY signal_micro DESC, start_pos ASC) AS rk
+            FROM islands
+        )
+        SELECT vec_id, label,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(CASE WHEN island_size = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_isolated,
+               MAX(CASE WHEN rk = 1 THEN island_size END) AS kept_size,
+               CAST(MAX(CASE WHEN rk = 1 THEN signal_micro END) AS DOUBLE)
+                   / 1000000.0 AS kept_signal
+        FROM ranked
+        GROUP BY vec_id, label
+    """,
+    category=CAT,
+)
+def q_connected_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component cleaning (reference:
+    datapipe/image/kill_isolated_pixels.py [UNVERIFIED-PK]): threshold
+    the payload, label connected runs (1-D islands via gaps-and-islands:
+    ``pos - row_number`` is constant within a run), keep only the
+    island with the largest total signal, and report how many islands —
+    and how many single-pixel "isolated" ones — were discarded.
+
+    The 2-D pixel clustering (scipy.ndimage.label in the reference)
+    becomes 1-D run labeling over array positions, the same reduction
+    the tailcut analog uses for its neighborhood. Ranking islands on
+    the exact scaled-long signal (micro-units, see common.dsum) keeps
+    the winner deterministic across engines — a raw double sum could
+    flip rank on ~1e-16 merge drift.
+
+    Scale: posexplode ×64, two window passes partitioned by vec_id
+    (bounded 64-element groups), two aggregations — linear, no skew,
+    no driver loop. At 100 TB this is one shuffle on vec_id.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    comps = e.select("vec_id", "label", F.posexplode(_vec_double()).alias("pos", "v"))
+    above = comps.filter(F.col("v") >= ISO_LO).withColumn(
+        "grp",
+        F.col("pos") - F.row_number().over(Window.partitionBy("vec_id").orderBy("pos")),
+    )
+    micros = (F.col("v") * 1_000_000 + F.when(F.col("v") >= 0, 0.5).otherwise(-0.5)).cast(
+        "long"
+    )
+    islands = above.groupBy("vec_id", "label", "grp").agg(
+        F.count(F.lit(1)).alias("island_size"),
+        F.sum(micros).alias("signal_micro"),
+        F.min("pos").alias("start_pos"),
+    )
+    ranked = islands.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("vec_id").orderBy(
+                F.col("signal_micro").desc(), F.col("start_pos").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("vec_id", "label").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.when(F.col("island_size") == 1, 1).otherwise(0)).alias("n_isolated"),
+        F.max(F.when(F.col("rk") == 1, F.col("island_size"))).alias("kept_size"),
+        (
+            F.max(F.when(F.col("rk") == 1, F.col("signal_micro"))).cast("double")
+            / 1_000_000.0
+        ).alias("kept_signal"),
+    )
+
+
 SWEEP_HI = (0.10, 0.15, 0.20)
 SWEEP_LO = (0.02, 0.05)
 

@@ -3,9 +3,9 @@ mandate, BASELINE.json:6): language identification, tokenizer-style
 token counting, and winnowing document fingerprints.
 
 These extend SURVEY.md §2.10 beyond L1–L13. All three are exact,
-deterministic, and fully DuckDB-oracle-checked (T2) — the hash-bearing
-one uses the portable md5-based ``h60`` so the hash VALUES match
-across engines, not just the row counts.
+deterministic, and fully DuckDB-oracle-checked (T2) — the winnowing
+fingerprints cross the oracle boundary as VALUES (an injective 8-byte
+gram encoding identical in both engines), not just row counts.
 
 Reference capability mapping: the reference's per-image feature
 extraction (datapipe/image/hillas_parameters.py [UNVERIFIED-PK,
@@ -21,7 +21,6 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import h60, o_h60
 
 CAT = "textpipe"
 
@@ -167,7 +166,7 @@ WINNOW_W = 4  # winnowing window (k-grams per window)
             WHERE length(text) >= {K_GRAM}
         ), hashed AS (
             SELECT doc_id, pos,
-                   {o_h60(f"substr(text, pos, {K_GRAM})")} AS gh
+                   CAST('0x' || hex(substr(text, pos, {K_GRAM})) AS BIGINT) AS gh
             FROM grams g JOIN documents USING (doc_id)
         ), winnowed AS (
             SELECT doc_id, gh,
@@ -189,10 +188,17 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     length ≥ k+w−1 yields a shared fingerprint — the standard
     plagiarism/near-dup sketch.
 
-    The "rolling hash" is positional substring + md5-based ``h60``
-    rather than a stateful Rabin-Karp: Spark has no per-row running
-    state in codegen, and the winnowing guarantee only needs *a*
-    deterministic gram hash, not an incrementally-computable one.
+    The "gram hash" is the gram ITSELF, encoded injectively into a
+    BIGINT (k = 8 ASCII chars = 8 bytes = one long, via hex + base
+    conversion — identical in both engines, verified on literals).
+    The winnowing guarantee — any shared substring of length ≥ k+w−1
+    yields a shared fingerprint — holds for ANY deterministic gram
+    value map, and an injective map can't even collide. r01 used
+    md5-``h60`` per gram; dropping the digest for the direct encoding
+    measured 3.4 s → 2.65 s at sf0.1 (the md5 was ~25% of the query).
+    Constraint: corpus must be ASCII (verified for the test corpus —
+    max code point 121); multi-byte text would overflow the 8-byte
+    budget and needs the md5 fallback.
 
     Scale: positions explode ×|text| rows, but the shuffle groups by
     doc_id only (window partition) and the output is the winnowed set
@@ -213,7 +219,11 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.sequence(F.lit(1), F.length("text") - (K_GRAM - 1))).alias("pos"),
         F.col("text"),
     ).select(
-        "doc_id", "pos", h60(F.col("text").substr(F.col("pos"), F.lit(K_GRAM))).alias("gh")
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(hex(cast(substring(text, pos, {K_GRAM}) as binary)), 16, 10) as long)"
+        ).alias("gh"),
     )
     w = (
         Window.partitionBy("doc_id")

@@ -5,11 +5,19 @@ payload columns with typed metadata, and implement decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas
 functions over ``mapInPandas``.
 
-No media codecs exist in this container, so the DECODE KERNELS for
-real formats are STUBS (``NotImplementedError`` behind an import-try —
-see ``decode_image_real``). Everything Spark-side is real and tested:
-the binary schema, the deterministic synthetic payload format, the
-mapInPandas batch iteration, and the byte-level parsing.
+Decode reality, by format class:
+
+- PGM raster images (``pgm_table``) and RIFF/PCM WAV audio
+  (``wav_table``) are REAL standards-compliant files, generated with
+  materialized pixel/sample data and decoded by REAL parsers
+  (q_pgm_decode / q_wav_decode) — no codec library needed for either
+  format, so nothing is stubbed.
+- Compressed formats (PNG/JPEG/MP4) need codec libraries this
+  container doesn't ship, so that kernel is a STUB
+  (``NotImplementedError`` behind an import-try — see
+  ``decode_image_real``). Everything Spark-side is real and tested:
+  the binary schema, the deterministic synthetic payload format, the
+  mapInPandas batch iteration, and the byte-level parsing.
 
 Synthetic payload format (media built 1:1 from ``documents``):
 
@@ -75,6 +83,90 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(~is_image, n_frames).alias("n_frames"),
         ).alias("meta"),
     )
+
+
+def pgm_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL PGM (netpbm P5) images, one per doc.
+
+    Unlike the synthetic header format above, these are complete,
+    standards-compliant raster files (any netpbm/PIL/ImageMagick
+    reader opens them): ``P5\\n<w> <h>\\n255\\n`` followed by w×h raw
+    grayscale bytes. Dimensions and pixels are arithmetic in
+    (doc_id, n_chars) — pixel(x, y) = (x + 31·y + 7·doc_id) mod 256 —
+    so the DuckDB oracle can verify DECODED pixel statistics without
+    any codec (q_pgm_decode).
+
+    Generation is an Arrow-batched ``mapInPandas`` numpy kernel: the
+    pixel raster is genuinely materialized (up to 127×95 bytes per
+    record), not just a header. Stateless per row — a narrow stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 64 + int(n_chars) % 64
+                h = 48 + int(doc_id) % 48
+                px = (
+                    np.arange(w, dtype=np.int64)[None, :]
+                    + 31 * np.arange(h, dtype=np.int64)[:, None]
+                    + 7 * int(doc_id)
+                ) % 256
+                payloads.append(
+                    b"P5\n%d %d\n255\n" % (w, h) + px.astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+WAV_RATE = 8000
+
+
+def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL WAV (RIFF PCM16 mono) clips, one per
+    doc: the standard 44-byte header + little-endian int16 samples.
+    sample_i = ((7·doc_id + 13·i) mod 4001) − 2000, n = 800 + doc_id
+    mod 800 — fully arithmetic, so q_wav_decode's oracle verifies the
+    decoded waveform statistics with no audio library.
+    """
+    import struct as _struct
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = 800 + int(doc_id) % 800
+                i = np.arange(n, dtype=np.int64)
+                samples = ((7 * int(doc_id) + 13 * i) % 4001 - 2000).astype("<i2")
+                data = samples.tobytes()
+                header = _struct.pack(
+                    "<4sI4s4sIHHIIHH4sI",
+                    b"RIFF",
+                    36 + len(data),
+                    b"WAVE",
+                    b"fmt ",
+                    16,
+                    1,  # PCM
+                    1,  # mono
+                    WAV_RATE,
+                    WAV_RATE * 2,
+                    2,
+                    16,
+                    b"data",
+                    len(data),
+                )
+                payloads.append(header + data)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")
 
 
 def decode_image_real(payload: bytes) -> "object":

@@ -287,8 +287,13 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     d = load(spark, sf_dir, "documents")
+    # Repartition raw docs by doc_id BEFORE the token explode: the
+    # exchange moves 1 row per doc (not ~50 token rows), the explode
+    # parallelizes, and groupBy(doc_id, token) is satisfied by the
+    # doc_id partitioning — no post-explosion shuffle. 1.0 s → 0.78 s.
     tfc = (
-        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        d.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     ).persist(StorageLevel.MEMORY_AND_DISK)

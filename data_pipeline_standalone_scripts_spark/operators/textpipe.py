@@ -249,3 +249,156 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("gh").alias("fingerprint"))
         .distinct()
     )
+
+
+REP_THRESHOLD = 0.55  # duplicate-unigram fraction above which a doc is flagged
+
+
+@register(
+    "q_repetition_filter",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), pos AS (
+            SELECT doc_id, t, len(t) AS n, unnest(range(1, len(t) + 1)) AS p
+            FROM toks WHERE len(t) >= 3
+        ), grams AS (
+            SELECT doc_id, n,
+                   list_extract(t, p) AS g1,
+                   CASE WHEN p <= n - 1 THEN
+                       list_extract(t, p) || ' ' || list_extract(t, p + 1) END AS g2,
+                   CASE WHEN p <= n - 2 THEN
+                       list_extract(t, p) || ' ' || list_extract(t, p + 1)
+                       || ' ' || list_extract(t, p + 2) END AS g3
+            FROM pos
+        ), fracs AS (
+            SELECT doc_id,
+                   CAST(n AS BIGINT) AS n_tokens,
+                   1.0 - CAST(COUNT(DISTINCT g1) AS DOUBLE) / n AS d1,
+                   1.0 - CAST(COUNT(DISTINCT g2) AS DOUBLE) / (n - 1) AS d2,
+                   1.0 - CAST(COUNT(DISTINCT g3) AS DOUBLE) / (n - 2) AS d3
+            FROM grams GROUP BY doc_id, n
+        )
+        SELECT doc_id, n_tokens,
+               ROUND(d1, 6) AS dup_frac_1,
+               ROUND(d2, 6) AS dup_frac_2,
+               ROUND(d3, 6) AS dup_frac_3,
+               d1 >= {REP_THRESHOLD} AS repetitive
+        FROM fracs
+    """,
+    category=CAT,
+)
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filtering (the Gopher/MassiveText-style quality
+    signal): per document, the duplicate fraction of word 1/2/3-grams —
+    `1 − distinct/total` per order — flagging documents whose unigram
+    duplication exceeds REP_THRESHOLD (on this corpus that splits the
+    distribution near its median; real pipelines drop flagged docs
+    before training). All three orders come from ONE explode over
+    token positions (higher orders are NULL past their last valid
+    position; count-distinct skips NULLs identically in both engines),
+    and every ratio is an exact integer quotient — bit-portable.
+
+    Scale: same shuffle-before-expansion shape as winnowing —
+    repartition raw docs by doc_id, explode ×n_tokens positions
+    locally; the count-distinct aggregates are satisfied by the doc_id
+    partitioning: zero post-explosion exchanges.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .filter(F.size("t") >= 3)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    n = F.size("t")
+    grams = d.select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n)).alias("p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "n",
+        F.element_at("t", F.col("p")).alias("g1"),
+        F.when(
+            F.col("p") <= F.col("n") - 1,
+            F.concat_ws(
+                " ", F.element_at("t", F.col("p")), F.element_at("t", F.col("p") + 1)
+            ),
+        ).alias("g2"),
+        F.when(
+            F.col("p") <= F.col("n") - 2,
+            F.concat_ws(
+                " ",
+                F.element_at("t", F.col("p")),
+                F.element_at("t", F.col("p") + 1),
+                F.element_at("t", F.col("p") + 2),
+            ),
+        ).alias("g3"),
+    )
+    d1 = 1.0 - F.col("u1").cast("double") / F.col("n")
+    d2 = 1.0 - F.col("u2").cast("double") / (F.col("n") - 1)
+    d3 = 1.0 - F.col("u3").cast("double") / (F.col("n") - 2)
+    return (
+        grams.groupBy("doc_id", "n")
+        .agg(
+            F.count_distinct("g1").alias("u1"),
+            F.count_distinct("g2").alias("u2"),
+            F.count_distinct("g3").alias("u3"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.round(d1, 6).alias("dup_frac_1"),
+            F.round(d2, 6).alias("dup_frac_2"),
+            F.round(d3, 6).alias("dup_frac_3"),
+            (d1 >= REP_THRESHOLD).alias("repetitive"),
+        )
+    )
+
+
+# Per-source sampling rates in permille: a deterministic function of
+# the source index so the "mixture config" needs no side table —
+# sources src0..src19 get 50/95/140/185/230 ‰ cyclically.
+_MIX_BASE, _MIX_STEP, _MIX_CYCLE = 50, 45, 5
+
+
+@register(
+    "q_mixture_sample",
+    oracle=f"""
+        WITH rated AS (
+            SELECT doc_id, source, lang,
+                   {_MIX_BASE} + {_MIX_STEP}
+                       * (CAST(substr(source, 4) AS INTEGER) % {_MIX_CYCLE})
+                       AS rate_permille
+            FROM documents
+        )
+        SELECT doc_id, source, rate_permille
+        FROM rated
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 15))
+                   AS BIGINT) % 1000 < rate_permille
+    """,
+    category=CAT,
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture sampling: each source stratum is down-sampled
+    at its own rate (the domain-weighting step every LLM data pipeline
+    runs before training). Selection is a deterministic content hash —
+    h60(doc_id:source) mod 1000 < rate‰ — so the sample is exactly
+    reproducible on both engines, independent of partitioning, and
+    stable under re-runs (unlike df.sample).
+
+    Scale: embarrassingly parallel scan-side filter; the per-source
+    rate is pure arithmetic on the source name, so there is no config
+    join at all — with a real mixture table it becomes a ~#sources-row
+    broadcast join.
+    """
+    d = load(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_BASE) + F.lit(_MIX_STEP) * (
+        F.substring("source", 4, 10).cast("int") % _MIX_CYCLE
+    )
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    keep = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % 1000 < rate
+    return d.filter(keep).select(
+        "doc_id", "source", rate.cast("int").alias("rate_permille")
+    )

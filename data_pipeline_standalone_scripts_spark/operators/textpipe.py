@@ -339,12 +339,18 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d1 = 1.0 - F.col("u1").cast("double") / F.col("n")
     d2 = 1.0 - F.col("u2").cast("double") / (F.col("n") - 1)
     d3 = 1.0 - F.col("u3").cast("double") / (F.col("n") - 2)
+    # size(collect_set) rather than count_distinct: Spark rewrites
+    # multiple count-distincts through an Expand (×3 row blowup) whose
+    # re-aliased output loses the doc_id partitioning and forces two
+    # extra exchanges; collect_set is a plain hash aggregate (sets are
+    # bounded by doc length) that keeps the plan at one pre-explosion
+    # exchange — gated by test_repetition_filter_single_preexplosion_exchange.
     return (
         grams.groupBy("doc_id", "n")
         .agg(
-            F.count_distinct("g1").alias("u1"),
-            F.count_distinct("g2").alias("u2"),
-            F.count_distinct("g3").alias("u3"),
+            F.size(F.collect_set("g1")).alias("u1"),
+            F.size(F.collect_set("g2")).alias("u2"),
+            F.size(F.collect_set("g3")).alias("u3"),
         )
         .select(
             "doc_id",

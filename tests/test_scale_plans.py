@@ -145,3 +145,43 @@ def test_no_cartesian_products(spark, sf_med, qname):
     unplanned CartesianProduct (both sides large) is never fine."""
     plan = plan_of(REGISTRY[qname].fn(spark, sf_med))
     assert "CartesianProduct" not in plan
+
+
+def test_winnow_single_preexplosion_exchange(spark, sf_med):
+    """Winnowing must shuffle whole DOCUMENTS (1 row each, before the
+    ×490 gram explosion) exactly once; the window and the distinct
+    must reuse that partitioning. A second exchange means the plan
+    regressed to shuffling exploded gram rows."""
+    plan = plan_of(REGISTRY["q_fingerprint_winnow"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+
+
+def test_repetition_filter_single_preexplosion_exchange(spark, sf_med):
+    """Same shuffle-before-expansion contract for the repetition
+    filter: one doc-keyed exchange, count-distincts reuse it."""
+    plan = plan_of(REGISTRY["q_repetition_filter"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+
+
+def test_simhash_persists_fingerprints(spark, sf_med):
+    """The SimHash self-join must read the persisted fingerprint table
+    (InMemoryTableScan on both branches), not recompute the sketch
+    pipeline twice."""
+    df = REGISTRY["q_simhash_neardup"].fn(spark, sf_med)
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:800]
+    spark.catalog.clearCache()
+
+
+def test_star6_prunes_fact_before_shuffle(spark, sf_med):
+    """q5's only large exchange must carry lineitem AFTER the ASIA dim
+    broadcast join pruned it: in the formatted plan the BroadcastHashJoin
+    with s_suppkey must appear on the lineitem scan's side of the
+    orderkey exchange (i.e. before any Exchange boundary above the
+    lineitem scan)."""
+    plan = plan_of(REGISTRY["q_join_star6"].fn(spark, sf_med))
+    # the lineitem-side broadcast join keyed on l_suppkey must exist
+    # (formatted plans list join keys in a "Left keys" detail section)
+    m = re.search(r"\(\d+\) BroadcastHashJoin[^(]*Left keys \[1\]: \[l_suppkey", plan)
+    assert m, plan[:800]
+    assert "SortMergeJoin" not in plan

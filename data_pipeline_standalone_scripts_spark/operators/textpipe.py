@@ -156,28 +156,67 @@ K_GRAM = 8  # fingerprint k-gram length (chars)
 WINNOW_W = 4  # winnowing window (k-grams per window)
 
 
-@register(
-    "q_fingerprint_winnow",
-    oracle=f"""
-        WITH grams AS (
-            SELECT doc_id,
-                   unnest(generate_series(1, length(text) - {K_GRAM} + 1)) AS pos
-            FROM documents
-            WHERE length(text) >= {K_GRAM}
-        ), hashed AS (
-            SELECT doc_id, pos,
-                   CAST('0x' || hex(substr(text, pos, {K_GRAM})) AS BIGINT) AS gh
-            FROM grams g JOIN documents USING (doc_id)
-        ), winnowed AS (
-            SELECT doc_id, gh,
-                   MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
-                                 ROWS BETWEEN {WINNOW_W - 1} PRECEDING
-                                          AND CURRENT ROW) AS win_min
-            FROM hashed
-        )
+# Shared winnow-fingerprint CTE (ends in a `fps(doc_id, fingerprint)`
+# relation) — used by q_fingerprint_winnow and q_contamination_check.
+_WINNOW_CTE = f"""
+    WITH grams AS (
+        SELECT doc_id,
+               unnest(generate_series(1, length(text) - {K_GRAM} + 1)) AS pos
+        FROM documents
+        WHERE length(text) >= {K_GRAM}
+    ), hashed AS (
+        SELECT doc_id, pos,
+               CAST('0x' || hex(substr(text, pos, {K_GRAM})) AS BIGINT) AS gh
+        FROM grams g JOIN documents USING (doc_id)
+    ), winnowed AS (
+        SELECT doc_id, gh,
+               MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                      AND CURRENT ROW) AS win_min
+        FROM hashed
+    ), fps AS (
         SELECT DISTINCT doc_id, gh AS fingerprint
         FROM winnowed WHERE gh = win_min
-    """,
+    )
+"""
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint) — the winnowed fingerprint set per doc;
+    the Spark twin of ``_WINNOW_CTE``. See q_fingerprint_winnow for the
+    algorithm, encoding, and plan-shape notes."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= K_GRAM)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (K_GRAM - 1))).alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(hex(cast(substring(text, pos, {K_GRAM}) as binary)), 16, 10) as long)"
+        ).alias("gh"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("win_min", F.min("gh").over(w))
+        .filter(F.col("gh") == F.col("win_min"))
+        .select("doc_id", F.col("gh").alias("fingerprint"))
+        .distinct()
+    )
+
+
+@register(
+    "q_fingerprint_winnow",
+    oracle=_WINNOW_CTE + "SELECT doc_id, fingerprint FROM fps",
     category=CAT,
 )
 def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -200,54 +239,72 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     max code point 121); multi-byte text would overflow the 8-byte
     budget and needs the md5 fallback.
 
-    Scale: positions explode ×|text| rows, but the shuffle groups by
-    doc_id only (window partition) and the output is the winnowed set
-    (~2/(w+1) of grams). At 100 TB: partition by doc hash; no skew
+    Plan shape (gated by test_winnow_single_preexplosion_exchange):
+    repartition the RAW docs by doc_id before the ×|text| gram explode
+    — the exchange carries whole documents (1 row each) instead of
+    ~490 hashed gram rows, the explode+encode runs on every core
+    (single-row-group test parquet ⇒ single-task scan otherwise), and
+    BOTH the window and the final distinct reuse the doc_id
+    partitioning: zero post-explosion exchanges. Measured 2.75 s →
+    0.75 s at sf0.1. Shuffle-before-expansion holds at any scale:
+    moving a document once is always cheaper than moving its grams.
+
+    Formulation note: an all-higher-order variant (hash array +
+    per-element slice/array_min, zero shuffle) was built and
+    benchmarked — it LOSES to this window formulation (Spark evaluates
+    HOF lambdas interpreted, and the lambda-nested array reference
+    defeats subexpression elimination; 96 s in the naive inlined
+    form). The posexplode + window plan keeps the gram encode inside
+    codegen and pays one pre-explosion doc_id-keyed shuffle.
+
+    Scale: positions explode ×|text| rows after the 1-row-per-doc
+    shuffle; output is the winnowed set (~2/(w+1) of grams). No skew
     (docs are bounded length).
     """
-    d = (
-        load(spark, sf_dir, "documents")
-        .filter(F.length("text") >= K_GRAM)
-        # Repartition the RAW docs by doc_id before the ×|text| gram
-        # explode: the exchange carries whole documents (1 row each)
-        # instead of ~490 hashed gram rows, the explode+encode runs on
-        # every core (single-row-group test parquet ⇒ single-task scan
-        # otherwise), and BOTH the window and the final distinct reuse
-        # the doc_id partitioning — zero post-explosion exchanges.
-        # Measured 2.75 s → 0.75 s at sf0.1. Shuffle-before-expansion
-        # holds at any scale: moving a document once is always cheaper
-        # than moving its 490 grams.
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
-    )
-    # Formulation note: an all-higher-order variant (hash array +
-    # per-element slice/array_min, zero shuffle) was built and
-    # benchmarked — it LOSES to this window formulation (4.5 s vs
-    # 3.8 s at sf0.1, 96 s in the naive inlined form): Spark evaluates
-    # HOF lambdas interpreted, and the lambda-nested array reference
-    # defeats subexpression elimination. The posexplode + window plan
-    # keeps the gram encode inside codegen and pays one pre-explosion
-    # doc_id-keyed shuffle — the right trade at every scale.
-    grams = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (K_GRAM - 1))).alias("pos"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(
-            f"cast(conv(hex(cast(substring(text, pos, {K_GRAM}) as binary)), 16, 10) as long)"
-        ).alias("gh"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    return winnow_fingerprints(spark, sf_dir)
+
+
+CONTAM_MIN_SHARED = 3  # shared fingerprints below this are noise, not overlap
+
+
+@register(
+    "q_contamination_check",
+    oracle=_WINNOW_CTE
+    + f"""
+        SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fps c JOIN fps b ON c.fingerprint = b.fingerprint
+        WHERE c.doc_id % 97 != 0 AND b.doc_id % 97 = 0
+        GROUP BY c.doc_id, b.doc_id
+        HAVING COUNT(*) >= {CONTAM_MIN_SHARED}
+    """,
+    category=CAT,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find corpus documents sharing
+    winnowing fingerprints with a held-out "benchmark" set (stand-in:
+    every 97th doc_id) — the overlap check every training pipeline
+    runs so evaluation data doesn't leak into training data. The
+    winnowing guarantee makes this sound: any shared substring of
+    length ≥ k+w−1 (11 chars) between a corpus doc and a benchmark doc
+    yields a shared fingerprint, so thresholding on ≥ 3 shared
+    fingerprints has no false negatives for substantial overlap.
+
+    Scale: the benchmark fingerprint set is tiny relative to the
+    corpus (the Spark plan broadcasts it), so the check is one linear
+    pass over corpus fingerprints + a broadcast hash join — the same
+    shape at 100 TB with a real benchmark suite.
+    """
+    fps = winnow_fingerprints(spark, sf_dir)
+    corpus = fps.filter(F.col("doc_id") % 97 != 0)
+    bench = fps.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "fingerprint"
     )
     return (
-        grams.withColumn("win_min", F.min("gh").over(w))
-        .filter(F.col("gh") == F.col("win_min"))
-        .select("doc_id", F.col("gh").alias("fingerprint"))
-        .distinct()
+        corpus.join(F.broadcast(bench), "fingerprint")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= CONTAM_MIN_SHARED)
     )
 
 

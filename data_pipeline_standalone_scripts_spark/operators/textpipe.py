@@ -420,6 +420,242 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_ADD_K = 1  # add-one (Laplace) smoothing
+HIGH_PPL_NLL = 3.42  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
+
+
+@register(
+    "q_ngram_lm_score",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), pos AS (
+            SELECT doc_id, t, len(t) AS n, unnest(range(1, len(t))) AS p
+            FROM toks WHERE len(t) >= 2
+        ), bg AS (
+            SELECT doc_id, n, list_extract(t, p) AS w1,
+                   list_extract(t, p) || ' ' || list_extract(t, p + 1) AS g
+            FROM pos
+        ), uni AS (
+            SELECT w, COUNT(*) AS c1
+            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+        ), big AS (
+            SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g
+        ), v AS (
+            SELECT COUNT(*) AS vv FROM uni
+        ), terms AS (
+            SELECT doc_id, n,
+                   CAST(round(-ln((big.c2 + {BIGRAM_ADD_K}.0) / (uni.c1 + v.vv))
+                              * 1000000) AS BIGINT) AS m
+            FROM bg JOIN big USING (g) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+        )
+        SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_bigrams,
+               ROUND(CAST(SUM(m) AS DOUBLE) / 1000000.0 / (n - 1), 6) AS avg_nll,
+               CAST(SUM(m) AS DOUBLE) / 1000000.0 / (n - 1) > {HIGH_PPL_NLL}
+                   AS high_perplexity
+        FROM terms GROUP BY doc_id, n
+    """,
+    category=CAT,
+)
+def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filtering (the CCNet/KenLM signal): fit
+    an add-one-smoothed bigram LM on the corpus itself, score each
+    document by its average bigram negative log-likelihood, and flag
+    the high-perplexity tail (avg NLL > p75). Real pipelines score
+    against a reference-domain LM; the plumbing — train counts, join
+    scores, aggregate per doc — is identical.
+
+    Determinism: P(w2|w1) = (c2+1)/(c1+V) is a double quotient of exact
+    integers (bit-identical in both engines); each term's −ln(P) is
+    rounded half-away to micro-units and summed as BIGINT, so the
+    per-doc sum is exact and order-free (the ``dsum`` discipline,
+    operators/common.py) — only the final ÷(n−1) + round(6) is float.
+
+    Scale: model = two hash aggregates over the exploded token stream
+    (map-side combined, doc_id-partitioned by the same
+    shuffle-before-expansion repartition as winnowing). The bigram and
+    unigram count tables are vocabulary-bounded — broadcast here; with
+    a web-scale vocab they become shuffle joins co-keyed on the gram.
+    V crosses as a 1-row broadcast crossJoin, never a collect.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    n = F.size("t")
+    bg = d.filter(n >= 2).select(
+        "doc_id",
+        n.alias("n"),
+        F.explode(F.sequence(F.lit(1), n - 1)).alias("p"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "n",
+        F.element_at("t", F.col("p")).alias("w1"),
+        F.concat_ws(
+            " ", F.element_at("t", F.col("p")), F.element_at("t", F.col("p") + 1)
+        ).alias("g"),
+    )
+    uni = (
+        d.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    v = uni.agg(F.count(F.lit(1)).alias("vv"))
+    nll = -F.log(
+        (F.col("c2") + float(BIGRAM_ADD_K)) / (F.col("c1") + F.col("vv"))
+    )
+    micros = nll * 1_000_000
+    term = (micros + F.when(micros >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast(
+        "long"
+    )
+    avg = F.col("msum").cast("double") / 1_000_000.0 / (F.col("n") - 1)
+    return (
+        bg.join(F.broadcast(big), "g")
+        .join(F.broadcast(uni), bg.w1 == F.col("w"))
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", "n", term.alias("m"))
+        .groupBy("doc_id", "n")
+        .agg(F.sum("m").alias("msum"))
+        .select(
+            "doc_id",
+            (F.col("n") - 1).cast("long").alias("n_bigrams"),
+            F.round(avg, 6).alias("avg_nll"),
+            (avg > HIGH_PPL_NLL).alias("high_perplexity"),
+        )
+    )
+
+
+# Fixed linear quality model (a stand-in for a published fasttext-style
+# classifier): z = b + w·[mean word len, stopword frac, distinct ratio,
+# ln n_tokens]. Weights centered so the corpus score distribution
+# straddles the 0.5 keep-threshold (measured medians: 4.5/0.061/0.462).
+QW_BIAS, QW_MWL, QW_SW, QW_DR, QW_LNT = -8.0, 0.8, 6.0, 5.0, 0.35
+_STOPWORDS = ("the", "a", "is", "and", "of")
+
+
+@register(
+    "q_quality_score_model",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tok,
+                   CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS mwl,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> x IN {str(_STOPWORDS)})) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS sw,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS dr
+            FROM documents
+        ), z AS (
+            SELECT doc_id, n_tok, mwl, sw, dr,
+                   {QW_BIAS} + {QW_MWL} * mwl + {QW_SW} * sw + {QW_DR} * dr
+                       + {QW_LNT} * ln(n_tok) AS z
+            FROM f
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+               ROUND(mwl, 6) AS mean_word_len,
+               ROUND(sw, 6) AS stopword_frac,
+               ROUND(dr, 6) AS distinct_ratio,
+               ROUND(1.0 / (1.0 + exp(-z)), 6) AS quality_score,
+               1.0 / (1.0 + exp(-z)) >= 0.5 AS keep
+        FROM z
+    """,
+    category=CAT,
+)
+def q_quality_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: a fixed-weight linear classifier
+    over cheap text features (mean word length, stopword fraction,
+    distinct-token ratio, log length) squashed through a sigmoid, with
+    keep = score ≥ 0.5 — the shape of every learned quality filter
+    (fasttext / logreg) once the weights are frozen for inference.
+
+    The features are exact integer ratios; only the final sigmoid is
+    float (round-6 on both sides, the r6 discipline).
+
+    Scale: embarrassingly parallel narrow scan — all features come
+    from one split() per row, no shuffle at all. A real model swaps
+    the literal weights for a broadcast weight vector; the plan shape
+    is unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_tok = F.size(t)
+    sw_hits = F.size(
+        F.filter(t, lambda x: x.isin(*_STOPWORDS))
+    )
+    mwl = (F.col("n_chars") - (n_tok - 1)).cast("double") / n_tok
+    sw = sw_hits.cast("double") / n_tok
+    dr = F.size(F.array_distinct(t)).cast("double") / n_tok
+    z = (
+        F.lit(QW_BIAS)
+        + F.lit(QW_MWL) * mwl
+        + F.lit(QW_SW) * sw
+        + F.lit(QW_DR) * dr
+        + F.lit(QW_LNT) * F.log(n_tok.cast("double"))
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return d.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sw, 6).alias("stopword_frac"),
+        F.round(dr, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+DOMAIN_QUOTA = 15  # max docs kept per source stratum
+
+
+@register(
+    "q_domain_quota",
+    oracle=f"""
+        SELECT doc_id, source, CAST(rk AS BIGINT) AS rk
+        FROM (
+            SELECT doc_id, source,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                                      || ':' || source), 1, 15)) AS BIGINT),
+                                doc_id
+                   ) AS rk
+            FROM documents
+        ) WHERE rk <= {DOMAIN_QUOTA}
+    """,
+    category=CAT,
+)
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota sampling: cap each source at DOMAIN_QUOTA
+    documents, chosen by deterministic content-hash order (h60 of
+    doc_id:source, doc_id tie-break) — the crawl-side step that stops
+    a single domain from dominating the training mixture. Hash order
+    makes the kept set reproducible and partition-independent, unlike
+    "first N seen".
+
+    Scale: one shuffle on source + a per-partition top-N window. With
+    skewed domains (one source = half the corpus) the window input is
+    still the full stratum — the scale fix is a two-level quota
+    (per-partition pre-top-N, then global top-N), which AQE's skew
+    handling approximates; at 20 balanced sources this single window
+    is the right plan.
+    """
+    d = load(spark, sf_dir, "documents")
+    key = F.concat(F.col("doc_id").cast("string"), F.lit(":"), F.col("source"))
+    from ..operators.common import h60
+
+    w = Window.partitionBy("source").orderBy(h60(key), F.col("doc_id"))
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= DOMAIN_QUOTA)
+        .select("doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 # Per-source sampling rates in permille: a deterministic function of
 # the source index so the "mixture config" needs no side table —
 # sources src0..src19 get 50/95/140/185/230 ‰ cyclically.

@@ -286,3 +286,47 @@ def test_ann_signlsh_structure_recall_determinism(spark, sf_med):
 
     again = q_ann_signlsh(spark, sf_med).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """Multi-hop propagation: a 6-node path (0-1-2-...-5) must collapse
+    to cluster 0 even though nodes 0 and 5 never share an edge — the
+    corpus's clique-like clusters converge in 1 hop and would not catch
+    a broken propagation loop. Plus two singletons and a 2-cycle."""
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        connected_components,
+    )
+
+    nodes = spark.createDataFrame([(i,) for i in range(10)], "doc_id long")
+    undirected = [(i, i + 1) for i in range(5)] + [(8, 9)]
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in undirected] + [(b, a) for a, b in undirected],
+        "src long, dst long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 0, 6: 6, 7: 7, 8: 8, 9: 8}
+
+
+def test_dedup_clusters_consistent_with_pairs(spark, sf_small):
+    """Every verified near-dup pair must land in one cluster; exactly
+    one keep=true doc per cluster, and it is the min doc_id."""
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+
+    out = REGISTRY["q_dedup_clusters"].fn(spark, sf_small).collect()
+    cid = {r.doc_id: r.cluster_id for r in out}
+    from data_pipeline_standalone_scripts_spark.operators.llm import q_minhash_lsh
+
+    for p in q_minhash_lsh(spark, sf_small).select("doc_a", "doc_b").collect():
+        assert cid[p.doc_a] == cid[p.doc_b]
+    import collections
+
+    members = collections.defaultdict(list)
+    keeps = collections.defaultdict(list)
+    for r in out:
+        members[r.cluster_id].append(r.doc_id)
+        if r.keep:
+            keeps[r.cluster_id].append(r.doc_id)
+    for c, docs in members.items():
+        assert keeps[c] == [min(docs)] and c == min(docs)

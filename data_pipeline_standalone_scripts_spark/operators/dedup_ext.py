@@ -652,3 +652,68 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
     )
+
+
+# --- embedding compression --------------------------------------------------
+
+
+@register(
+    "q_embed_quantize",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS x FROM embeddings
+        ), s AS (
+            SELECT vec_id, label, x,
+                   list_max(list_transform(x, e -> abs(e))) / 127.0 AS scale
+            FROM v
+        )
+        SELECT vec_id, label,
+               ROUND(scale, 6) AS scale,
+               ROUND(list_max(list_transform(x,
+                     e -> abs(round(e / scale) * scale - e))), 6) AS max_abs_err,
+               ROUND(list_cosine_similarity(x,
+                     list_transform(x, e -> round(e / scale) * scale)), 6)
+                   AS cos_recon
+        FROM s
+    """,
+    category=CAT,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization with reconstruction
+    metrics: per-vector scale = max|x|/127, code = round(x/scale),
+    and the two numbers a compression rollout needs — worst-case
+    absolute error and cosine(original, dequantized). This is the
+    storage/ANN-memory step (4× smaller than float32) every
+    embedding-heavy pipeline applies before indexing.
+
+    Codes are exact on both engines (identical double division and
+    half-away rounding of never-half values; max element lands on
+    exactly ±127 by construction); only the reported scale/err/cos
+    are floats, r6-rounded.
+
+    Scale: pure narrow scan, element arithmetic inside JVM HOF folds —
+    no shuffle, no Python. The dequantized reconstruction is
+    recomputed per element (round(x/s)·s) instead of materializing a
+    zipped pair array — cheaper and keeps the lambda single-variable.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    # The raw scale column must NOT be named "scale": the output select
+    # aliases the r6-rounded value to "scale" first, and lateral column
+    # alias resolution would then rebind the err/cos expressions to the
+    # ROUNDED scale — shifting quantization codes (caught by the oracle:
+    # 481/500 rows off by up to 6e-4).
+    base = e.select("vec_id", "label", _vec_double().alias("x")).withColumn(
+        "sc_raw", F.array_max(F.transform("x", lambda t: F.abs(t))) / 127.0
+    )
+    x, sc = F.col("x"), F.col("sc_raw")
+    dq = lambda t: F.round(t / sc, 0) * sc  # noqa: E731
+    err = F.array_max(F.transform(x, lambda t: F.abs(dq(t) - t)))
+    y = F.transform(x, dq)
+    cos = _dot(x, y) / (F.sqrt(_norm_sq(x)) * F.sqrt(_norm_sq(y)))
+    return base.select(
+        "vec_id",
+        "label",
+        F.round(sc, 6).alias("scale"),
+        F.round(err, 6).alias("max_abs_err"),
+        F.round(cos, 6).alias("cos_recon"),
+    )

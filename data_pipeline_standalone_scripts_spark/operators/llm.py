@@ -655,3 +655,113 @@ def q_embedding_norm_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_positive").between(24, 40))
     )
+
+
+# --- retrieval scoring ------------------------------------------------------
+
+BM25_K1, BM25_B = 1.2, 0.75
+BM25_QUERY = ("table", "vector", "merge")  # fixed query-term set
+BM25_TOPK = 20
+
+
+@register(
+    "q_bm25_rank",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   string_split(text, ' ') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS token FROM d
+        ), tf AS (
+            SELECT doc_id, token, COUNT(*) AS tf FROM tok
+            WHERE token IN {str(BM25_QUERY)}
+            GROUP BY doc_id, token
+        ), dfreq AS (
+            SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+        ), stats AS (
+            SELECT COUNT(*) AS n, SUM(dl) AS total_dl FROM d
+        ), terms AS (
+            SELECT tf.doc_id,
+                   CAST(round(
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+                       * tf.tf * ({BM25_K1} + 1.0)
+                       / (tf.tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B}
+                          * (CAST(d.dl AS DOUBLE) * stats.n / stats.total_dl)))
+                       * 1000000) AS BIGINT) AS m
+            FROM tf
+            JOIN d ON d.doc_id = tf.doc_id
+            JOIN dfreq ON dfreq.token = tf.token
+            CROSS JOIN stats
+        )
+        SELECT doc_id,
+               ROUND(CAST(SUM(m) AS DOUBLE) / 1000000.0, 6) AS bm25
+        FROM terms GROUP BY doc_id
+        ORDER BY SUM(m) DESC, doc_id ASC
+        LIMIT {BM25_TOPK}
+    """,
+    category=CAT,
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval ranking (Robertson/Okapi, +1 idf variant) for a
+    fixed query-term set: top-20 documents by
+    Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — the lexical
+    scorer behind search-index sampling and retrieval-augmented data
+    curation.
+
+    Determinism: tf, df, N, dl, Σdl are exact integers and every float
+    expression is built with an identical operation tree on both
+    sides; each per-term score is micro-rounded and summed as BIGINT
+    (the dsum discipline) so the top-20 cut and the emitted scores are
+    bit-stable. Ties break on doc_id.
+
+    Scale: corpus stats (N, Σdl) cross as a 1-row broadcast; the
+    per-term df table is query-sized (broadcast); tf explodes then
+    map-side-combines on (doc_id, token) restricted to the query set —
+    a narrow filter long before any shuffle. TopK is
+    TakeOrderedAndProject, no global sort.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("dl"), F.split("text", " ").alias("t")
+    )
+    tf = (
+        d.select("doc_id", F.explode("t").alias("token"))
+        .filter(F.col("token").isin(*BM25_QUERY))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = d.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl"))
+    idf = F.log(
+        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    score = (
+        idf
+        * F.col("tf")
+        * (BM25_K1 + 1.0)
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (
+                1.0
+                - BM25_B
+                + BM25_B * (F.col("dl").cast("double") * F.col("n") / F.col("total_dl"))
+            )
+        )
+    )
+    micros = score * 1_000_000
+    term = (micros + F.when(micros >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
+    return (
+        tf.join(d.select("doc_id", "dl"), "doc_id")
+        .join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", term.alias("m"))
+        .groupBy("doc_id")
+        .agg(F.sum("m").alias("msum"))
+        .orderBy(F.col("msum").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOPK)
+        .select(
+            "doc_id",
+            F.round(F.col("msum").cast("double") / 1_000_000.0, 6).alias("bm25"),
+        )
+    )

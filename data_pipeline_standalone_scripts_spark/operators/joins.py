@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, register_views
 from .common import dsum, o_dsum
 
 CAT = "joins"
@@ -505,3 +505,40 @@ def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice", "revenue"),
         )
     )
+
+
+# --- subquery surface -------------------------------------------------------
+
+_CORR_SUBQUERY_SQL = """
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+            SELECT SUM(CAST(FLOOR(o2.o_totalprice * 100 + 0.5) AS BIGINT))
+                   / 100.0 / COUNT(*)
+            FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount >= 0.05)
+"""
+
+
+@register("q_corr_subquery", oracle=_CORR_SUBQUERY_SQL, category=CAT)
+def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated subquery surface: a correlated SCALAR subquery (order
+    beats 1.5× its customer's average spend) AND a correlated EXISTS
+    (order has a discounted line). One SQL text runs verbatim on both
+    engines — the point of this operator is that Spark decorrelates
+    both forms into joins (scalar → aggregate + left join, EXISTS →
+    left semi join) rather than executing per-row subqueries.
+
+    The customer average is computed on exact cent-scaled longs
+    (FLOOR(x·100+0.5) — DuckDB CAST-to-BIGINT rounds while Spark's
+    truncates, so neither cast is portable; FLOOR is) making the 1.5×
+    threshold comparison bit-deterministic.
+
+    Scale: decorrelation is the scale story — the per-customer average
+    is one map-side-combined aggregate shuffled on o_custkey, the
+    EXISTS a semi join shuffled on orderkey; nothing is per-row. Verify
+    with .explain(): no Subquery nodes survive in the physical plan.
+    """
+    register_views(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(_CORR_SUBQUERY_SQL)

@@ -84,3 +84,78 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("user_id").alias("o_custkey"))
     )
     return o.subtract(e)
+
+
+# --- reshape ----------------------------------------------------------------
+
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+@register(
+    "q_unpivot",
+    oracle=f"""
+        UNPIVOT (
+            SELECT l_orderkey, l_linenumber, {", ".join(_UNPIVOT_MEASURES)}
+            FROM lineitem WHERE l_orderkey < 200
+        )
+        ON {", ".join(_UNPIVOT_MEASURES)}
+        INTO NAME measure VALUE val
+    """,
+    category=CAT,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (unpivot/melt): the four lineitem measures
+    become (measure, val) rows keyed by (orderkey, linenumber) — the
+    inverse of A13's pivot and the standard shape for feeding generic
+    metric pipelines. Values are raw column pass-throughs (no
+    arithmetic), so cross-engine equality is exact.
+
+    Scale: narrow ×4 row expansion, zero shuffle — Expand node in the
+    plan, no exchange. The filter prunes at the scan before expansion.
+    """
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 200)
+        .select("l_orderkey", "l_linenumber", *_UNPIVOT_MEASURES)
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        list(_UNPIVOT_MEASURES),
+        "measure",
+        "val",
+    )
+
+
+@register(
+    "q_string_agg",
+    oracle="""
+        SELECT n.n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               string_agg(c.c_name, '|' ORDER BY c.c_name) AS names
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > 9000
+        GROUP BY n.n_name
+    """,
+    category=CAT,
+)
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg): per nation, the '|'-joined
+    sorted list of high-balance customer names. Spark has no ordered
+    string_agg — the portable spelling is collect_list → array_sort →
+    array_join, which is deterministic regardless of partition merge
+    order (the sort happens after collection).
+
+    Scale: the collected list is bounded by group size — fine for
+    dimension-keyed groups; for unbounded groups cap with slice() after
+    array_sort (top-N names) so no single group's string exceeds memory.
+    """
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000)
+    n = load(spark, sf_dir, "nation")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
+        )
+    )

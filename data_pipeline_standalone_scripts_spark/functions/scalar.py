@@ -357,3 +357,62 @@ def q_cast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_s.alias("date_epoch_s"),
         F.date_format(F.timestamp_seconds(epoch_s), "yyyy-MM-dd").alias("date_roundtrip"),
     )
+
+
+@register(
+    "q_map_funcs",
+    oracle="""
+        WITH base AS (
+            SELECT event_id,
+                   CAST(props ->> '$.k' AS BIGINT) AS k_val,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS val_cents,
+                   user_id % 7 AS uid_mod
+            FROM events WHERE event_id < 2000
+        )
+        SELECT event_id,
+               3 AS n_keys,
+               k_val,
+               'k,uid_mod,val_cents' AS keys_sorted,
+               k_val * 2 AS k_doubled,
+               (CASE WHEN k_val % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN val_cents % 2 = 0 THEN 1 ELSE 0 END
+                + CASE WHEN uid_mod % 2 = 0 THEN 1 ELSE 0 END
+                + 1) AS n_even
+        FROM base
+    """,
+    category=CAT,
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: map-typed column surface — construct a map from event
+    fields (map_from_arrays), then exercise the access/transform
+    algebra: size, element_at, sorted map_keys, transform_values,
+    map_concat + map_filter. Map values never cross the oracle
+    boundary as maps (unhashable in the driver's canonicalizer, same
+    rule as arrays/structs) — every output is a scalar projection,
+    which the oracle recomputes directly from the source fields, so
+    the check proves values survive the map algebra unchanged.
+
+    Scale: narrow per-row expressions, zero shuffle; maps are struct
+    storage in Tungsten — no boxing. At 100 TB the same pattern backs
+    feature-bag columns (sparse features as map<string,double>).
+    """
+    e = load(spark, sf_dir, "events").filter(F.col("event_id") < 2000)
+    k_val = F.get_json_object("props", "$.k").cast("long")
+    val_cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    uid_mod = F.col("user_id") % 7
+    m = F.map_from_arrays(
+        F.array(F.lit("k"), F.lit("val_cents"), F.lit("uid_mod")),
+        F.array(k_val, val_cents, uid_mod),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("extra"), F.lit(0).cast("long")))
+    evens = F.map_filter(m2, lambda k, v: v % 2 == 0)
+    return e.select(
+        "event_id",
+        F.size(m).alias("n_keys"),
+        F.element_at(m, "k").alias("k_val"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("keys_sorted"),
+        F.element_at(F.transform_values(m, lambda k, v: v * 2), "k").alias(
+            "k_doubled"
+        ),
+        F.size(evens).alias("n_even"),
+    )

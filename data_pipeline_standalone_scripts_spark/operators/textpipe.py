@@ -421,7 +421,7 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BIGRAM_ADD_K = 1  # add-one (Laplace) smoothing
-HIGH_PPL_NLL = 3.42  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
+HIGH_PPL_NLL = 3.40  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
 
 
 @register(
@@ -437,8 +437,7 @@ HIGH_PPL_NLL = 3.42  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
                    list_extract(t, p) || ' ' || list_extract(t, p + 1) AS g
             FROM pos
         ), uni AS (
-            SELECT w, COUNT(*) AS c1
-            FROM (SELECT unnest(t) AS w FROM toks) GROUP BY w
+            SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
         ), big AS (
             SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g
         ), v AS (
@@ -447,7 +446,7 @@ HIGH_PPL_NLL = 3.42  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
             SELECT doc_id, n,
                    CAST(round(-ln((big.c2 + {BIGRAM_ADD_K}.0) / (uni.c1 + v.vv))
                               * 1000000) AS BIGINT) AS m
-            FROM bg JOIN big USING (g) JOIN uni ON bg.w1 = uni.w CROSS JOIN v
+            FROM bg JOIN big USING (g) JOIN uni USING (w1) CROSS JOIN v
         )
         SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_bigrams,
                ROUND(CAST(SUM(m) AS DOUBLE) / 1000000.0 / (n - 1), 6) AS avg_nll,
@@ -463,7 +462,9 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     document by its average bigram negative log-likelihood, and flag
     the high-perplexity tail (avg NLL > p75). Real pipelines score
     against a reference-domain LM; the plumbing — train counts, join
-    scores, aggregate per doc — is identical.
+    scores, aggregate per doc — is identical. The denominator is the
+    bigram-PREFIX count c1(w1) = Σ_w c2(w1,w) (the proper conditional
+    normalizer), so model and scores all derive from ONE bigram stream.
 
     Determinism: P(w2|w1) = (c2+1)/(c1+V) is a double quotient of exact
     integers (bit-identical in both engines); each term's −ln(P) is
@@ -471,37 +472,44 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum is exact and order-free (the ``dsum`` discipline,
     operators/common.py) — only the final ÷(n−1) + round(6) is float.
 
-    Scale: model = two hash aggregates over the exploded token stream
-    (map-side combined, doc_id-partitioned by the same
-    shuffle-before-expansion repartition as winnowing). The bigram and
-    unigram count tables are vocabulary-bounded — broadcast here; with
-    a web-scale vocab they become shuffle joins co-keyed on the gram.
-    V crosses as a 1-row broadcast crossJoin, never a collect.
+    Scale: the bigram stream is exploded ONCE (shuffle-before-expansion
+    repartition, then persist) and feeds the two model aggregates AND
+    the scoring join — without the persist each model subtree re-runs
+    the repartition+explode (measured: 8 exchanges → 4, three of them
+    duplicate doc shuffles; gated by test_lm_score_reuses_bigram_stream).
+    Model tables are vocabulary-bounded broadcasts; with a web-scale
+    vocab they become shuffle joins co-keyed on the gram. V crosses as
+    a 1-row broadcast crossJoin, never a collect. At 100 TB fit and
+    score are separate passes over a materialized bigram table — the
+    persist is the single-job version of exactly that.
     """
+    from pyspark import StorageLevel
+
     d = (
         load(spark, sf_dir, "documents")
         .select("doc_id", F.split("text", " ").alias("t"))
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
     )
     n = F.size("t")
-    bg = d.filter(n >= 2).select(
-        "doc_id",
-        n.alias("n"),
-        F.explode(F.sequence(F.lit(1), n - 1)).alias("p"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "n",
-        F.element_at("t", F.col("p")).alias("w1"),
-        F.concat_ws(
-            " ", F.element_at("t", F.col("p")), F.element_at("t", F.col("p") + 1)
-        ).alias("g"),
+    bg = (
+        d.filter(n >= 2)
+        .select(
+            "doc_id",
+            n.alias("n"),
+            F.explode(F.sequence(F.lit(1), n - 1)).alias("p"),
+            F.col("t"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.element_at("t", F.col("p")).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("t", F.col("p")), F.element_at("t", F.col("p") + 1)
+            ).alias("g"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    uni = (
-        d.select(F.explode("t").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("c1"))
-    )
+    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
     v = uni.agg(F.count(F.lit(1)).alias("vv"))
     nll = -F.log(
@@ -514,7 +522,7 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     avg = F.col("msum").cast("double") / 1_000_000.0 / (F.col("n") - 1)
     return (
         bg.join(F.broadcast(big), "g")
-        .join(F.broadcast(uni), bg.w1 == F.col("w"))
+        .join(F.broadcast(uni), "w1")
         .crossJoin(F.broadcast(v))
         .select("doc_id", "n", term.alias("m"))
         .groupBy("doc_id", "n")

@@ -185,3 +185,53 @@ def test_star6_prunes_fact_before_shuffle(spark, sf_med):
     m = re.search(r"\(\d+\) BroadcastHashJoin[^(]*Left keys \[1\]: \[l_suppkey", plan)
     assert m, plan[:800]
     assert "SortMergeJoin" not in plan
+
+
+def test_bm25_topk_short_circuits(spark, sf_med):
+    """BM25's top-20 must be TakeOrderedAndProject (per-partition heap
+    + driver merge), never a global sort of all scored docs."""
+    plan = plan_of(REGISTRY["q_bm25_rank"].fn(spark, sf_med))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_unpivot_is_exchange_free(spark, sf_med):
+    """Wide→long reshape is a per-row Expand — any exchange in this
+    plan means the reshape started shuffling data it never needs to."""
+    plan = plan_of(REGISTRY["q_unpivot"].fn(spark, sf_med))
+    assert "Expand" in plan
+    assert "Exchange" not in plan
+
+
+def test_quality_score_is_exchange_free(spark, sf_med):
+    """The quality scorer is a pure narrow scan: zero exchanges."""
+    plan = plan_of(REGISTRY["q_quality_score_model"].fn(spark, sf_med))
+    assert "Exchange" not in plan
+
+
+def test_lm_score_reuses_bigram_stream(spark, sf_med):
+    """The LM scorer explodes the bigram stream ONCE (persisted) and
+    feeds both model aggregates and the scoring join from the cache:
+    ≥3 InMemoryTableScans, and the only exchanges left are the one
+    doc repartition (inside the cached subtree), the two model count
+    shuffles, and the 1-row vocab aggregate."""
+    df = REGISTRY["q_ngram_lm_score"].fn(spark, sf_med)
+    plan = plan_of(df)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:1200]
+    # Audited: the ONE cache-internal doc repartition prints under a
+    # fresh node id per cache reference (×3 here), plus two model count
+    # shuffles and the final per-doc aggregate (the AQE-wrapped cache
+    # hides its partitioning from the outer plan) = 6 printed ids for
+    # 4 physical exchanges. The un-persisted regression this gate
+    # exists to catch prints 8+.
+    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
+    assert n_exchanges <= 6, plan[:1200]
+    spark.catalog.clearCache()
+
+
+def test_corr_subquery_decorrelates(spark, sf_med):
+    """Correlated scalar + EXISTS must decorrelate to joins — no
+    per-row subquery execution nodes in the physical plan."""
+    plan = plan_of(REGISTRY["q_corr_subquery"].fn(spark, sf_med))
+    assert "LeftSemi" in plan  # EXISTS became a semi join
+    assert "Subquery" not in plan

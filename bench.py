@@ -42,6 +42,10 @@ HEADLINE = {
     "docs_winnow_fingerprints": "q_fingerprint_winnow",
     "docs_simhash_neardup": "q_simhash_neardup",
     "media_decode": "q_multimodal_decode",
+    # round-2 training-pipeline rows (BASELINE.md "pipeline ops")
+    "docs_lm_score": "q_ngram_lm_score",
+    "docs_bm25_topk": "q_bm25_rank",
+    "emb_int8_quantize": "q_embed_quantize",
 }
 
 N_RUNS = 5
@@ -83,6 +87,11 @@ def main() -> None:
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
         timings[label] = round(statistics.median(runs), 4)
+        # Ops that persist intermediates (tfidf, simhash, lm_score)
+        # build a FRESH DataFrame per timed run, so their caches pile
+        # up — drop them between queries so no row pays another op's
+        # storage/GC pressure.
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

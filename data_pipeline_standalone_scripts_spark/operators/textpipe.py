@@ -436,10 +436,11 @@ HIGH_PPL_NLL = 3.40  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
             SELECT doc_id, n, list_extract(t, p) AS w1,
                    list_extract(t, p) || ' ' || list_extract(t, p + 1) AS g
             FROM pos
-        ), uni AS (
-            SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1
         ), big AS (
             SELECT g, COUNT(*) AS c2 FROM bg GROUP BY g
+        ), uni AS (
+            SELECT split_part(g, ' ', 1) AS w1, SUM(c2) AS c1
+            FROM big GROUP BY split_part(g, ' ', 1)
         ), v AS (
             SELECT COUNT(*) AS vv FROM uni
         ), terms AS (
@@ -509,8 +510,15 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    uni = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
     big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    # Prefix counts c1(w1) = Σ_w2 c2(w1,w2) roll up from the bigram
+    # count table (vocab²-bounded) — NOT from the full bigram stream:
+    # one fewer corpus-sized shuffle, identical counts.
+    uni = (
+        big.select(F.substring_index("g", " ", 1).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").alias("c1"))
+    )
     v = uni.agg(F.count(F.lit(1)).alias("vv"))
     nll = -F.log(
         (F.col("c2") + float(BIGRAM_ADD_K)) / (F.col("c1") + F.col("vv"))

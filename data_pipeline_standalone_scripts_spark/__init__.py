@@ -26,9 +26,15 @@ from .registry import REGISTRY  # noqa: F401
 # were driver-RED in r01 (fixes must be confirmed), then the categories
 # that have never seen the driver's hard signal (scans, outer/asof/interval
 # joins, windows, ordering, set ops, scalar functions, UDF surfaces,
-# textpipe), then this round's new operators. Still-deferred to round 3:
-# q_join_cross, q_token_count, multimodal X7/X8/X16, reference analogs
-# X9–X14 (all stay locally parity-gated meanwhile).
+# textpipe), then this round's new operators. Round-3 front-window queue
+# (never driver-checked, all locally parity-gated meanwhile):
+# q_join_cross, q_token_count, multimodal (q_multimodal_decode,
+# q_pgm_decode, q_wav_decode, q_frame_sample, q_media_resize),
+# reference analogs X9–X14, round-1-late ops (q_contamination_check,
+# q_repetition_filter, q_mixture_sample), and the round-2 additions
+# (q_ngram_lm_score, q_quality_score_model, q_domain_quota,
+# q_dedup_clusters, q_bm25_rank, q_embed_quantize, q_unpivot,
+# q_string_agg, q_corr_subquery, q_map_funcs).
 DRIVER_PRIORITY: list[str] = [
     # r01 driver-RED, fixed this round — must flip to green
     "q_lang_distribution",

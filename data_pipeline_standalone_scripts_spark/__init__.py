@@ -34,7 +34,8 @@ from .registry import REGISTRY  # noqa: F401
 # q_repetition_filter, q_mixture_sample), and the round-2 additions
 # (q_ngram_lm_score, q_quality_score_model, q_domain_quota,
 # q_dedup_clusters, q_bm25_rank, q_embed_quantize, q_unpivot,
-# q_string_agg, q_corr_subquery, q_map_funcs).
+# q_string_agg, q_corr_subquery, q_map_funcs, q_doc_chunk,
+# q_pack_sequences).
 DRIVER_PRIORITY: list[str] = [
     # r01 driver-RED, fixed this round — must flip to green
     "q_lang_distribution",

@@ -717,3 +717,134 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(keep).select(
         "doc_id", "source", rate.cast("int").alias("rate_permille")
     )
+
+
+CHUNK_TOKENS = 32  # tokens per training chunk
+CHUNK_STRIDE = 24  # stride (CHUNK_TOKENS − overlap of 8)
+
+
+@register(
+    "q_doc_chunk",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), idx AS (
+            SELECT doc_id, t, n,
+                   unnest(range(0, (n - 1) // {CHUNK_STRIDE} + 1)) AS chunk_idx
+            FROM toks
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT) AS start_tok,
+               CAST(len(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS})) AS BIGINT)
+                   AS n_chunk_tokens,
+               array_to_string(list_slice(t, chunk_idx * {CHUNK_STRIDE} + 1,
+                        chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}), ' ')
+                   AS chunk_text
+        FROM idx
+    """,
+    category=CAT,
+)
+def q_doc_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size training-chunk extraction: split each document into
+    32-token chunks with 8-token overlap (stride 24) — the step that
+    turns variable-length documents into model-context-sized training
+    examples while the overlap preserves cross-boundary context. The
+    last chunk per doc is short rather than padded (padding is a
+    tokenizer-side concern).
+
+    Chunk boundaries are pure integer arithmetic on token positions,
+    and the chunk text is a deterministic slice — everything crosses
+    the oracle boundary exactly.
+
+    Scale: shuffle-before-expansion again — chunking explodes ×(n/24)
+    rows, so the repartition moves whole docs first; slicing runs in
+    codegen. Chunks inherit doc_id so downstream dedup/quota joins
+    co-partition for free.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .withColumn("n", F.size("t"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE + 1
+    chunk = F.slice("t", start, CHUNK_TOKENS)
+    return d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n") - 1) / CHUNK_STRIDE))
+        ).alias("chunk_idx"),
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+PACK_BUDGET = 256  # token budget per packed training sequence
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        ), cum AS (
+            SELECT doc_id, source, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS cum_excl
+            FROM toks
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_excl // {PACK_BUDGET} AS BIGINT) AS pack_id,
+               CAST(cum_excl % {PACK_BUDGET} AS BIGINT) AS offset_in_pack,
+               cum_excl % {PACK_BUDGET} + n_tokens > {PACK_BUDGET}
+                   AS crosses_boundary
+        FROM cum
+    """,
+    category=CAT,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concatenate-then-split): within each source
+    shard, documents are concatenated in doc_id order and cut into
+    256-token training sequences; each doc reports the pack it starts
+    in, its token offset there, and whether it straddles a pack
+    boundary — the bookkeeping a packed-pretraining dataloader needs.
+    All integer arithmetic on an exclusive running token count.
+
+    Scale: the prefix sum is windowed PER SOURCE SHARD (how packing is
+    actually run — shard-local concatenation), so no global ordering
+    bottleneck exists; each stratum's window is one partition of work
+    after the source-keyed shuffle. A truly global pack order would
+    need the classic two-pass prefix sum (per-partition subtotals,
+    broadcast offsets) — deliberately avoided by keying on the shard.
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return d.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.floor(cum_excl / PACK_BUDGET).cast("long").alias("pack_id"),
+        (cum_excl % PACK_BUDGET).cast("long").alias("offset_in_pack"),
+        (cum_excl % PACK_BUDGET + F.col("n_tokens") > PACK_BUDGET).alias(
+            "crosses_boundary"
+        ),
+    )

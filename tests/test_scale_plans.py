@@ -211,21 +211,22 @@ def test_quality_score_is_exchange_free(spark, sf_med):
 
 def test_lm_score_reuses_bigram_stream(spark, sf_med):
     """The LM scorer explodes the bigram stream ONCE (persisted) and
-    feeds both model aggregates and the scoring join from the cache:
-    ≥3 InMemoryTableScans, and the only exchanges left are the one
-    doc repartition (inside the cached subtree), the two model count
-    shuffles, and the 1-row vocab aggregate."""
+    feeds the model counts and the scoring join from the cache. The
+    un-persisted regression re-runs the doc repartition + explode in
+    every branch and shows ZERO InMemoryTableScans — so cache reuse,
+    not a formatted-plan exchange count (whose node ids vary with
+    session cache state), is the gated property. The bigram stream
+    must be cached and read at least 2× (scoring join + model counts;
+    Spark may collapse the uni rollup into the big subtree)."""
+    spark.catalog.clearCache()
     df = REGISTRY["q_ngram_lm_score"].fn(spark, sf_med)
     plan = plan_of(df)
-    assert plan.count("InMemoryTableScan") >= 3, plan[:1200]
-    # Audited: the ONE cache-internal doc repartition prints under a
-    # fresh node id per cache reference (×3 here), plus two model count
-    # shuffles and the final per-doc aggregate (the AQE-wrapped cache
-    # hides its partitioning from the outer plan) = 6 printed ids for
-    # 4 physical exchanges. The un-persisted regression this gate
-    # exists to catch prints 8+.
-    n_exchanges = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
-    assert n_exchanges <= 6, plan[:1200]
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1200]
+    # And the explode must appear exactly once — inside the cached
+    # subtree (formatted mode prints the cached plan's detail block
+    # once, however many scans reference it). Re-explosion per model
+    # branch is the regression and prints one "explode(" per branch.
+    assert plan.count("explode") == 1, plan[:1200]
     spark.catalog.clearCache()
 
 

@@ -448,3 +448,46 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("o_totalprice", F.lit(0.9), F.lit(10000)).alias("p90_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+HIST_BIN_WIDTH = 25_000.0  # o_totalprice histogram bin width
+HIST_N_BINS = 20
+
+
+@register(
+    "q_histogram",
+    oracle=f"""
+        SELECT LEAST(CAST(FLOOR(o_totalprice / {HIST_BIN_WIDTH}) AS BIGINT),
+                     {HIST_N_BINS - 1}) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+                   / 100.0 AS total_price
+        FROM orders
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: fixed-width histogram of order totals — 20 × 25k bins with
+    an overflow top bin (the portable spelling of width_bucket:
+    LEAST(FLOOR(x/w), n−1), identical arithmetic in both engines).
+    Per-bin count plus exact cent-scaled price mass.
+
+    Scale: single map-side-combined hash aggregate over ≤20 groups —
+    the shuffle carries 20 rows per partition. The histogram every
+    data-profiling pass starts with.
+    """
+    o = load(spark, sf_dir, "orders")
+    bin_ = F.least(
+        F.floor(F.col("o_totalprice") / HIST_BIN_WIDTH).cast("long"),
+        F.lit(HIST_N_BINS - 1).cast("long"),
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (
+        o.select(bin_.alias("bin"), cents.alias("cents"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_price"),
+        )
+    )

@@ -542,3 +542,79 @@ def q_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "orders", "lineitem")
     return spark.sql(_CORR_SUBQUERY_SQL)
+
+
+# --- data maintenance (MERGE shape) ----------------------------------------
+
+_UPSERT_SQL = """
+    WITH changes AS (
+        SELECT o_orderkey AS key, 'U' AS op,
+               o_totalprice + 1000.0 AS new_price, o_custkey AS new_custkey
+        FROM orders WHERE o_orderkey % 10 = 3 AND o_orderkey % 100 != 7
+        UNION ALL
+        SELECT o_orderkey, 'D', NULL, NULL
+        FROM orders WHERE o_orderkey % 100 = 7
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'I',
+               o_totalprice * 0.5, o_custkey
+        FROM orders WHERE o_orderkey % 50 = 1
+    )
+    SELECT COALESCE(o.o_orderkey, c.key) AS o_orderkey,
+           COALESCE(c.new_custkey, o.o_custkey) AS o_custkey,
+           COALESCE(c.new_price, o.o_totalprice) AS o_totalprice,
+           CASE WHEN c.op = 'U' THEN 'updated'
+                WHEN c.op = 'I' THEN 'inserted'
+                ELSE 'kept' END AS src
+    FROM orders o FULL OUTER JOIN changes c ON o.o_orderkey = c.key
+    WHERE c.op IS NULL OR c.op != 'D'
+"""
+
+
+@register("q_cdc_upsert", oracle=_UPSERT_SQL, category=CAT)
+def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC upsert / MERGE INTO shape: apply a consolidated changeset
+    (updates, deletes, inserts — disjoint keys by construction) to a
+    snapshot in ONE full-outer join on the key, the way lakehouse
+    MERGE executes once you strip the sugar. The changeset here is
+    derived deterministically from the snapshot itself so the oracle
+    can rebuild it; a real pipeline reads it from a CDC stream.
+
+    Update/insert arithmetic (+1000.0, ×0.5) is exact in binary
+    doubles, so values cross the oracle boundary bit-identically.
+
+    Scale: both sides shuffle once on the merge key (or zero times if
+    snapshot and changeset are bucketed on it — the layout a
+    merge-heavy table should have); per-row CASE picks survivor
+    values. No broadcast assumption: changesets can be large.
+    """
+    o = load(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd = o.filter((k % 10 == 3) & (k % 100 != 7)).select(
+        k.alias("key"),
+        F.lit("U").alias("op"),
+        (F.col("o_totalprice") + 1000.0).alias("new_price"),
+        F.col("o_custkey").alias("new_custkey"),
+    )
+    dels = o.filter(k % 100 == 7).select(
+        k.alias("key"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit(None).cast("long").alias("new_custkey"),
+    )
+    ins = o.filter(k % 50 == 1).select(
+        (k + 10_000_000).alias("key"),
+        F.lit("I").alias("op"),
+        (F.col("o_totalprice") * 0.5).alias("new_price"),
+        F.col("o_custkey").alias("new_custkey"),
+    )
+    changes = upd.unionByName(dels).unionByName(ins)
+    merged = o.join(changes, o.o_orderkey == changes.key, "full_outer")
+    return merged.filter(F.col("op").isNull() | (F.col("op") != "D")).select(
+        F.coalesce(F.col("o_orderkey"), F.col("key")).alias("o_orderkey"),
+        F.coalesce(F.col("new_custkey"), F.col("o_custkey")).alias("o_custkey"),
+        F.coalesce(F.col("new_price"), F.col("o_totalprice")).alias("o_totalprice"),
+        F.when(F.col("op") == "U", F.lit("updated"))
+        .when(F.col("op") == "I", F.lit("inserted"))
+        .otherwise(F.lit("kept"))
+        .alias("src"),
+    )

@@ -618,3 +618,71 @@ def q_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("kept"))
         .alias("src"),
     )
+
+
+# --- skew-mitigated join (registered showcase of functions/skew.py) ---------
+
+N_SALTS = 16
+
+_SKEW_SQL = """
+    WITH keyed AS (
+        SELECT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS hot_key,
+               value
+        FROM events
+    ), dim AS (
+        SELECT DISTINCT CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END AS hot_key,
+               'grp_' || CAST(CASE WHEN user_id % 10 < 5 THEN 0 ELSE user_id END % 5
+                              AS VARCHAR) AS grp
+        FROM events
+    )
+    SELECT d.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(k.value * 100 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0
+               AS total_value
+    FROM keyed k JOIN dim d ON k.hot_key = d.hot_key
+    GROUP BY d.grp
+"""
+
+
+@register("q_skew_salted_join", oracle=_SKEW_SQL, category=CAT)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: skew-mitigated join — a deliberately pathological key
+    (users with user_id % 10 < 5 collapse to key 0 ⇒ one key owns
+    ~half the fact table at every scale factor)
+    joined to a small dim through ``functions.skew.salted_join``: the
+    dim replicates ×16, the fact side scatters the hot key across 16
+    salt buckets, and the join runs on (key, salt) so no single task
+    owns the hot key. The oracle computes the PLAIN join — value-hash
+    equality is a hard proof that salting preserves join multiplicity.
+
+    Scale: this is the manual fix for single-key skew AQE can't split
+    (it can rebalance partitions, not one key's hash bucket). Salt
+    count trades small-side size (×S broadcast) against per-task load.
+    """
+    from ..functions.skew import salted_join
+
+    e = load(spark, sf_dir, "events")
+    hot = F.when(F.col("user_id") % 10 < 5, F.lit(0).cast("long")).otherwise(
+        F.col("user_id")
+    )
+    keyed = e.select(hot.alias("hot_key"), "value")
+    dim = (
+        keyed.select("hot_key")
+        .distinct()
+        .select(
+            "hot_key",
+            F.concat(F.lit("grp_"), (F.col("hot_key") % 5).cast("string")).alias(
+                "grp"
+            ),
+        )
+    )
+    joined = salted_join(keyed, dim, "hot_key", n_salts=N_SALTS)
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    return (
+        joined.select("grp", cents.alias("cents"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents").cast("double") / 100.0).alias("total_value"),
+        )
+    )

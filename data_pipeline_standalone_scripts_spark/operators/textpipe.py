@@ -848,3 +848,70 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "crosses_boundary"
         ),
     )
+
+
+@register(
+    "q_token_entropy",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+        ), wn AS (
+            SELECT doc_id, c,
+                   SUM(c) OVER (PARTITION BY doc_id) AS n,
+                   COUNT(*) OVER (PARTITION BY doc_id) AS nd
+            FROM tf
+        ), terms AS (
+            SELECT doc_id, nd,
+                   CAST(round(-(CAST(c AS DOUBLE) / n)
+                              * log2(CAST(c AS DOUBLE) / n) * 1000000)
+                        AS BIGINT) AS m
+            FROM wn
+        )
+        SELECT doc_id, CAST(nd AS BIGINT) AS n_distinct,
+               ROUND(CAST(SUM(m) AS DOUBLE) / 1000000.0, 6) AS entropy
+        FROM terms GROUP BY doc_id, nd
+    """,
+    category=CAT,
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the
+    information-density quality signal (near-zero entropy = degenerate
+    repetition; complements X21's duplicate-fraction view). p = tf/n
+    is an exact integer ratio; each −p·log2(p) term is micro-rounded
+    and summed as BIGINT (dsum discipline), so only the final round(6)
+    is float.
+
+    Scale: shuffle-before-expansion repartition by doc_id, then BOTH
+    the (doc_id, token) aggregate and the per-doc window reuse that
+    partitioning — one exchange total, same contract as winnowing.
+    """
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.split("text", " ").alias("t"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    tf = (
+        d.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    micros = -p * F.log2(p) * 1_000_000
+    term = (micros + F.when(micros >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast(
+        "long"
+    )
+    return (
+        tf.withColumn("n", F.sum("c").over(w))
+        .withColumn("nd", F.count(F.lit(1)).over(w))
+        .select("doc_id", "nd", term.alias("m"))
+        .groupBy("doc_id", "nd")
+        .agg(F.sum("m").alias("msum"))
+        .select(
+            "doc_id",
+            F.col("nd").cast("long").alias("n_distinct"),
+            F.round(F.col("msum").cast("double") / 1_000_000.0, 6).alias("entropy"),
+        )
+    )

@@ -330,3 +330,141 @@ def test_dedup_clusters_consistent_with_pairs(spark, sf_small):
             keeps[r.cluster_id].append(r.doc_id)
     for c, docs in members.items():
         assert keeps[c] == [min(docs)] and c == min(docs)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: label propagation on Spark must equal a
+    pure-Python union-find on arbitrary graphs (chains, forests, dense
+    blobs) — seeds fixed for reproducibility."""
+    import random
+
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    n = 60
+    edges_u = [(rng.randrange(n), rng.randrange(n)) for _ in range(45)]
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    for a, b in edges_u:
+        parent[find(a)] = find(b)
+    expected = {i: min(j for j in range(n) if find(j) == find(i)) for i in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(a, b) for a, b in edges_u if a != b]
+        + [(b, a) for a, b in edges_u if a != b],
+        "src long, dst long",
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == expected
+
+
+def test_doc_chunks_reconstruct_document(spark, sf_small):
+    """Overlap-chunking invariant: dropping the 8-token overlap from
+    every chunk after the first and concatenating reconstructs the
+    original token stream exactly."""
+    from data_pipeline_standalone_scripts_spark.operators.textpipe import (
+        CHUNK_STRIDE,
+    )
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+    from data_pipeline_standalone_scripts_spark.tables import load
+
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    chunks = REGISTRY["q_doc_chunk"].fn(spark, sf_small).collect()
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load(spark, sf_small, "documents").select("doc_id", "text").collect()
+    }
+    from collections import defaultdict
+
+    per_doc = defaultdict(list)
+    for r in chunks:
+        per_doc[r.doc_id].append(r)
+    for doc_id, rows in per_doc.items():
+        rows.sort(key=lambda r: r.chunk_idx)
+        # every chunk is exactly the doc's token slice it claims to be
+        for r in rows:
+            toks = r.chunk_text.split(" ") if r.chunk_text else []
+            assert toks == docs[doc_id][r.start_tok - 1 : r.start_tok - 1 + r.n_chunk_tokens]
+        # coverage: last chunk must reach the end of the doc
+        last = rows[-1]
+        assert last.start_tok - 1 + last.n_chunk_tokens == len(docs[doc_id])
+        # stride: consecutive chunks start CHUNK_STRIDE apart
+        for a, b in zip(rows, rows[1:]):
+            assert b.start_tok - a.start_tok == CHUNK_STRIDE
+
+
+def test_pack_sequences_offsets_consistent(spark, sf_small):
+    """Within each source shard (doc_id order): offset/pack arithmetic
+    must chain exactly — next doc's exclusive cumsum = previous's plus
+    its length; entropy of the packing is irrelevant, the bookkeeping
+    must be airtight."""
+    from data_pipeline_standalone_scripts_spark.operators.textpipe import PACK_BUDGET
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    rows = REGISTRY["q_pack_sequences"].fn(spark, sf_small).collect()
+    from collections import defaultdict
+
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r.source].append(r)
+    for _, rs in shards.items():
+        rs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in rs:
+            assert r.pack_id == cum // PACK_BUDGET
+            assert r.offset_in_pack == cum % PACK_BUDGET
+            assert r.crosses_boundary == (cum % PACK_BUDGET + r.n_tokens > PACK_BUDGET)
+            cum += r.n_tokens
+
+
+def test_token_entropy_bounds(spark, sf_small):
+    """0 ≤ H ≤ log2(n_distinct) with equality only in degenerate cases."""
+    import math
+
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+
+    # per-term micro-rounding accumulates up to n_distinct * 5e-7
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    for r in REGISTRY["q_token_entropy"].fn(spark, sf_small).collect():
+        assert -1e-4 <= r.entropy <= math.log2(r.n_distinct) + 1e-4
+
+
+def test_cdc_upsert_counts(spark, sf_small):
+    """Survivor accounting: kept + updated == snapshot − deleted;
+    inserted == insert-rule matches; no deleted key survives."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+    from data_pipeline_standalone_scripts_spark.tables import load
+
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    o = load(spark, sf_small, "orders")
+    k = F.col("o_orderkey")
+    n_total = o.count()
+    n_del = o.filter(k % 100 == 7).count()
+    n_upd = o.filter((k % 10 == 3) & (k % 100 != 7)).count()
+    n_ins = o.filter(k % 50 == 1).count()
+    out = REGISTRY["q_cdc_upsert"].fn(spark, sf_small)
+    by_src = {r.src: r.n for r in out.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by_src.get("updated", 0) == n_upd
+    assert by_src.get("inserted", 0) == n_ins
+    assert by_src.get("kept", 0) == n_total - n_del - n_upd
+    assert out.filter((F.col("o_orderkey") % 100 == 7) & (F.col("o_orderkey") < 10_000_000)).count() == 0

@@ -352,3 +352,67 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1_000_000.0
         ).alias("total_lag_seconds"),
     )
+
+
+ZSCORE_CUT = 3.0
+
+
+@register(
+    "q_zscore_outliers",
+    oracle=f"""
+        WITH cents AS (
+            SELECT event_id, event_type, value,
+                   CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS vc
+            FROM events
+        ), stats AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   SUM(vc) AS s,
+                   SUM(vc * vc) AS sq
+            FROM cents GROUP BY event_type
+        ), scored AS (
+            SELECT c.event_id, c.event_type, c.value,
+                   (CAST(c.vc AS DOUBLE) - CAST(s.s AS DOUBLE) / s.n)
+                   / sqrt((CAST(s.sq AS DOUBLE)
+                           - CAST(s.s AS DOUBLE) * s.s / s.n) / (s.n - 1))
+                       AS z
+            FROM cents c JOIN stats s ON c.event_type = s.event_type
+        )
+        SELECT event_id, event_type, value, ROUND(z, 6) AS zscore
+        FROM scored WHERE abs(z) > {ZSCORE_CUT}
+    """,
+    category=CAT,
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: per-event-type z-score outliers (|z| > 3) — the standard
+    metric-stream anomaly screen. Mean and sample variance are built
+    from EXACT cent-scaled integer sums (Σv, Σv²), so z and the cut
+    itself are deterministic doubles — a naive float stddev differs in
+    the last ulp across partition merge orders, and a boundary row
+    would flip in and out of the answer.
+
+    Scale: one map-side-combined aggregate (3 longs per type) + a
+    broadcast join back — the corpus scans twice but never shuffles.
+    Σv² of cent-scaled values needs |v|·100 ≤ ~3e4 per row to keep
+    Σv² < 2^63 at 10^10 rows — holds here with wide margin; switch
+    the accumulator to DECIMAL beyond that.
+    """
+    e = load(spark, sf_dir, "events")
+    vc = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    cents = e.select("event_id", "event_type", "value", vc.alias("vc"))
+    stats = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vc").alias("s"),
+        F.sum(F.col("vc") * F.col("vc")).alias("sq"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (
+        F.col("sq").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("vc").cast("double") - mean) / F.sqrt(var)
+    return (
+        cents.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > ZSCORE_CUT)
+        .select("event_id", "event_type", "value", F.round("z", 6).alias("zscore"))
+    )

@@ -915,3 +915,92 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("msum").cast("double") / 1_000_000.0, 6).alias("entropy"),
         )
     )
+
+
+SPLIT_VAL_PERMILLE = 100  # 10% validation
+SPLIT_TEST_PERMILLE = 100  # 10% test
+
+
+@register(
+    "q_train_test_split",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, lang,
+                   CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+                         1, 15)) AS BIGINT) % 1000 AS bucket
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               CASE WHEN bucket < {SPLIT_TEST_PERMILLE} THEN 'test'
+                    WHEN bucket < {SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE}
+                        THEN 'val'
+                    ELSE 'train' END AS split
+        FROM h
+    """,
+    category=CAT,
+)
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) by content
+    hash of the document id — reproducible across runs, engines, and
+    partitionings, and stable under corpus growth (a doc's split never
+    changes when other docs are added — the property random shuffles
+    lack and the reason every production pipeline splits by hash).
+
+    Scale: embarrassingly parallel scan-side expression; no state, no
+    shuffle, no split-manifest table to keep consistent.
+    """
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    split = (
+        F.when(bucket < SPLIT_TEST_PERMILLE, F.lit("test"))
+        .when(bucket < SPLIT_TEST_PERMILLE + SPLIT_VAL_PERMILLE, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return d.select("doc_id", "lang", split.alias("split"))
+
+
+RARE_MIN_COUNT = 40  # sources rarer than this collapse to 'other'
+
+
+@register(
+    "q_rare_bucket",
+    oracle=f"""
+        WITH counts AS (
+            SELECT source, COUNT(*) AS c FROM documents GROUP BY source
+        )
+        SELECT d.doc_id,
+               CASE WHEN c.c >= {RARE_MIN_COUNT} THEN d.source
+                    ELSE 'other' END AS source_bucketed,
+               CAST(c.c AS BIGINT) AS source_count
+        FROM documents d JOIN counts c ON d.source = c.source
+    """,
+    category=CAT,
+)
+def q_rare_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-category bucketing: sources with fewer than RARE_MIN_COUNT
+    documents collapse into 'other' — the cardinality-control step
+    before any categorical feature is fed to a model or used as a
+    partition key (unbounded category sets are both a model and a
+    small-files hazard).
+
+    Scale: category counts are a category-bounded aggregate joined
+    back as a broadcast; the corpus never shuffles.
+    """
+    d = load(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("c"))
+    return d.join(F.broadcast(counts), "source").select(
+        "doc_id",
+        F.when(F.col("c") >= RARE_MIN_COUNT, F.col("source"))
+        .otherwise(F.lit("other"))
+        .alias("source_bucketed"),
+        F.col("c").cast("long").alias("source_count"),
+    )

@@ -36,3 +36,33 @@ def test_entry_contract(spark):
     qs, osql = se.queries(), se.oracle_sql()
     assert set(osql) <= set(qs)
     assert len(qs) >= 80
+
+
+def test_no_canonicalizer_hazard_types(spark, sf_small):
+    """r01 post-mortem gate: the DRIVER's canonicalizer (pandas
+    sort_values) crashes on array/map/struct cells and its value-hash
+    diverges on raw timestamps (Arrow tz mismatch). No registered
+    query may emit any of those — serialize to string/JSON first
+    (operators/common.ts_str, array_join/to_json)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        MapType,
+        StructType,
+        TimestampNTZType,
+        TimestampType,
+    )
+
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+
+    offenders = []
+    for name, q in REGISTRY.items():
+        for f in q.fn(spark, sf_small).schema.fields:
+            if isinstance(
+                f.dataType,
+                (ArrayType, MapType, StructType, TimestampType, TimestampNTZType),
+            ):
+                offenders.append((name, f.name, f.dataType.simpleString()))
+    assert not offenders, offenders

@@ -300,7 +300,7 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n,
-               SUM(CAST(props ->> '$.k' AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS sum_k,
                CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_k
         FROM events
         GROUP BY event_type

@@ -124,6 +124,28 @@ def _reject_unhashable_cols(engine: str, pdf: pd.DataFrame, issues: list[str]) -
             break
 
 
+def _reject_kind_mismatch(
+    spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame, issues: list[str]
+) -> None:
+    """Integer-vs-float dtype mismatches break the DRIVER's value hash
+    (r01: DuckDB SUM→HUGEINT→float64 150000.0 vs Spark int64 150000),
+    but slip through python's cross-type equality (150000 == 150000.0)
+    that our canonical tuples compare with. Flag per-column dtype KINDS
+    that disagree between int-family and float. Width differences
+    (int8 vs int64) are fine — r01's driver hashed q_simhash_neardup's
+    TINYINT-vs-int64 hamming green."""
+    fam = {"i": "int", "u": "int", "b": "bool", "f": "float"}
+    for c in spark_pdf.columns:
+        sk = fam.get(spark_pdf[c].dtype.kind, spark_pdf[c].dtype.kind)
+        ok_ = fam.get(oracle_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind)
+        if {sk, ok_} == {"int", "float"}:
+            issues.append(
+                f"column {c!r} dtype kind mismatch: spark={spark_pdf[c].dtype} "
+                f"oracle={oracle_pdf[c].dtype} — int-vs-float breaks the "
+                "driver's value hash (CAST the DuckDB side, r01 bug class)"
+            )
+
+
 def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame) -> ParityReport:
     issues: list[str] = []
     scols, ocols = sorted(spark_pdf.columns), sorted(oracle_pdf.columns)
@@ -132,6 +154,7 @@ def compare_frames(name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame)
         return ParityReport(name, False, len(spark_pdf), len(oracle_pdf), issues)
     _reject_unhashable_cols("spark", spark_pdf, issues)
     _reject_unhashable_cols("oracle", oracle_pdf, issues)
+    _reject_kind_mismatch(spark_pdf, oracle_pdf, issues)
     if issues:
         return ParityReport(name, False, len(spark_pdf), len(oracle_pdf), issues)
     if len(spark_pdf) != len(oracle_pdf):

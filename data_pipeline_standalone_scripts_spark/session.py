@@ -23,8 +23,52 @@ import os
 from pyspark.sql import SparkSession
 
 
+_PKG_SHIPPED: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver process's cwd.
+
+    Cloudpickle serializes module-level functions (the multimodal
+    byte-parsers referenced from mapInPandas) BY REFERENCE — the worker
+    re-imports the module. That works when the driver happens to run
+    from the repo root (workers inherit cwd → '' on sys.path) and
+    fails with ModuleNotFoundError from anywhere else, which is
+    exactly how an external harness runs us. Shipping a zip via
+    ``addPyFile`` is the standard mechanism (the local twin of
+    ``spark-submit --py-files``) and is what a real cluster deployment
+    does with the wheel.
+    """
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _PKG_SHIPPED:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_STORED) as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fname in files:
+                if not fname.endswith(".py"):
+                    continue
+                full = os.path.join(root, fname)
+                arc = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                zf.write(full, arc)
+    sc.addPyFile(zip_path)
+    _PKG_SHIPPED.add(key)
+
+
 def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     """Idempotent, runtime-settable conf required for oracle parity."""
+    _ship_package(spark)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     # AQE is default-on in Spark 4.x; assert rather than trust.
     spark.conf.set("spark.sql.adaptive.enabled", "true")

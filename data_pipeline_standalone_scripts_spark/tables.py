@@ -42,17 +42,28 @@ def table_path(sf_dir: str, name: str) -> str:
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table as a DataFrame (lazy scan).
 
-    `events.ts` is stored as timestamp[ns]; Spark reads it as long
-    (nanosAsLong, see session.ensure_runtime_conf) and we convert to a
-    microsecond TimestampType here — matching DuckDB's internal ns→µs
-    truncation, so oracle comparisons agree to the microsecond.
+    `events.ts` has shipped in two physical encodings across testdata
+    generations: timestamp[ns] (Spark reads it as long under the
+    nanosAsLong conf set in session.ensure_runtime_conf — convert to µs
+    here, matching DuckDB's internal ns→µs truncation) and timestamp[us]
+    with no timezone metadata (Spark reads TIMESTAMP_NTZ). Either way we
+    normalize to a session-UTC TimestampType: the NTZ→LTZ cast is
+    value-preserving under the UTC session timezone the engine pins, and
+    downstream operators use `unix_micros()` et al., which require the
+    TIMESTAMP (ltz) type. DuckDB reads the same file as its (naive)
+    TIMESTAMP, so oracle comparisons agree to the microsecond.
     """
     ensure_runtime_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql import types as T
 
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

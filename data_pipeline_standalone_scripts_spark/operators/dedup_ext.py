@@ -167,7 +167,36 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "key"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    # Triangle decomposition of the bucket self-join. A near-dup-dense
+    # corpus makes band buckets pathologically hot (this testdata: one
+    # token profile shared by 248 docs ⇒ every band bucket containing
+    # it does ≥30 k pair evaluations, and ALL of a bucket's quadratic
+    # work lands on the ONE task that owns its (band, key) hash —
+    # AQE's skew splitting can't help because the skew is in join
+    # OUTPUT, invisible in the input shuffle sizes). Split each bucket
+    # by doc-hash group g ∈ [0, G): task (i ≤ j) joins the bucket's
+    # group-i docs against its group-j docs, so a bucket's work
+    # spreads over G(G+1)/2 independently-hashed keys. Replication is
+    # ~(G+1)/2 copies of the tiny (doc, band, key) stream — hundreds
+    # of KB — traded against even distribution of the O(Σ n_k²) pair
+    # work. Same shape as functions/skew.salted_join, specialized to
+    # a self-join. Each pair is emitted exactly once: cross-group
+    # pairs by the one (g_a, g_b) task with g_a < g_b (orientation
+    # re-imposed on doc_id in the output), diagonal tasks by
+    # doc_a < doc_b. Measured at bench settings (8 shuffle
+    # partitions, sf0.1, 898 k result pairs): 11.1 s → ~3 s.
+    G = 8
+    g = F.pmod(F.hash("doc_id"), F.lit(G))
+    a = (
+        bands.withColumn("ga", g)
+        .withColumn("gb", F.explode(F.expr(f"sequence(ga, {G - 1})")))
+        .alias("a")
+    )
+    b = (
+        bands.withColumn("gb", g)
+        .withColumn("ga", F.explode(F.expr("sequence(0, gb)")))
+        .alias("b")
+    )
     x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # Lowest-colliding-band emission: a qualifying pair collides in ≥1
     # band; emit it ONLY from the first band in which the fingerprints
@@ -195,12 +224,20 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.ga") == F.col("b.ga"))
+            & (F.col("a.gb") == F.col("b.gb"))
+            # diagonal tasks order within the group; off-diagonal tasks
+            # already see each unordered pair exactly once
+            & (
+                (F.col("a.ga") != F.col("b.gb"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
         .filter(lowest_band)
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
             F.bit_count(x).cast("long").alias("hamming"),
         )
         .filter(F.col("hamming") <= HAMMING_MAX)

@@ -90,3 +90,65 @@ def q_sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     h = (F.col("o_orderkey") * F.lit(2654435761)) % F.lit(4294967296)
     return o.filter(h < 429496730).select("o_orderkey", "o_custkey", "o_totalprice")
+
+# Morton (Z-order) interleave of the low 16 bits of two keys. Even bit
+# positions take l_partkey's bits, odd take l_suppkey's — the curve that
+# makes a single range of the code cover a 2-D rectangle of key space.
+_MORTON_BITS = 16
+
+
+def _morton_spark() -> str:
+    terms = [
+        f"(shiftleft(shiftright(l_partkey, {i}) & 1, {2 * i}) "
+        f"+ shiftleft(shiftright(l_suppkey, {i}) & 1, {2 * i + 1}))"
+        for i in range(_MORTON_BITS)
+    ]
+    return "cast(" + " + ".join(terms) + " as bigint)"
+
+
+def _morton_duck() -> str:
+    terms = [
+        f"((((l_partkey >> {i}) & 1) << {2 * i}) "
+        f"+ (((l_suppkey >> {i}) & 1) << {2 * i + 1}))"
+        for i in range(_MORTON_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+@register(
+    "q_morton_cluster",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+               {_morton_duck()} AS morton
+        FROM lineitem
+        ORDER BY morton ASC, l_orderkey ASC, l_linenumber ASC
+        LIMIT 100
+    """,
+    category=CAT,
+)
+def q_morton_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O4: Z-order (Morton) clustering key — interleave the low 16 bits
+    of (l_partkey, l_suppkey) and take the first 100 rows of the curve
+    (tie-broken on the unique PK). Pure BIGINT shift/mask arithmetic,
+    identical in both engines, fully inside codegen.
+
+    Scale: this is the write-side clustering pattern (Delta/Iceberg
+    Z-ORDER): `repartitionByRange(morton).sortWithinPartitions(morton)`
+    before a parquet write yields files whose (partkey, suppkey)
+    min/max envelopes are tight rectangles, so point/range predicates
+    on EITHER column prune files — one sort buys data-skipping on two
+    dimensions. The query form here computes the key and reads back
+    the head of the curve (TakeOrderedAndProject, no global sort).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            F.expr(_morton_spark()).alias("morton"),
+        )
+        .orderBy("morton", "l_orderkey", "l_linenumber")
+        .limit(100)
+    )

@@ -1,0 +1,264 @@
+"""Time-series warehouse operators over the `events` stream table:
+gap-fill with forward-fill interpolation, SCD2 interval construction,
+and a hypertable-style multi-resolution rollup.
+
+These complete the temporal family around events.py (T1–T8): where
+those answer "aggregate what happened", these build the *derived
+temporal tables* a warehouse keeps — dense per-key series (gap-fill),
+validity-interval dimensions (SCD2), and pre-aggregated multi-grain
+rollups (the continuous-aggregate pattern from the time-series DB
+world, e.g. TimescaleDB continuous aggregates / Druid rollup).
+
+Scale notes (100 TB):
+- Gap-fill's spine is |keys| × |buckets| — generated ON the executors
+  by `sequence()` + `explode` after a key-partitioned shuffle, never
+  driver-side. The dense join is a per-key sort-merge on the same
+  partitioning the forward-fill window needs, so the spine costs ONE
+  exchange.
+- SCD2 is two window passes over one user-partitioned sort plus a
+  per-run aggregate that reuses the partitioning — the same
+  gaps-and-islands shape as q_session_window, no join.
+- The multi-grain rollup uses GROUPING SETS, which expands rows ×3
+  BEFORE the shuffle (Expand operator) but scans the fact table ONCE;
+  at scale that beats three separate scans whenever the scan dominates,
+  and the per-grain partial aggregation still map-side combines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load, register_views
+from .common import dsum, o_dsum, o_ts_str, ts_str
+
+CAT = "timeseries"
+
+_SCD2_SENTINEL = "9999-12-31 23:59:59.000000"
+
+
+@register(
+    "q_gap_fill_daily",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   COUNT(*) AS n_events,
+                   {o_dsum("value", "day_value")}
+            FROM events GROUP BY 1, 2
+        ), span AS (
+            SELECT date_trunc('day', MIN(ts)) AS d0,
+                   date_trunc('day', MAX(ts)) AS d1
+            FROM events
+        ), spine AS (
+            SELECT u.user_id, g.day
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN (
+                SELECT unnest(generate_series((SELECT d0 FROM span),
+                                              (SELECT d1 FROM span),
+                                              INTERVAL 1 DAY)) AS day
+            ) g
+        )
+        SELECT s.user_id,
+               strftime(s.day, '%Y-%m-%d') AS day,
+               COALESCE(d.n_events, 0) AS n_events,
+               COALESCE(LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+                            PARTITION BY s.user_id ORDER BY s.day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                        0.0) AS filled_value
+        FROM spine s
+        LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+    """,
+    category=CAT,
+)
+def q_gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS1: dense per-user daily series with forward-fill.
+
+    Missing (user, day) buckets get n_events=0 and carry the last
+    observed daily value forward (`last(..., ignorenulls=True)` —
+    the standard LOCF interpolation); days before a user's first
+    activity fill with 0.0. The date spine is computed from the
+    table's own min/max day (one 1-row broadcast, no collect) and
+    generated per-user on the executors via sequence()+explode.
+
+    Scale: spine rows = |users| × |days| — linear in key count, dense
+    in time. The left join and the forward-fill window both key on
+    user_id, so Catalyst reuses one hash-partitioning across the
+    join, the window sort, and the spine's post-explode distribution.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "day_value"))
+    span = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = (
+        e.select("user_id")
+        .distinct()
+        .join(F.broadcast(span))
+        .select(
+            "user_id",
+            F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+            F.coalesce(
+                F.last("day_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_value"),
+        )
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle=f"""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), runs AS (
+            SELECT *,
+                   CAST(SUM(chg) OVER (PARTITION BY user_id
+                                       ORDER BY ts ASC, event_id ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND CURRENT ROW)
+                        AS BIGINT) AS run_id
+            FROM flagged
+        ), iv AS (
+            SELECT user_id, run_id,
+                   MIN(event_type) AS event_type,
+                   MIN(ts) AS valid_from,
+                   COUNT(*) AS n_events
+            FROM runs GROUP BY 1, 2
+        )
+        SELECT user_id, run_id, event_type,
+               {o_ts_str("valid_from", "valid_from")},
+               COALESCE(strftime(LEAD(valid_from) OVER (
+                            PARTITION BY user_id ORDER BY run_id),
+                        '%Y-%m-%d %H:%M:%S.%f'),
+                        '{_SCD2_SENTINEL}') AS valid_to,
+               n_events
+        FROM iv
+    """,
+    category=CAT,
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS2: type-2 slowly-changing-dimension build from an event log.
+
+    Treats each user's event_type as a tracked attribute: consecutive
+    runs of the same value collapse to one row with
+    [valid_from, valid_to) validity (valid_to = next run's start;
+    open intervals get a 9999-12-31 sentinel — the standard SCD2
+    encoding). Gaps-and-islands: change flag via lag, run id via
+    cumulative sum, both over one user-partitioned sort.
+
+    Scale: one exchange on user_id serves the two stacked windows,
+    the per-run aggregate, AND the final lead() — Catalyst collapses
+    them onto a single sort. No join anywhere; state per key is one
+    run's worth. The streaming twin of this shape is
+    q_session_window's session assembly.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = flagged.withColumn(
+        "run_id",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    iv = runs.groupBy("user_id", "run_id").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return iv.select(
+        "user_id",
+        "run_id",
+        "event_type",
+        ts_str("valid_from", "valid_from"),
+        F.coalesce(
+            F.date_format(
+                F.lead("valid_from").over(w2), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+            ),
+            F.lit(_SCD2_SENTINEL),
+        ).alias("valid_to"),
+        "n_events",
+    )
+
+
+_ROLLUP_SQL = """
+    WITH b AS (
+        SELECT date_trunc('minute', ts) AS minute_b,
+               date_trunc('hour', ts) AS hour_b,
+               date_trunc('day', ts) AS day_b,
+               value
+        FROM events
+    )
+    SELECT CASE WHEN GROUPING(minute_b) = 0 THEN 'minute'
+                WHEN GROUPING(hour_b) = 0 THEN 'hour'
+                ELSE 'day' END AS grain,
+           {fmt} AS bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+    FROM b
+    GROUP BY GROUPING SETS ((minute_b), (hour_b), (day_b))
+"""
+
+
+@register(
+    "q_rollup_multires",
+    oracle=_ROLLUP_SQL.format(
+        fmt="strftime(COALESCE(minute_b, hour_b, day_b), '%Y-%m-%d %H:%M:%S')"
+    ),
+    category=CAT,
+)
+def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS3: hypertable-style multi-resolution rollup — minute, hour,
+    and day aggregates of the events fact in ONE scan via GROUPING
+    SETS (the continuous-aggregate / OLAP-rollup pattern; grain is
+    recovered from the GROUPING() bitmask).
+
+    Scale: Expand triples rows before the shuffle but each expanded
+    row partially aggregates map-side into its own grain's bucket, so
+    shuffled volume ≈ Σ per-grain distinct buckets — for a month of
+    data that's minutes+hours+days ≈ 45k rows regardless of fact
+    size. One fact scan instead of three is the win once the scan is
+    the cost (always true at 100 TB).
+    """
+    register_views(spark, sf_dir, "events")
+    return spark.sql(
+        _ROLLUP_SQL.format(
+            fmt="date_format(COALESCE(minute_b, hour_b, day_b), "
+            "'yyyy-MM-dd HH:mm:ss')"
+        )
+    )

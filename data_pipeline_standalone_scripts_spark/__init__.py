@@ -35,9 +35,10 @@ from .registry import REGISTRY  # noqa: F401
 # (q_ngram_lm_score, q_quality_score_model, q_domain_quota,
 # q_dedup_clusters, q_bm25_rank, q_embed_quantize, q_unpivot,
 # q_string_agg, q_corr_subquery, q_map_funcs, q_doc_chunk,
-# q_pack_sequences), and the timeseries/clustering family
+# q_pack_sequences), the timeseries/clustering family
 # (q_gap_fill_daily, q_scd2_intervals, q_rollup_multires,
-# q_morton_cluster).
+# q_morton_cluster), and the sketch family (q_bloom_prefilter,
+# q_cms_frequency).
 DRIVER_PRIORITY: list[str] = [
     # r01 driver-RED, fixed this round — must flip to green
     "q_lang_distribution",
@@ -119,6 +120,7 @@ def load_all_operators() -> None:
         reference_analogs,
         scans,
         setops,
+        sketches,
         textpipe,
         timeseries,
         udfs,

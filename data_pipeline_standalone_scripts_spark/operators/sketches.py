@@ -1,0 +1,260 @@
+"""Deterministic probabilistic-sketch operators: Bloom-filter
+pre-filtering and count-min-sketch frequency estimation.
+
+Together with HLL (A3 approx_distinct), the mergeable quantile sketch
+(A14), MinHash (L8) and SimHash (X4), these complete the sketch
+toolbox a 100 TB pipeline leans on. Unlike A3/A14 (engine-native,
+T2w rows-only), BOTH ops here build the sketch from the portable
+``h60`` hash, so the full sketch CONTENTS — including hash collisions
+and false positives — are bit-identical in DuckDB and the queries are
+fully T2 value-checked: the oracle replays the identical construction
+and must reproduce every collision.
+
+Scale notes:
+- The Bloom build side is a ≤2048-row bitmap table (64 KB) broadcast
+  to every executor; the probe is k broadcast-hash lookups fused into
+  the fact scan stage — ZERO shuffle of the fact table. This is the
+  materialized form of the runtime-filter pattern (Spark's own
+  `spark.sql.optimizer.runtime.bloomFilter` does this plan-side);
+  spelling it out makes the mechanism graded and portable.
+- The CMS build is one map-side-combinable agg over (row, counter)
+  keys — d×w counters total regardless of stream size — and the
+  estimate pass is a broadcast join of that tiny table. Linear scan,
+  constant state: the classic heavy-hitter sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .common import h60, o_h60
+
+CAT = "sketches"
+
+# Bloom: m = 2^16 bits packed 32-per-word (mask stays positive in a
+# BIGINT on both engines — bit 63 two's-complement edge avoided),
+# k = 4 salted h60 hashes.
+_BLOOM_M = 1 << 16
+_BLOOM_K = 4
+
+# CMS: d = 3 hash rows × w = 16 counters — deliberately undersized so
+# the ~40-token vocabulary actually collides and the oracle must
+# reproduce the exact overestimates.
+_CMS_D = 3
+_CMS_W = 16
+
+
+def _bloom_h_spark(key, i: int):
+    return h60(F.concat(F.lit(f"bloom{i}:"), key.cast("string"))) % _BLOOM_M
+
+
+def _bloom_h_duck(key: str, i: int) -> str:
+    salted = f"'bloom{i}:' || CAST({key} AS VARCHAR)"
+    return f"({o_h60(salted)}) % {_BLOOM_M}"
+
+
+@register(
+    "q_bloom_prefilter",
+    oracle=f"""
+        WITH dim AS (
+            SELECT DISTINCT s_suppkey
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+        ), hashed AS (
+            SELECT {_bloom_h_duck('s_suppkey', 0)} AS h FROM dim
+            UNION ALL SELECT {_bloom_h_duck('s_suppkey', 1)} FROM dim
+            UNION ALL SELECT {_bloom_h_duck('s_suppkey', 2)} FROM dim
+            UNION ALL SELECT {_bloom_h_duck('s_suppkey', 3)} FROM dim
+        ), words AS (
+            SELECT h // 32 AS w,
+                   bit_or(CAST(1 AS BIGINT) << (h % 32)) AS bits
+            FROM hashed GROUP BY 1
+        ), probe AS (
+            SELECT l_returnflag, l_suppkey,
+                   {_bloom_h_duck('l_suppkey', 0)} AS h0,
+                   {_bloom_h_duck('l_suppkey', 1)} AS h1,
+                   {_bloom_h_duck('l_suppkey', 2)} AS h2,
+                   {_bloom_h_duck('l_suppkey', 3)} AS h3
+            FROM lineitem
+        ), passed AS (
+            SELECT p.l_returnflag, p.l_suppkey
+            FROM probe p
+            LEFT JOIN words w0 ON w0.w = p.h0 // 32
+            LEFT JOIN words w1 ON w1.w = p.h1 // 32
+            LEFT JOIN words w2 ON w2.w = p.h2 // 32
+            LEFT JOIN words w3 ON w3.w = p.h3 // 32
+            WHERE (COALESCE(w0.bits, 0) >> (p.h0 % 32)) & 1 = 1
+              AND (COALESCE(w1.bits, 0) >> (p.h1 % 32)) & 1 = 1
+              AND (COALESCE(w2.bits, 0) >> (p.h2 % 32)) & 1 = 1
+              AND (COALESCE(w3.bits, 0) >> (p.h3 % 32)) & 1 = 1
+        )
+        SELECT l_returnflag,
+               COUNT(*) AS n_pass,
+               COUNT(*) FILTER (WHERE d.s_suppkey IS NOT NULL) AS n_member,
+               COUNT(*) FILTER (WHERE d.s_suppkey IS NULL) AS n_false_pos
+        FROM passed
+        LEFT JOIN dim d ON passed.l_suppkey = d.s_suppkey
+        GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK1: Bloom-filter pre-filter of the fact table against a
+    dim-side key set (suppliers in EUROPE), with exact false-positive
+    accounting.
+
+    The 2^16-bit filter is built from the dim side as a ≤2048-row
+    (word, bits) bitmap, broadcast, and probed with k=4 salted h60
+    hashes — four broadcast-hash lookups in the fact scan stage, no
+    fact shuffle. The result reports, per returnflag, how many rows
+    the filter passed, how many are true members (verified by the
+    exact broadcast semi-check), and how many are false positives —
+    the sketch's contract made visible and value-checked, collisions
+    included.
+
+    Scale: this is the runtime-filter/DPP pattern — ship an O(m)-bit
+    summary of a selective dim to the fact scan so non-matching rows
+    die before the join shuffle. At 100 TB the bitmap broadcast is
+    KBs; the avoided shuffle is TBs.
+    """
+    sup = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    reg = load(spark, sf_dir, "region")
+    dim = (
+        sup.join(nat, sup.s_nationkey == nat.n_nationkey)
+        .join(reg.filter(F.col("r_name") == "EUROPE"), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey")
+        .distinct()
+    )
+    hashed = None
+    for i in range(_BLOOM_K):
+        h = dim.select(_bloom_h_spark(F.col("s_suppkey"), i).alias("h"))
+        hashed = h if hashed is None else hashed.unionAll(h)
+    words = hashed.groupBy(F.expr("h div 32").alias("w")).agg(
+        F.bit_or(
+            F.expr("shiftleft(cast(1 as bigint), cast(h % 32 as int))")
+        ).alias("bits")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_suppkey")
+    probe = li.select(
+        "l_returnflag",
+        "l_suppkey",
+        *[
+            _bloom_h_spark(F.col("l_suppkey"), i).alias(f"h{i}")
+            for i in range(_BLOOM_K)
+        ],
+    )
+    passed = probe
+    for i in range(_BLOOM_K):
+        wi = words.select(
+            F.col("w").alias(f"w{i}_idx"), F.col("bits").alias(f"bits{i}")
+        )
+        passed = passed.join(
+            F.broadcast(wi),
+            F.expr(f"h{i} div 32") == F.col(f"w{i}_idx"),
+            "left",
+        ).filter(
+            F.expr(
+                f"(shiftright(coalesce(bits{i}, cast(0 as bigint)), "
+                f"cast(h{i} % 32 as int)) & 1) = 1"
+            )
+        )
+    member = dim.select(F.col("s_suppkey").alias("m_suppkey"))
+    return (
+        passed.join(F.broadcast(member), passed.l_suppkey == member.m_suppkey, "left")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_pass"),
+            F.count("m_suppkey").alias("n_member"),
+            F.sum(F.when(F.col("m_suppkey").isNull(), 1).otherwise(0)).alias(
+                "n_false_pos"
+            ),
+        )
+    )
+
+
+def _cms_h_duck(i: int) -> str:
+    salted = f"'cms{i}:' || token"
+    return f"({o_h60(salted)}) % {_CMS_W}"
+
+
+@register(
+    "q_cms_frequency",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), rows_ AS (
+            SELECT token, 0 AS i, {_cms_h_duck(0)} AS c FROM tok
+            UNION ALL SELECT token, 1, {_cms_h_duck(1)} FROM tok
+            UNION ALL SELECT token, 2, {_cms_h_duck(2)} FROM tok
+        ), counters AS (
+            SELECT i, c, COUNT(*) AS cnt FROM rows_ GROUP BY 1, 2
+        ), keys AS (
+            SELECT DISTINCT token FROM tok
+        ), keyh AS (
+            SELECT token, 0 AS i, {_cms_h_duck(0)} AS c FROM keys
+            UNION ALL SELECT token, 1, {_cms_h_duck(1)} FROM keys
+            UNION ALL SELECT token, 2, {_cms_h_duck(2)} FROM keys
+        ), est AS (
+            SELECT kh.token, MIN(ct.cnt) AS cms_est
+            FROM keyh kh
+            JOIN counters ct ON ct.i = kh.i AND ct.c = kh.c
+            GROUP BY 1
+        ), exact AS (
+            SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1
+        )
+        SELECT e.token, x.exact_n, e.cms_est,
+               e.cms_est - x.exact_n AS overcount
+        FROM est e JOIN exact x ON e.token = x.token
+    """,
+    category=CAT,
+)
+def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK2: count-min-sketch token frequencies vs exact counts.
+
+    d=3 rows × w=16 counters — deliberately narrower than the
+    vocabulary so counters genuinely collide; est(token) =
+    min_i counters[i][h_i(token)] ≥ exact, and the oracle rebuilds
+    the identical sketch, so every overcount must match to the row.
+
+    Scale: sketch state is d×w longs independent of stream length;
+    the build is one map-side-combined agg, the query a broadcast
+    join of 48 rows. The exact join here exists only to EXHIBIT the
+    error — production reads the sketch alone.
+    """
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    rows = None
+    for i in range(_CMS_D):
+        r = tok.select(
+            F.lit(i).alias("i"),
+            (h60(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % _CMS_W).alias("c"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    counters = rows.groupBy("i", "c").agg(F.count(F.lit(1)).alias("cnt"))
+    keys = tok.distinct()
+    key_h = None
+    for i in range(_CMS_D):
+        kh = keys.select(
+            "token",
+            F.lit(i).alias("i"),
+            (h60(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % _CMS_W).alias("c"),
+        )
+        key_h = kh if key_h is None else key_h.unionAll(kh)
+    est = (
+        key_h.join(F.broadcast(counters), ["i", "c"])
+        .groupBy("token")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
+    return est.join(exact, "token").select(
+        "token",
+        "exact_n",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+    )

@@ -236,3 +236,14 @@ def test_corr_subquery_decorrelates(spark, sf_med):
     plan = plan_of(REGISTRY["q_corr_subquery"].fn(spark, sf_med))
     assert "LeftSemi" in plan  # EXISTS became a semi join
     assert "Subquery" not in plan
+
+
+def test_bloom_probe_all_broadcast(spark, sf_med):
+    """The Bloom pre-filter must reach the fact table exclusively via
+    broadcast hash joins (bitmap words + membership check) — a
+    SortMergeJoin would mean the fact shuffled for a lookup that the
+    sketch exists to avoid."""
+    plan = plan_of(REGISTRY["q_bloom_prefilter"].fn(spark, sf_med))
+    assert "SortMergeJoin" not in plan, plan[:800]
+    assert "CartesianProduct" not in plan, plan[:800]
+    assert plan.count("BroadcastHashJoin") >= 5, plan[:800]

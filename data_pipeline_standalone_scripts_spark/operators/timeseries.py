@@ -262,3 +262,94 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'yyyy-MM-dd HH:mm:ss')"
         )
     )
+
+
+@register(
+    "q_rolling_corr",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', o_orderdate) AS day,
+                   COUNT(*) AS x,
+                   SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS y
+            FROM orders GROUP BY 1
+        ), win AS (
+            SELECT day,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS k,
+                   CAST(SUM(x) OVER w AS BIGINT) AS sx,
+                   CAST(SUM(y) OVER w AS BIGINT) AS sy,
+                   CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+                   CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, k,
+               round(CASE WHEN (k * sxx - sx * sx) = 0
+                               OR (CAST(k AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) = 0
+                          THEN NULL
+                          ELSE CAST(k * sxy - sx * sy AS DOUBLE)
+                               / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                                  * sqrt(CAST(CAST(k AS HUGEINT) * syy
+                                              - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+                     END, 6) AS corr7
+        FROM win
+        WHERE k >= 3
+    """,
+    category=CAT,
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4: 7-day rolling Pearson correlation between daily order
+    count and daily revenue.
+
+    All six windowed moments (k, Σx, Σy, Σx², Σy², Σxy) accumulate as
+    exact integers (revenue in cents), so the correlation inputs are
+    bit-identical across engines and partitionings; only the final
+    ratio is float (sqrt/division are IEEE-correctly-rounded, then
+    r6 on both sides). The one moment that can exceed BIGINT — k·Σy²
+    at ~2.7e19 for sf0.1 magnitudes — is widened to DECIMAL(38,0) in
+    Spark / HUGEINT in DuckDB before the subtraction. Windows with
+    fewer than 3 days or a zero-variance side emit NULL/are dropped.
+
+    Scale: the window runs over the DAILY aggregate (≤ one row per
+    day), not the fact table — the fact scan contributes one
+    map-side-combined aggregation, and the unpartitioned window sees
+    only |days| rows, so the single-partition window is bounded and
+    harmless at any fact size.
+    """
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.expr("cast(round(o_totalprice * 100) as bigint)")).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    win = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("k"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.expr("x * x")).over(w).alias("sxx"),
+        F.sum(F.expr("y * y")).over(w).alias("syy"),
+        F.sum(F.expr("x * y")).over(w).alias("sxy"),
+    )
+    dx = F.expr("k * sxx - sx * sx")
+    dy = F.expr(
+        "cast(k as decimal(38,0)) * syy - cast(sy as decimal(38,0)) * sy"
+    )
+    corr = F.round(
+        F.when((dx == 0) | (dy == 0), F.lit(None).cast("double")).otherwise(
+            F.expr("cast(k * sxy - sx * sy as double)")
+            / (
+                F.sqrt(dx.cast("double"))
+                * F.sqrt(dy.cast("double"))
+            )
+        ),
+        6,
+    )
+    return (
+        win.filter(F.col("k") >= 3)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "k",
+            corr.alias("corr7"),
+        )
+    )

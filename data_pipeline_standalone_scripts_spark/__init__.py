@@ -116,6 +116,7 @@ def load_all_operators() -> None:
         filters,
         joins,
         llm,
+        mlfit,
         multimodal,
         ordering,
         reconcile,

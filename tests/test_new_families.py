@@ -247,3 +247,28 @@ def test_morton_code_interleaves_bits(spark, sf_small):
     assert rows
     for r in rows:
         assert r["morton"] == morton(r["l_partkey"], r["l_suppkey"])
+
+
+def test_linreg_matches_numpy(spark, sf_small):
+    """The moment-based OLS solve must agree with numpy lstsq to ~1e-6
+    in original units (and R² must be in (0, 1])."""
+    import numpy as np
+
+    row = REGISTRY["q_linreg_fit"].fn(spark, sf_small).collect()[0]
+    li = (
+        load(spark, sf_small, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = np.column_stack(
+        [np.ones(len(li)), li.l_quantity.values, li.l_discount.values]
+    )
+    y = (li.l_extendedprice * (1 - li.l_discount)).values
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    pred = X @ beta
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert row["n_rows"] == len(li)
+    assert abs(row["beta0"] - beta[0]) < 1e-4 * max(1, abs(beta[0]))
+    assert abs(row["beta_qty"] - beta[1]) < 1e-4 * max(1, abs(beta[1]))
+    assert abs(row["beta_disc"] - beta[2]) < 1e-4 * max(1, abs(beta[2]))
+    assert 0 < row["r2"] <= 1 and abs(row["r2"] - r2) < 1e-4

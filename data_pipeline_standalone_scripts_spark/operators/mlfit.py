@@ -99,3 +99,73 @@ def q_linreg_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_LINREG_SQL.format(wide="DECIMAL(38,0)"))
+
+
+# Same integer-moment construction, grouped: one model per key. The
+# group column rides through the moment aggregation, so "train a model
+# per segment" costs exactly one grouped aggregate — the million-
+# micro-models pattern (per-SKU demand curves, per-tenant calibration)
+# with no per-group scan or driver loop.
+_LINREG_GROUP_SQL = """
+    WITH pts AS (
+        SELECT l_returnflag AS grp,
+               CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT grp,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(q) AS DOUBLE) AS sq,
+               CAST(SUM(d) AS DOUBLE) AS sd,
+               CAST(SUM(q * q) AS DOUBLE) AS sqq,
+               CAST(SUM(d * d) AS DOUBLE) AS sdd,
+               CAST(SUM(q * d) AS DOUBLE) AS sqd,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(q AS {wide}) * y) AS DOUBLE) AS sqy,
+               CAST(SUM(CAST(d AS {wide}) * y) AS DOUBLE) AS sdy,
+               CAST(SUM(CAST(y AS {wide}) * y) AS DOUBLE) AS syy
+        FROM pts GROUP BY grp
+    ), c AS (
+        SELECT grp, n,
+               sqq - sq * sq / n AS cqq,
+               sdd - sd * sd / n AS cdd,
+               sqd - sq * sd / n AS cqd,
+               sqy - sq * sy / n AS cqy,
+               sdy - sd * sy / n AS cdy,
+               syy - sy * sy / n AS cyy,
+               sq / n AS mq, sd / n AS md, sy / n AS my
+        FROM m
+    ), beta AS (
+        SELECT grp, n, cyy, cqy, cdy, mq, md, my,
+               (cqy * cdd - cdy * cqd) / (cqq * cdd - cqd * cqd) AS bq,
+               (cdy * cqq - cqy * cqd) / (cqq * cdd - cqd * cqd) AS bd
+        FROM c
+    )
+    SELECT grp AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           round((my - bq * mq - bd * md) / 10000.0, 6) AS beta0,
+           round(bq / 100.0, 6) AS beta_qty,
+           round(bd / 100.0, 6) AS beta_disc,
+           round((bq * cqy + bd * cdy) / cyy, 6) AS r2
+    FROM beta
+"""
+
+
+@register(
+    "q_linreg_per_group",
+    oracle=_LINREG_GROUP_SQL.format(wide="HUGEINT"),
+    category=CAT,
+)
+def q_linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2: one OLS model per return-flag segment, from the same exact
+    sufficient statistics as ML1 — grouped, so training a model per
+    key is a single grouped aggregate (the micro-models pattern:
+    per-segment elasticities without a per-group scan or driver loop).
+
+    Scale: identical to ML1 with the group key in the shuffle — the
+    wire carries ten numbers per GROUP, and a million groups is an
+    ordinary aggregation.
+    """
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_LINREG_GROUP_SQL.format(wide="DECIMAL(38,0)"))

@@ -353,3 +353,58 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             corr.alias("corr7"),
         )
     )
+
+
+@register(
+    "q_decay_score",
+    oracle="""
+        WITH mx AS (SELECT MAX(ts) AS t_max FROM events)
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               round(SUM(value * exp(-((epoch_us(t_max) - epoch_us(ts))
+                                       / 86400000000.0))), 6) AS decay_score
+        FROM events CROSS JOIN mx
+        GROUP BY user_id
+    """,
+    category=CAT,
+)
+def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5: exponentially time-decayed engagement score per user —
+    Σ value·e^(−Δt/1 day) against the table's newest event (the
+    recency-weighted feature used by ranking/recommendation
+    pipelines; half-life ≈ 16.6 h).
+
+    Float discipline: the per-term exp() is evaluated identically by
+    both engines' libm to well under the r6 boundary, and the sum's
+    partition-order nondeterminism is ~1e-13 absolute at these
+    magnitudes, so round-6 is stable (the same argument as the stddev
+    family, SURVEY §1.3 rule 2).
+
+    Scale: one 1-row broadcast (global max ts — no collect) and one
+    map-side-combined grouped sum. An incremental variant at 100 TB
+    folds new days in by multiplying yesterday's score by e^(−1) —
+    the decay factors by construction compose multiplicatively.
+    """
+    e = load(spark, sf_dir, "events")
+    mx = e.agg(F.max("ts").alias("t_max"))
+    return (
+        e.join(F.broadcast(mx))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(
+                    F.col("value")
+                    * F.exp(
+                        -(
+                            (
+                                F.unix_micros("t_max") - F.unix_micros("ts")
+                            )
+                            / F.lit(86400000000.0)
+                        )
+                    )
+                ),
+                6,
+            ).alias("decay_score"),
+        )
+    )

@@ -396,3 +396,146 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.hex(F.expr("substring(new_payload, 9, 16)"))).alias("digest_hex"),
         F.length("new_payload").cast("int").alias("payload_len"),
     )
+
+
+@register(
+    "q_png_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 48 + n_chars % 80 AS w, 32 + doc_id % 64 AS h
+            FROM documents
+        ), xs AS (
+            SELECT doc_id, w, h, unnest(range(w)) AS x FROM dims
+        ), px AS (
+            SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM((x + 31 * y + 7 * doc_id) % 256) AS BIGINT) AS px_sum,
+               ROUND(CAST(SUM((x + 31 * y + 7 * doc_id) % 256) AS DOUBLE)
+                     / (w * h), 6) AS px_mean
+        FROM px
+        GROUP BY doc_id, w, h
+    """,
+    category=CAT,
+)
+def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL PNG images with a full stdlib codec — signature
+    check, chunk walk with CRC-32 verification on every chunk, IHDR
+    parse, multi-IDAT zlib inflate, and scanline reconstruction
+    implementing ALL FIVE spec filter types (the encoder cycles them,
+    so each one is exercised on every image). The DuckDB oracle
+    recomputes the pixel sum arithmetically from the generator
+    formula: a single wrong byte anywhere in the compress/filter/
+    parse pipeline fails the value hash.
+
+    This closes the r01 "real codec decode" gap for the one
+    compressed format whose codec (DEFLATE) ships in the Python
+    stdlib; PIL-class formats (JPEG/MP4) remain behind the honest
+    stub in sources/multimodal.py::decode_image_real.
+
+    Scale: stateless Arrow-batched narrow stage; decompression and
+    unfiltering are per-record, so the stage parallelizes like any
+    map. The Sub filter unfilters via uint8-wrapping cumsum; Average/
+    Paeth walk the row (spec-sequential left dependency).
+    """
+    import zlib
+
+    import numpy as np
+
+    from ..sources.multimodal import png_table
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "width", "height", "n_pixels", "px_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p[:8] != b"\x89PNG\r\n\x1a\n":
+                    raise ValueError(f"bad PNG signature for media_id={mid}")
+                idx, w = 8, None
+                idat = bytearray()
+                while idx < len(p):
+                    (length,) = struct.unpack(">I", p[idx : idx + 4])
+                    ctype = p[idx + 4 : idx + 8]
+                    data = p[idx + 8 : idx + 8 + length]
+                    (crc,) = struct.unpack(
+                        ">I", p[idx + 8 + length : idx + 12 + length]
+                    )
+                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                        raise ValueError(f"CRC mismatch in {ctype!r} of {mid}")
+                    if ctype == b"IHDR":
+                        w, h, depth, color, comp, filt, inter = struct.unpack(
+                            ">IIBBBBB", data
+                        )
+                        if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0):
+                            raise ValueError("unsupported PNG variant")
+                    elif ctype == b"IDAT":
+                        idat.extend(data)
+                    elif ctype == b"IEND":
+                        break
+                    idx += 12 + length
+                raw = zlib.decompress(bytes(idat))
+                if len(raw) != h * (w + 1):
+                    raise ValueError("scanline stream length mismatch")
+                img = np.zeros((h, w), dtype=np.uint8)
+                prev = np.zeros(w, dtype=np.uint8)
+                for y in range(h):
+                    line = np.frombuffer(
+                        raw, dtype=np.uint8, count=w, offset=y * (w + 1) + 1
+                    )
+                    ft = raw[y * (w + 1)]
+                    if ft == 0:
+                        cur = line.copy()
+                    elif ft == 1:  # Sub: wrapping cumulative sum
+                        cur = np.cumsum(line, dtype=np.uint8)
+                    elif ft == 2:  # Up
+                        cur = line + prev
+                    elif ft == 3:  # Average
+                        cur = np.zeros(w, dtype=np.uint8)
+                        left = 0
+                        for i in range(w):
+                            left = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                            cur[i] = left
+                    elif ft == 4:  # Paeth
+                        cur = np.zeros(w, dtype=np.uint8)
+                        left = ul = 0
+                        for i in range(w):
+                            up = int(prev[i])
+                            pa, pb, pc = abs(up - ul), abs(left - ul), abs(
+                                left + up - 2 * ul
+                            )
+                            pred = (
+                                left
+                                if pa <= pb and pa <= pc
+                                else (up if pb <= pc else ul)
+                            )
+                            left = (line[i] + pred) & 0xFF
+                            cur[i] = left
+                            ul = up
+                    else:
+                        raise ValueError(f"bad filter type {ft}")
+                    img[y] = cur
+                    prev = cur
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["px_sum"].append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    decoded = png_table(spark, sf_dir).mapInPandas(
+        decode,
+        schema="media_id bigint, width bigint, height bigint, "
+        "n_pixels bigint, px_sum bigint",
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        F.round(F.col("px_sum").cast("double") / F.col("n_pixels"), 6).alias(
+            "px_mean"
+        ),
+    )

@@ -12,12 +12,16 @@ Decode reality, by format class:
   materialized pixel/sample data and decoded by REAL parsers
   (q_pgm_decode / q_wav_decode) — no codec library needed for either
   format, so nothing is stubbed.
-- Compressed formats (PNG/JPEG/MP4) need codec libraries this
-  container doesn't ship, so that kernel is a STUB
-  (``NotImplementedError`` behind an import-try — see
-  ``decode_image_real``). Everything Spark-side is real and tested:
-  the binary schema, the deterministic synthetic payload format, the
-  mapInPandas batch iteration, and the byte-level parsing.
+- PNG (``png_table``) is ALSO real — DEFLATE ships in the Python
+  stdlib (zlib), so q_png_decode implements the full codec: chunk
+  CRCs, inflate, and all five scanline filters, value-verified
+  pixel-for-pixel against the arithmetic oracle.
+- Codec-library formats (JPEG/MP4) need libraries this container
+  doesn't ship, so that kernel is a STUB (``NotImplementedError``
+  behind an import-try — see ``decode_image_real``). Everything
+  Spark-side is real and tested: the binary schema, the deterministic
+  synthetic payload format, the mapInPandas batch iteration, and the
+  byte-level parsing.
 
 Synthetic payload format (media built 1:1 from ``documents``):
 
@@ -170,11 +174,13 @@ def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """STUB — real image decode (PNG/JPEG → pixel array).
+    """STUB — codec-library image decode (JPEG etc. → pixel array).
 
-    The container ships no codec libraries; a deployment with Pillow
-    installed gets the real path, everything else fails loudly rather
-    than silently producing fake pixels.
+    PNG no longer routes through here — q_png_decode is a real
+    stdlib-zlib codec. For formats whose codecs genuinely aren't in
+    the container (JPEG/MP4), a deployment with Pillow installed gets
+    the real path; everything else fails loudly rather than silently
+    producing fake pixels.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -186,3 +192,90 @@ def decode_image_real(payload: bytes) -> "object":
     import io
 
     return Image.open(io.BytesIO(payload))  # pragma: no cover
+
+
+def png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL PNG images (8-bit grayscale,
+    non-interlaced), one per doc, built with only stdlib zlib.
+
+    Full spec compliance: 8-byte signature; IHDR/IDAT/IEND chunks each
+    with big-endian length, type, payload and CRC-32; IDAT holds the
+    zlib-compressed filtered scanline stream. Scanline filters CYCLE
+    through all five spec types (None/Sub/Up/Average/Paeth, row % 5)
+    so a decoder must implement the whole filter suite, not just
+    invert one writer choice. Any standards PNG reader opens these.
+
+    pixel(x, y) = (x + 31·y + 7·doc_id) mod 256, w = 48 + n_chars
+    mod 80, h = 32 + doc_id mod 64 — arithmetic, so q_png_decode's
+    oracle verifies every DECODED pixel with no codec.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+    import pandas as pd
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w = 48 + int(n_chars) % 80
+                h = 32 + int(doc_id) % 64
+                px = (
+                    (
+                        np.arange(w, dtype=np.int64)[None, :]
+                        + 31 * np.arange(h, dtype=np.int64)[:, None]
+                        + 7 * int(doc_id)
+                    )
+                    % 256
+                ).astype(np.uint8)
+                raw = bytearray()
+                prev = np.zeros(w, dtype=np.uint8)
+                for y in range(h):
+                    cur = px[y]
+                    ft = y % 5
+                    if ft == 0:
+                        filt = cur
+                    elif ft == 1:  # Sub
+                        left = np.concatenate(([0], cur[:-1])).astype(np.uint8)
+                        filt = cur - left
+                    elif ft == 2:  # Up
+                        filt = cur - prev
+                    elif ft == 3:  # Average
+                        left = np.concatenate(([0], cur[:-1])).astype(np.int64)
+                        filt = (
+                            cur.astype(np.int64)
+                            - (left + prev.astype(np.int64)) // 2
+                        ) % 256
+                    else:  # Paeth
+                        left = np.concatenate(([0], cur[:-1])).astype(np.int64)
+                        up = prev.astype(np.int64)
+                        ul = np.concatenate(([0], prev[:-1])).astype(np.int64)
+                        p = left + up - ul
+                        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+                        pred = np.where(
+                            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+                        )
+                        filt = (cur.astype(np.int64) - pred) % 256
+                    raw.append(ft)
+                    raw.extend(filt.astype(np.uint8).tobytes())
+                    prev = cur
+                ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + _chunk(b"IHDR", ihdr)
+                    + _chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+                    + _chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")

@@ -37,9 +37,11 @@ from .registry import REGISTRY  # noqa: F401
 # q_string_agg, q_corr_subquery, q_map_funcs, q_doc_chunk,
 # q_pack_sequences), the timeseries/clustering family
 # (q_gap_fill_daily, q_scd2_intervals, q_rollup_multires,
-# q_morton_cluster), the sketch family (q_bloom_prefilter,
-# q_cms_frequency), and the reconciliation family (q_table_checksum,
-# q_snapshot_diff, q_fuzzy_name_match).
+# q_morton_cluster, q_rolling_corr, q_decay_score), the sketch family
+# (q_bloom_prefilter, q_cms_frequency), the reconciliation family
+# (q_table_checksum, q_snapshot_diff, q_fuzzy_name_match), the
+# in-engine model fits (q_linreg_fit, q_linreg_per_group), and the
+# real PNG codec (q_png_decode).
 DRIVER_PRIORITY: list[str] = [
     # r01 driver-RED, fixed this round — must flip to green
     "q_lang_distribution",

@@ -441,82 +441,16 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map. The Sub filter unfilters via uint8-wrapping cumsum; Average/
     Paeth walk the row (spec-sequential left dependency).
     """
-    import zlib
-
     import numpy as np
 
-    from ..sources.multimodal import png_table
+    from ..sources.multimodal import png_decode_pixels, png_table
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {k: [] for k in ("media_id", "width", "height", "n_pixels", "px_sum")}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                if p[:8] != b"\x89PNG\r\n\x1a\n":
-                    raise ValueError(f"bad PNG signature for media_id={mid}")
-                idx, w = 8, None
-                idat = bytearray()
-                while idx < len(p):
-                    (length,) = struct.unpack(">I", p[idx : idx + 4])
-                    ctype = p[idx + 4 : idx + 8]
-                    data = p[idx + 8 : idx + 8 + length]
-                    (crc,) = struct.unpack(
-                        ">I", p[idx + 8 + length : idx + 12 + length]
-                    )
-                    if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
-                        raise ValueError(f"CRC mismatch in {ctype!r} of {mid}")
-                    if ctype == b"IHDR":
-                        w, h, depth, color, comp, filt, inter = struct.unpack(
-                            ">IIBBBBB", data
-                        )
-                        if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0):
-                            raise ValueError("unsupported PNG variant")
-                    elif ctype == b"IDAT":
-                        idat.extend(data)
-                    elif ctype == b"IEND":
-                        break
-                    idx += 12 + length
-                raw = zlib.decompress(bytes(idat))
-                if len(raw) != h * (w + 1):
-                    raise ValueError("scanline stream length mismatch")
-                img = np.zeros((h, w), dtype=np.uint8)
-                prev = np.zeros(w, dtype=np.uint8)
-                for y in range(h):
-                    line = np.frombuffer(
-                        raw, dtype=np.uint8, count=w, offset=y * (w + 1) + 1
-                    )
-                    ft = raw[y * (w + 1)]
-                    if ft == 0:
-                        cur = line.copy()
-                    elif ft == 1:  # Sub: wrapping cumulative sum
-                        cur = np.cumsum(line, dtype=np.uint8)
-                    elif ft == 2:  # Up
-                        cur = line + prev
-                    elif ft == 3:  # Average
-                        cur = np.zeros(w, dtype=np.uint8)
-                        left = 0
-                        for i in range(w):
-                            left = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
-                            cur[i] = left
-                    elif ft == 4:  # Paeth
-                        cur = np.zeros(w, dtype=np.uint8)
-                        left = ul = 0
-                        for i in range(w):
-                            up = int(prev[i])
-                            pa, pb, pc = abs(up - ul), abs(left - ul), abs(
-                                left + up - 2 * ul
-                            )
-                            pred = (
-                                left
-                                if pa <= pb and pa <= pc
-                                else (up if pb <= pc else ul)
-                            )
-                            left = (line[i] + pred) & 0xFF
-                            cur[i] = left
-                            ul = up
-                    else:
-                        raise ValueError(f"bad filter type {ft}")
-                    img[y] = cur
-                    prev = cur
+                img = png_decode_pixels(p)
+                h, w = img.shape
                 rows["media_id"].append(mid)
                 rows["width"].append(w)
                 rows["height"].append(h)

@@ -209,19 +209,8 @@ def png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 80, h = 32 + doc_id mod 64 — arithmetic, so q_png_decode's
     oracle verifies every DECODED pixel with no codec.
     """
-    import struct as _struct
-    import zlib as _zlib
-
     import numpy as np
     import pandas as pd
-
-    def _chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            _struct.pack(">I", len(data))
-            + ctype
-            + data
-            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
 
     def gen(batches):
         for pdf in batches:
@@ -237,45 +226,142 @@ def png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     % 256
                 ).astype(np.uint8)
-                raw = bytearray()
-                prev = np.zeros(w, dtype=np.uint8)
-                for y in range(h):
-                    cur = px[y]
-                    ft = y % 5
-                    if ft == 0:
-                        filt = cur
-                    elif ft == 1:  # Sub
-                        left = np.concatenate(([0], cur[:-1])).astype(np.uint8)
-                        filt = cur - left
-                    elif ft == 2:  # Up
-                        filt = cur - prev
-                    elif ft == 3:  # Average
-                        left = np.concatenate(([0], cur[:-1])).astype(np.int64)
-                        filt = (
-                            cur.astype(np.int64)
-                            - (left + prev.astype(np.int64)) // 2
-                        ) % 256
-                    else:  # Paeth
-                        left = np.concatenate(([0], cur[:-1])).astype(np.int64)
-                        up = prev.astype(np.int64)
-                        ul = np.concatenate(([0], prev[:-1])).astype(np.int64)
-                        p = left + up - ul
-                        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
-                        pred = np.where(
-                            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
-                        )
-                        filt = (cur.astype(np.int64) - pred) % 256
-                    raw.append(ft)
-                    raw.extend(filt.astype(np.uint8).tobytes())
-                    prev = cur
-                ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
-                payloads.append(
-                    b"\x89PNG\r\n\x1a\n"
-                    + _chunk(b"IHDR", ihdr)
-                    + _chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
-                    + _chunk(b"IEND", b"")
-                )
+                payloads.append(png_encode(px))
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+def png_encode(px: "object") -> bytes:
+    """Encode a 2-D uint8 numpy array as a real grayscale PNG.
+
+    Scanline filters cycle through all five spec types (row % 5) so
+    any decoder of these files must implement the full suite. Used by
+    ``png_table`` and round-trip-tested on random rasters in
+    tests/test_new_families.py.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + ctype
+            + data
+            + _struct.pack(">I", _zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    h, w = px.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        cur = px[y]
+        ft = y % 5
+        if ft == 0:
+            filt = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate(([0], cur[:-1])).astype(np.uint8)
+            filt = cur - left
+        elif ft == 2:  # Up
+            filt = cur - prev
+        elif ft == 3:  # Average
+            left = np.concatenate(([0], cur[:-1])).astype(np.int64)
+            filt = (
+                cur.astype(np.int64) - (left + prev.astype(np.int64)) // 2
+            ) % 256
+        else:  # Paeth
+            left = np.concatenate(([0], cur[:-1])).astype(np.int64)
+            up = prev.astype(np.int64)
+            ul = np.concatenate(([0], prev[:-1])).astype(np.int64)
+            p = left + up - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+            )
+            filt = (cur.astype(np.int64) - pred) % 256
+        raw.append(ft)
+        raw.extend(filt.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", _zlib.compress(bytes(raw), 6))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def png_decode_pixels(payload: bytes) -> "object":
+    """Decode a grayscale non-interlaced PNG back to a 2-D uint8
+    array — full codec: signature, chunk walk with CRC-32
+    verification, multi-IDAT inflate, and reconstruction of all five
+    scanline filter types. Raises ValueError on any structural or
+    checksum corruption. The exact inverse of ``png_encode`` (proved
+    on random rasters in tests) and a spec-conforming reader of any
+    8-bit grayscale PNG.
+    """
+    import struct as _struct
+    import zlib as _zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("bad PNG signature")
+    idx, w, h = 8, None, None
+    idat = bytearray()
+    while idx < len(payload):
+        (length,) = _struct.unpack(">I", payload[idx : idx + 4])
+        ctype = payload[idx + 4 : idx + 8]
+        data = payload[idx + 8 : idx + 8 + length]
+        (crc,) = _struct.unpack(">I", payload[idx + 8 + length : idx + 12 + length])
+        if _zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in chunk {ctype!r}")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = _struct.unpack(">IIBBBBB", data)
+            if (depth, color, comp, filt, inter) != (8, 0, 0, 0, 0):
+                raise ValueError("unsupported PNG variant")
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        idx += 12 + length
+    if w is None:
+        raise ValueError("missing IHDR")
+    raw = _zlib.decompress(bytes(idat))
+    if len(raw) != h * (w + 1):
+        raise ValueError("scanline stream length mismatch")
+    img = np.zeros((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.uint8)
+    for y in range(h):
+        line = np.frombuffer(raw, dtype=np.uint8, count=w, offset=y * (w + 1) + 1)
+        ft = raw[y * (w + 1)]
+        if ft == 0:
+            cur = line.copy()
+        elif ft == 1:  # Sub: wrapping cumulative sum
+            cur = np.cumsum(line, dtype=np.uint8)
+        elif ft == 2:  # Up
+            cur = line + prev
+        elif ft == 3:  # Average
+            cur = np.zeros(w, dtype=np.uint8)
+            left = 0
+            for i in range(w):
+                left = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                cur[i] = left
+        elif ft == 4:  # Paeth
+            cur = np.zeros(w, dtype=np.uint8)
+            left = ul = 0
+            for i in range(w):
+                up = int(prev[i])
+                pa, pb, pc = abs(up - ul), abs(left - ul), abs(left + up - 2 * ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                left = (line[i] + pred) & 0xFF
+                cur[i] = left
+                ul = up
+        else:
+            raise ValueError(f"bad filter type {ft}")
+        img[y] = cur
+        prev = cur
+    return img

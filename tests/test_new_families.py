@@ -272,3 +272,29 @@ def test_linreg_matches_numpy(spark, sf_small):
     assert abs(row["beta_qty"] - beta[1]) < 1e-4 * max(1, abs(beta[1]))
     assert abs(row["beta_disc"] - beta[2]) < 1e-4 * max(1, abs(beta[2]))
     assert 0 < row["r2"] <= 1 and abs(row["r2"] - r2) < 1e-4
+
+
+def test_png_codec_roundtrips_random_rasters():
+    """Codec property test (no Spark): encode→decode must be the
+    identity on random rasters — random bytes stress Average/Paeth
+    prediction far harder than the smooth generator pattern — and the
+    decoder must reject corruption (flipped byte ⇒ CRC error)."""
+    import numpy as np
+
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        png_decode_pixels,
+        png_encode,
+    )
+
+    rng = np.random.RandomState(7)
+    for w, h in [(1, 1), (3, 7), (16, 5), (64, 48), (127, 33)]:
+        px = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        payload = png_encode(px)
+        out = png_decode_pixels(payload)
+        assert out.shape == (h, w)
+        assert (out == px).all()
+    payload = png_encode(rng.randint(0, 256, size=(9, 9)).astype(np.uint8))
+    corrupted = bytearray(payload)
+    corrupted[40] ^= 0xFF  # inside IDAT data
+    with pytest.raises(ValueError):
+        png_decode_pixels(bytes(corrupted))

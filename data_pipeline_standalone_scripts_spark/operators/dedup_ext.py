@@ -226,13 +226,14 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.ga") == F.col("b.ga"))
             & (F.col("a.gb") == F.col("b.gb"))
-            # diagonal tasks order within the group; off-diagonal tasks
-            # already see each unordered pair exactly once
+            # Diagonal tasks (a.ga == b.gb) order within the group —
+            # strict < also excludes self-pairs; off-diagonal tasks see
+            # each unordered pair exactly once and cannot self-pair
+            # (one doc has one group).
             & (
                 (F.col("a.ga") != F.col("b.gb"))
                 | (F.col("a.doc_id") < F.col("b.doc_id"))
-            )
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
+            ),
         )
         .filter(lowest_band)
         .select(

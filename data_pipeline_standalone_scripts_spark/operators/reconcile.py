@@ -93,7 +93,7 @@ _SNAP_B_DUCK = """
                    o_orderdate, o_orderpriority
             FROM orders WHERE o_orderkey % 97 <> 0
             UNION ALL
-            SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+            SELECT -o_orderkey - 1, o_custkey, o_orderstatus,
                    o_totalprice, o_orderdate, o_orderpriority
             FROM orders WHERE o_orderkey % 101 = 0
         )
@@ -127,7 +127,9 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RC2: keyed snapshot diff — classify every primary key as
     added / removed / changed / unchanged between snapshot A (orders)
     and a deterministically drifted snapshot B (~1% deletes at
-    key%97, ~1% price updates at key%89, ~1% inserts at key%101).
+    key%97, ~1% price updates at key%89, ~1% inserts at key%101;
+    inserted keys are the negated originals, which cannot collide
+    with any real non-negative key at any scale factor).
 
     One full-outer join on the key; equality is a single h60 row-hash
     compare, so the diff cost is independent of column count. This is
@@ -145,7 +147,7 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             o.filter(F.col("o_orderkey") % 101 == 0).withColumn(
-                "o_orderkey", F.col("o_orderkey") + 100000000
+                "o_orderkey", -F.col("o_orderkey") - 1
             )
         )
     )

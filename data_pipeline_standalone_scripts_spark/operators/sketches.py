@@ -122,19 +122,32 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     die before the join shuffle. At 100 TB the bitmap broadcast is
     KBs; the avoided shuffle is TBs.
     """
+    from pyspark import StorageLevel
+
     sup = load(spark, sf_dir, "supplier")
     nat = load(spark, sf_dir, "nation")
     reg = load(spark, sf_dir, "region")
+    # Persisted: the k hash rows, and the exact membership check at the
+    # end, all consume this join — without the persist each branch
+    # re-executes the 3-table join + distinct (no cross-branch plan
+    # reuse; the r02 review's finding).
     dim = (
         sup.join(nat, sup.s_nationkey == nat.n_nationkey)
         .join(reg.filter(F.col("r_name") == "EUROPE"), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    hashed = None
-    for i in range(_BLOOM_K):
-        h = dim.select(_bloom_h_spark(F.col("s_suppkey"), i).alias("h"))
-        hashed = h if hashed is None else hashed.unionAll(h)
+    hashed = dim.select(
+        F.explode(
+            F.array(
+                *[
+                    _bloom_h_spark(F.col("s_suppkey"), i)
+                    for i in range(_BLOOM_K)
+                ]
+            )
+        ).alias("h")
+    )
     words = hashed.groupBy(F.expr("h div 32").alias("w")).agg(
         F.bit_or(
             F.expr("shiftleft(cast(1 as bigint), cast(h % 32 as int))")
@@ -188,29 +201,23 @@ def _cms_h_duck(i: int) -> str:
     oracle=f"""
         WITH tok AS (
             SELECT unnest(string_split(text, ' ')) AS token FROM documents
-        ), rows_ AS (
-            SELECT token, 0 AS i, {_cms_h_duck(0)} AS c FROM tok
-            UNION ALL SELECT token, 1, {_cms_h_duck(1)} FROM tok
-            UNION ALL SELECT token, 2, {_cms_h_duck(2)} FROM tok
-        ), counters AS (
-            SELECT i, c, COUNT(*) AS cnt FROM rows_ GROUP BY 1, 2
-        ), keys AS (
-            SELECT DISTINCT token FROM tok
-        ), keyh AS (
-            SELECT token, 0 AS i, {_cms_h_duck(0)} AS c FROM keys
-            UNION ALL SELECT token, 1, {_cms_h_duck(1)} FROM keys
-            UNION ALL SELECT token, 2, {_cms_h_duck(2)} FROM keys
-        ), est AS (
-            SELECT kh.token, MIN(ct.cnt) AS cms_est
-            FROM keyh kh
-            JOIN counters ct ON ct.i = kh.i AND ct.c = kh.c
-            GROUP BY 1
         ), exact AS (
             SELECT token, COUNT(*) AS exact_n FROM tok GROUP BY 1
+        ), keyh AS (
+            SELECT token, exact_n, 0 AS i, {_cms_h_duck(0)} AS c FROM exact
+            UNION ALL SELECT token, exact_n, 1, {_cms_h_duck(1)} FROM exact
+            UNION ALL SELECT token, exact_n, 2, {_cms_h_duck(2)} FROM exact
+        ), counters AS (
+            SELECT i, c, CAST(SUM(exact_n) AS BIGINT) AS cnt
+            FROM keyh GROUP BY 1, 2
         )
-        SELECT e.token, x.exact_n, e.cms_est,
-               e.cms_est - x.exact_n AS overcount
-        FROM est e JOIN exact x ON e.token = x.token
+        SELECT kh.token,
+               MIN(kh.exact_n) AS exact_n,
+               MIN(ct.cnt) AS cms_est,
+               MIN(ct.cnt) - MIN(kh.exact_n) AS overcount
+        FROM keyh kh
+        JOIN counters ct ON ct.i = kh.i AND ct.c = kh.c
+        GROUP BY kh.token
     """,
     category=CAT,
 )
@@ -222,39 +229,48 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     min_i counters[i][h_i(token)] ≥ exact, and the oracle rebuilds
     the identical sketch, so every overcount must match to the row.
 
-    Scale: sketch state is d×w longs independent of stream length;
-    the build is one map-side-combined agg, the query a broadcast
-    join of 48 rows. The exact join here exists only to EXHIBIT the
-    error — production reads the sketch alone.
+    Scale: ONE fact scan — the exact token-frequency table (built in
+    one map-side-combined agg) is vocabulary-sized, and the sketch is
+    derived FROM it (per-occurrence increments grouped by token sum
+    to the same counters), so the d-way hash expansion and the
+    estimate join both run over the tiny frequency table, not the
+    token stream. Catalyst does not reuse sub-plans across union
+    branches, so deriving everything from one small intermediate —
+    instead of re-exploding the corpus per hash row — is the
+    difference between 1 scan and 2·d+2 scans (the r02 review's
+    finding; same lesson as q_simhash_neardup's persisted sketch).
     """
+    from pyspark import StorageLevel
+
     docs = load(spark, sf_dir, "documents")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
-    rows = None
-    for i in range(_CMS_D):
-        r = tok.select(
-            F.lit(i).alias("i"),
-            (h60(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % _CMS_W).alias("c"),
-        )
-        rows = r if rows is None else rows.unionAll(r)
-    counters = rows.groupBy("i", "c").agg(F.count(F.lit(1)).alias("cnt"))
-    keys = tok.distinct()
-    key_h = None
-    for i in range(_CMS_D):
-        kh = keys.select(
-            "token",
-            F.lit(i).alias("i"),
-            (h60(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % _CMS_W).alias("c"),
-        )
-        key_h = kh if key_h is None else key_h.unionAll(kh)
-    est = (
-        key_h.join(F.broadcast(counters), ["i", "c"])
-        .groupBy("token")
-        .agg(F.min("cnt").alias("cms_est"))
+    # Vocabulary-sized; persisted because the counters branch and the
+    # estimate branch both consume it (no cross-branch plan reuse).
+    exact = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    exact = tok.groupBy("token").agg(F.count(F.lit(1)).alias("exact_n"))
-    return est.join(exact, "token").select(
+    keyh = exact.select(
         "token",
         "exact_n",
-        "cms_est",
-        (F.col("cms_est") - F.col("exact_n")).alias("overcount"),
+        F.posexplode(
+            F.array(
+                *[
+                    (h60(F.concat(F.lit(f"cms{i}:"), F.col("token"))) % _CMS_W)
+                    for i in range(_CMS_D)
+                ]
+            )
+        ).alias("i", "c"),
+    )
+    counters = keyh.groupBy("i", "c").agg(F.sum("exact_n").alias("cnt"))
+    return (
+        keyh.join(F.broadcast(counters), ["i", "c"])
+        .groupBy("token")
+        .agg(
+            F.min("exact_n").alias("exact_n"),
+            F.min("cnt").alias("cms_est"),
+            (F.min("cnt") - F.min("exact_n")).alias("overcount"),
+        )
+        .select("token", "exact_n", "cms_est", "overcount")
     )

@@ -278,7 +278,7 @@ def q_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(x) OVER w AS BIGINT) AS sx,
                    CAST(SUM(y) OVER w AS BIGINT) AS sy,
                    CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
-                   CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+                   SUM(CAST(y AS HUGEINT) * y) OVER w AS syy,
                    CAST(SUM(x * y) OVER w AS BIGINT) AS sxy
             FROM daily
             WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -305,10 +305,13 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (revenue in cents), so the correlation inputs are
     bit-identical across engines and partitionings; only the final
     ratio is float (sqrt/division are IEEE-correctly-rounded, then
-    r6 on both sides). The one moment that can exceed BIGINT — k·Σy²
-    at ~2.7e19 for sf0.1 magnitudes — is widened to DECIMAL(38,0) in
-    Spark / HUGEINT in DuckDB before the subtraction. Windows with
-    fewer than 3 days or a zero-variance side emit NULL/are dropped.
+    r6 on both sides). The Σy² accumulator itself exceeds BIGINT at
+    sf0.1 magnitudes (daily revenue ~2.3e9 cents ⇒ 7-day Σy² ~3.7e19
+    > 2^63), so that sum — and everything derived from it (k·Σy²,
+    Σy·Σy) — runs in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB); the
+    per-row y² product still fits BIGINT, so the widening happens
+    before accumulation, not per multiply. Windows with fewer than 3
+    days or a zero-variance side emit NULL/are dropped.
 
     Scale: the window runs over the DAILY aggregate (≤ one row per
     day), not the fact table — the fact scan contributes one
@@ -328,7 +331,7 @@ def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").over(w).alias("sx"),
         F.sum("y").over(w).alias("sy"),
         F.sum(F.expr("x * x")).over(w).alias("sxx"),
-        F.sum(F.expr("y * y")).over(w).alias("syy"),
+        F.sum(F.expr("cast(y as decimal(38,0)) * y")).over(w).alias("syy"),
         F.sum(F.expr("x * y")).over(w).alias("sxy"),
     )
     dx = F.expr("k * sxx - sx * sx")

@@ -313,7 +313,11 @@ def png_decode_pixels(payload: bytes) -> "object":
     idx, w, h = 8, None, None
     idat = bytearray()
     while idx < len(payload):
+        if idx + 8 > len(payload):
+            raise ValueError("truncated chunk header")
         (length,) = _struct.unpack(">I", payload[idx : idx + 4])
+        if idx + 12 + length > len(payload):
+            raise ValueError("chunk length exceeds payload")
         ctype = payload[idx + 4 : idx + 8]
         data = payload[idx + 8 : idx + 8 + length]
         (crc,) = _struct.unpack(">I", payload[idx + 8 + length : idx + 12 + length])

@@ -298,3 +298,10 @@ def test_png_codec_roundtrips_random_rasters():
     corrupted[40] ^= 0xFF  # inside IDAT data
     with pytest.raises(ValueError):
         png_decode_pixels(bytes(corrupted))
+    with pytest.raises(ValueError):
+        png_decode_pixels(payload[:-2])  # truncated mid-chunk
+    with pytest.raises(ValueError):
+        # corrupt a chunk length so it overruns the buffer
+        oversized = bytearray(payload)
+        oversized[8:12] = b"\xff\xff\xff\xff"
+        png_decode_pixels(bytes(oversized))

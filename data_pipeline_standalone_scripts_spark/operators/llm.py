@@ -367,6 +367,18 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     rows_per_band = N_MINHASH // N_BANDS
+    # Triangle decomposition (same recipe as q_simhash_neardup): the
+    # dense corpus packs up to ~3.2k docs into one band bucket, so a
+    # plain (band, bucket) self-join serializes that bucket's ~5M pair
+    # evaluations on one task. Splitting by doc-hash group g ∈ [0, G)
+    # spreads each bucket over G(G+1)/2 join keys. The joined rows
+    # stay THIN (two ids) — the 83M-row collision stream (measured at
+    # sf0.1) then costs ~16 bytes/row to materialize, and the
+    # candidate dedup is an ordinary distinct over thin rows. A
+    # lowest-band emission variant (carrying the 16-bucket array on
+    # every row to filter non-minimal bands) was measured SLOWER here
+    # — 256 bytes/row × 83M dominates the saved distinct — unlike
+    # SimHash, where the band check is bit arithmetic on one long.
     bands = sig.select(
         "doc_id",
         F.posexplode(
@@ -381,12 +393,34 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
-    left = bands.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
-    right = bands.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    G = 8
+    g = F.pmod(F.hash("doc_id"), F.lit(G))
+    a = (
+        bands.withColumn("ga", g)
+        .withColumn("gb", F.explode(F.expr(f"sequence(ga, {G - 1})")))
+        .alias("a")
+    )
+    b = (
+        bands.withColumn("gb", g)
+        .withColumn("ga", F.explode(F.expr("sequence(0, gb)")))
+        .alias("b")
+    )
     return (
-        left.join(right, ["band", "bucket"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.ga") == F.col("b.ga"))
+            & (F.col("a.gb") == F.col("b.gb"))
+            & (
+                (F.col("a.ga") != F.col("b.gb"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            ),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
 
@@ -406,24 +440,34 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quadratic exact check runs only inside buckets.
     """
     cand = minhash_candidates(spark, sf_dir)
-    tok = _doc_tokens(spark, sf_dir)
-    sizes = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = tok.select(F.col("doc_id").alias("doc_a"), "token")
-    b = tok.select(F.col("doc_id").alias("doc_b"), "token")
-    inter = (
-        cand.join(a, "doc_a")
-        .join(b, ["doc_b", "token"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Verify by joining each candidate pair to the two docs' token
+    # ARRAYS and intersecting in codegen — the exact count without
+    # exploding candidates × tokens through a shuffle (the former
+    # posting-list formulation moved ~270 M (pair, token) rows on the
+    # dense corpus). Tokens are pre-hashed to sorted LONG arrays:
+    # array_intersect over 8-byte longs beats string arrays ~3× at
+    # 12 M candidate pairs, and the global vocabulary (~40 tokens)
+    # makes xxhash64 collisions impossible to miss in parity. The
+    # doc→array table broadcasts here; at 100 TB it becomes two hash
+    # joins on doc_id, still never an explode.
+    d = load(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(
+                F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+            )
+        ).alias("toks"),
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    jac = F.col("n_common").cast("double") / (
-        F.col("sz_a") + F.col("sz_b") - F.col("n_common")
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    jac = n_common.cast("double") / (
+        F.size("ta") + F.size("tb") - n_common
     )
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(F.broadcast(aa), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

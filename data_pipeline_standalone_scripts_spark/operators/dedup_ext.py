@@ -826,16 +826,25 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split_part(F.col("p_name"), F.lit(" "), F.lit(2)).alias("tok2"),
     )
     a, b = p.alias("a"), p.alias("b")
+    # Length filter ahead of the edit-distance call: lev ≤ 2 implies
+    # |len(a) − len(b)| ≤ 2, and the length compare is three codegen
+    # ops against levenshtein's O(len²) DP table — it prunes inside
+    # the join stage before the expensive predicate runs.
+    len_ok = (
+        F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 2
+    )
     blk1 = a.join(
         b,
         (F.col("a.tok1") == F.col("b.tok1"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & len_ok,
     )
     blk2 = a.join(
         b,
         (F.col("a.tok2") == F.col("b.tok2"))
         & (F.col("a.tok1") != F.col("b.tok1"))
-        & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & len_ok,
     )
     sel = [
         F.col("a.p_partkey").alias("key_a"),

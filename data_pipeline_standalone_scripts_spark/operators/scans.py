@@ -93,12 +93,30 @@ def q_scan_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
-@register("q_sink_roundtrip", oracle=None, category=CAT, check="T2w")
+@register(
+    "q_sink_roundtrip",
+    oracle=f"""
+        SELECT l_returnflag,
+               COUNT(*) AS total_rows,
+               {o_dsum("l_quantity", "total_qty")}
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    category=CAT,
+)
 def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: write a derived table to parquet, read it back, aggregate.
-    Rows-only check (side-effecting). The written directory is
-    partitioned by the group key — the 100 TB sink pattern
-    (`partitionBy` → partition pruning for downstream readers)."""
+    The written directory is partitioned by the group key — the
+    100 TB sink pattern (`partitionBy` → partition pruning for
+    downstream readers).
+
+    Full T2: a lossless round-trip means the re-read aggregate must
+    equal the same aggregate computed straight from the source, so
+    the oracle IS that source-side aggregate — any drop, duplication
+    or type mangling through write→read fails the value hash. (The
+    re-summed per-status dsum values are exact micro-unit multiples
+    whose total stays far under 2^53, so the two-level sum is
+    order-free and equals the one-level oracle sum exactly.)"""
     out_dir = _scratch_dir("sink_roundtrip.parquet")
     li = load(spark, sf_dir, "lineitem")
     derived = li.groupBy("l_returnflag", "l_linestatus").agg(
@@ -111,11 +129,29 @@ def q_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_csv_json_io", oracle=None, category=CAT, check="T2w")
+@register(
+    "q_csv_json_io",
+    oracle="""
+        SELECT fmt, COUNT(*) AS n,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum
+        FROM (
+            SELECT 'csv' AS fmt, n_nationkey FROM nation
+            UNION ALL
+            SELECT 'json' AS fmt, n_nationkey FROM nation
+        )
+        GROUP BY fmt
+    """,
+    category=CAT,
+)
 def q_csv_json_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: CSV + JSON-lines sink/source round-trip with an explicit
     read schema (never inferSchema in an engine path — schema comes
-    from the catalog, inference is a full extra scan at 100 TB)."""
+    from the catalog, inference is a full extra scan at 100 TB).
+
+    Full T2: the oracle states what a lossless text round-trip must
+    reproduce — per-format row count and integer-key checksum straight
+    from the source table — so truncated writes, misparsed headers, or
+    type coercion through either text format fail the value hash."""
     csv_dir = _scratch_dir("io_nation.csv")
     json_dir = _scratch_dir("io_nation.json")
     nation = load(spark, sf_dir, "nation")

@@ -857,3 +857,146 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(lev.between(1, 2)).withColumn(
         "edit_dist", lev.cast("long")
     )
+
+
+_PR_DAMP = 0.85
+_PR_ITERS = 3
+
+# Oracle: the exact-Jaccard pair CTE (same SQL as L7/L8's oracle)
+# feeding three unrolled damped-PageRank iterations. One iteration
+# body, templated per level — both engines evaluate the identical
+# expression tree, so only float addition order differs (~1e-16,
+# absorbed by r6 on ~1-magnitude normalized ranks).
+_PR_ITER_CTE = """
+    , r{next} AS (
+        SELECT d.doc_id,
+               0.15 / (SELECT n FROM nn)
+               + {damp} * COALESCE(SUM(r{cur}.r / dg.deg), 0.0) AS r
+        FROM docs_all d
+        LEFT JOIN edges e ON e.dst = d.doc_id
+        LEFT JOIN r{cur} ON r{cur}.doc_id = e.src
+        LEFT JOIN deg dg ON dg.doc_id = e.src
+        GROUP BY d.doc_id
+    )
+"""
+
+_ORACLE_PAGERANK = (
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ), edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ), docs_all AS (
+        SELECT doc_id FROM documents
+    ), nn AS (
+        SELECT COUNT(*) AS n FROM documents
+    ), deg AS (
+        SELECT src AS doc_id, COUNT(*) AS deg FROM edges GROUP BY 1
+    ), r0 AS (
+        SELECT doc_id, 1.0 / (SELECT n FROM nn) AS r FROM docs_all
+    )
+"""
+    + "".join(
+        _PR_ITER_CTE.format(next=i + 1, cur=i, damp=_PR_DAMP)
+        for i in range(_PR_ITERS)
+    )
+    + f"""
+    SELECT d.doc_id,
+           COALESCE(dg.deg, 0) AS degree,
+           ROUND(r{_PR_ITERS}.r * (SELECT n FROM nn), 6) AS rank_rel
+    FROM docs_all d
+    LEFT JOIN deg dg ON dg.doc_id = d.doc_id
+    JOIN r{_PR_ITERS} ON r{_PR_ITERS}.doc_id = d.doc_id
+    """
+)
+
+
+@register("q_pagerank_dups", oracle=_ORACLE_PAGERANK, category=CAT)
+def q_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped PageRank over the near-duplicate graph — 3 iterations of
+    r ← 0.15/N + 0.85·Σ_nbrs r/deg on the verified Jaccard ≥ 0.8 pair
+    edges, ranks reported relative to uniform (×N). Documents central
+    to large near-dup cliques rank high — the dup-centrality signal a
+    cleaning pipeline uses to pick cluster representatives (keep the
+    most-connected copy) or to weight downsampling.
+
+    Complements q_dedup_clusters: CC labels the components, PageRank
+    orders the docs WITHIN them. Dangling-mass redistribution is
+    deliberately omitted (isolated docs converge to 0.15/N); the
+    oracle evaluates the identical recurrence, unrolled.
+
+    Scale: per iteration one join of the edge list against the
+    broadcast-sized rank vector and one dst-keyed aggregate — the
+    standard message-passing shape. Ranks are |V|-sized (tiny next to
+    |E|); at 100 TB the rank vector partitions by doc_id and the join
+    co-partitions with a pre-shuffled edge list, iterations reusing
+    that one edge partitioning. Float discipline: only addition order
+    differs cross-engine (~1e-16 per sum, damped ×0.85 per hop), so
+    r6 on ~1-magnitude values is exact in practice.
+    """
+    from .llm import q_minhash_lsh
+
+    from pyspark import StorageLevel
+
+    pairs = q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    deg = edges.groupBy(F.col("src").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    r = docs.join(F.broadcast(nn)).select(
+        "doc_id", (F.lit(1.0) / F.col("n")).alias("r")
+    )
+    src_deg = deg.select(F.col("doc_id").alias("src"), "deg")
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(
+                F.broadcast(r.select(F.col("doc_id").alias("src"), "r")), "src"
+            )
+            .join(F.broadcast(src_deg), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("r") / F.col("deg")).alias("msg"))
+        )
+        r = (
+            docs.join(contrib, "doc_id", "left")
+            .join(F.broadcast(nn))
+            .select(
+                "doc_id",
+                (
+                    F.lit(0.15) / F.col("n")
+                    + F.lit(_PR_DAMP) * F.coalesce("msg", F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        docs.join(F.broadcast(deg), "doc_id", "left")
+        .join(r, "doc_id")
+        .join(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.coalesce("deg", F.lit(0).cast("long")).alias("degree"),
+            F.round(F.col("r") * F.col("n"), 6).alias("rank_rel"),
+        )
+    )

@@ -22,87 +22,78 @@ from .registry import REGISTRY  # noqa: F401
 
 # The correctness driver hash-checks only the first 50 REGISTRY entries
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
-# This list pins those 50 slots. Round-2 composition: the 4 queries that
-# were driver-RED in r01 (fixes must be confirmed), then the categories
-# that have never seen the driver's hard signal (scans, outer/asof/interval
-# joins, windows, ordering, set ops, scalar functions, UDF surfaces,
-# textpipe), then this round's new operators. Round-3 front-window queue
-# (never driver-checked, all locally parity-gated meanwhile):
-# q_join_cross, q_token_count, multimodal (q_multimodal_decode,
-# q_pgm_decode, q_wav_decode, q_frame_sample, q_media_resize),
-# reference analogs X9–X14, round-1-late ops (q_contamination_check,
-# q_repetition_filter, q_mixture_sample), and the round-2 additions
-# (q_ngram_lm_score, q_quality_score_model, q_domain_quota,
-# q_dedup_clusters, q_bm25_rank, q_embed_quantize, q_unpivot,
-# q_string_agg, q_corr_subquery, q_map_funcs, q_doc_chunk,
-# q_pack_sequences), the timeseries/clustering family
-# (q_gap_fill_daily, q_scd2_intervals, q_rollup_multires,
-# q_morton_cluster, q_rolling_corr, q_decay_score), the sketch family
-# (q_bloom_prefilter, q_cms_frequency), the reconciliation family
-# (q_table_checksum, q_snapshot_diff, q_fuzzy_name_match), the
-# in-engine model fits (q_linreg_fit, q_linreg_per_group), and the
-# real PNG codec (q_png_decode).
+# This list pins those 50 slots.
+#
+# Round-3 composition. Round 2's driver artifacts (CORRECTNESS_r02.json)
+# never materialized, so the 4 r01-RED queries keep their front slots —
+# their last *hard* signal is still the r01 FAIL, and flipping those rows
+# green outranks anything else. The remaining 46 slots go to operators
+# that have appeared in NO round's front window (neither r01's import-order
+# first-50 nor r02's curated list). Left outside the window, by choice:
+# q_fft_lowpass / q_evolutionary_sweep / q_haar_denoise (rows-only checks
+# by design — weakest driver signal) and q_param_sweep (same grid-sweep
+# family as q_evolutionary_sweep; covered by local parity + pytest).
 DRIVER_PRIORITY: list[str] = [
-    # r01 driver-RED, fixed this round — must flip to green
+    # r01 driver-RED, fixed in round 2 — must flip to green
     "q_lang_distribution",
     "q_session_window",
     "q_agg_collect",
     "q_centroid_per_label",
-    # S1–S6 scans/sinks
-    "q_scan_project",
-    "q_scan_count",
-    "q_sink_roundtrip",
-    "q_csv_json_io",
-    "q_partitioned_prune",
-    "q_orc_io",
-    # J6–J12 (minus cross): the hardest join semantics
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_join_interval",
-    # W1–W8 window functions
-    "q_win_rank",
-    "q_win_topk_group",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_moving_avg",
-    "q_win_range_frame",
-    "q_win_ntile_pct",
-    "q_win_first_last",
-    # O1–O3 ordering / top-k / sampling
-    "q_order_multi",
-    "q_topk_global",
-    "q_sample_deterministic",
-    # U1–U4 set ops
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    # F1–F10 scalar function surface
-    "q_str_funcs",
-    "q_str_regex",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_null_funcs",
-    "q_array_funcs",
-    "q_array_hof",
-    "q_explode",
-    "q_json_extract",
-    "q_cast_types",
-    # D1–D6 UDF surfaces
-    "q_python_udf",
-    "q_pandas_udf_scalar",
-    "q_pandas_udaf",
-    "q_apply_in_pandas",
-    "q_python_udtf",
-    "q_map_in_arrow",
-    # X1/X3 text pipeline (token_count deferred)
-    "q_lang_id",
-    "q_fingerprint_winnow",
-    # new this round
-    "q_connected_clean",
+    # joins / relational odds and ends
+    "q_join_cross",
+    "q_skew_salted_join",
+    "q_corr_subquery",
+    "q_cdc_upsert",
+    "q_unpivot",
+    "q_string_agg",
+    "q_map_funcs",
+    "q_histogram",
+    "q_zscore_outliers",
+    # text / LLM-data pipeline
+    "q_token_count",
+    "q_contamination_check",
+    "q_repetition_filter",
+    "q_ngram_lm_score",
+    "q_quality_score_model",
+    "q_domain_quota",
+    "q_mixture_sample",
+    "q_doc_chunk",
+    "q_pack_sequences",
+    "q_token_entropy",
+    "q_train_test_split",
+    "q_rare_bucket",
+    "q_bm25_rank",
+    # dedup / similarity extensions
+    "q_dedup_clusters",
+    "q_pagerank_dups",
+    "q_embed_quantize",
+    "q_fuzzy_name_match",
+    # sketches
+    "q_bloom_prefilter",
+    "q_cms_frequency",
+    # time series
+    "q_gap_fill_daily",
+    "q_scd2_intervals",
+    "q_rollup_multires",
+    "q_rolling_corr",
+    "q_decay_score",
+    "q_morton_cluster",
+    # reconciliation
+    "q_table_checksum",
+    "q_snapshot_diff",
+    # in-engine model fits
+    "q_linreg_fit",
+    "q_linreg_per_group",
+    # multimodal codecs + plumbing
+    "q_multimodal_decode",
+    "q_pgm_decode",
+    "q_wav_decode",
+    "q_png_decode",
+    "q_frame_sample",
+    "q_media_resize",
+    # reference analogs (full-oracle members)
+    "q_tailcut_clean",
+    "q_array_moments",
 ]
 
 

@@ -104,6 +104,7 @@ def load_all_operators() -> None:
     comment — the driver's 50-entry correctness window)."""
     from .operators import (  # noqa: F401
         aggregates,
+        analytics,
         dedup_ext,
         events,
         filters,

@@ -1,0 +1,494 @@
+"""Behavioral / product-analytics operators over the `events` stream
+table, plus distribution-diagnostics over `orders`: cohort retention,
+path transitions, rolling active users, funnel conversion, Benford
+digit audit, MAD robust outliers, percentile bands, and deterministic
+mode/median profiles.
+
+These are the standard session-/user-level analyses every event
+warehouse ships (Mixpanel/Amplitude-style retention + funnels, SRE
+percentile dashboards, fraud-team Benford screens). All are pure
+DataFrame plans — the only state is per-user aggregates, so each op
+is one or two keyed shuffles regardless of fact size.
+
+Scale notes (100 TB):
+- Retention/funnel/paths first collapse events → per-user rows
+  (map-side combined), so the expensive fact shuffle carries one row
+  per (user, grain), not per event. User-level intermediates are
+  orders of magnitude smaller than the fact and reuse one user_id
+  hash partitioning across their joins/windows.
+- The unpartitioned windows below (MA over days, rates over 3 funnel
+  steps, Benford's 9 digits) run over ALREADY-AGGREGATED frames whose
+  row count is bounded by the calendar/domain, not the data — the
+  single-partition sort is O(days), harmless at any fact size.
+- MAD needs two exact medians (a sort per group); at 100 TB swap
+  `median` for `approx_percentile(…, 0.5)` — the plan shape (two
+  grouped passes + broadcast joins of per-group stats) is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+from .common import davg, o_davg
+
+CAT = "analytics"
+
+
+@register(
+    "q_retention_cohort",
+    oracle="""
+        WITH first AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+               CAST(date_diff('day', f.cohort_week,
+                              date_trunc('day', e.ts)) // 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(DISTINCT e.user_id) AS n_users
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    category=CAT,
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN1: weekly cohort retention matrix. Users are cohorted by the
+    ISO week of their first event; each cell counts distinct cohort
+    members active N weeks later (the classic retention triangle).
+
+    Scale: first-touch is a map-side-combined MIN per user; the join
+    back to the fact is user-keyed (at 100 TB: the cohort table is
+    |users| rows — broadcast if it fits, else it shares the fact's
+    user_id partitioning). COUNT(DISTINCT user) per cell re-shuffles
+    on (cohort, offset, user) then collapses — two exchanges total,
+    both over per-user-grain rows.
+    """
+    e = load(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(first, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr(
+                "cast(datediff(date_trunc('day', ts), cohort_week) div 7"
+                " as bigint)"
+            ).alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "q_path_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts ASC, event_id ASC)
+                       AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, event_type, COUNT(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT prev_type, event_type, n
+        FROM pairs
+        ORDER BY n DESC, prev_type ASC, event_type ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN2: top event-type transition pairs (first-order Markov counts)
+    — for each user's time-ordered stream, count (previous → current)
+    event-type bigrams; the navigation-flow / next-action model input.
+
+    Deterministic: the per-user order ties on (ts, event_id); the
+    top-20 ties on the pair itself.
+
+    Scale: one user-keyed window (lag) + one pair-keyed aggregation —
+    the transition alphabet is |types|² so the second shuffle carries
+    at most that many partials per mapper. Top-20 is
+    TakeOrderedAndProject, never a global sort.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "event_type", F.lag("event_type").over(w).alias("prev_type")
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return pairs.orderBy(
+        F.desc("n"), F.asc("prev_type"), F.asc("event_type")
+    ).limit(20)
+
+
+@register(
+    "q_dau_rolling",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(DISTINCT user_id) AS dau,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, dau, n_events,
+               round(AVG(CAST(dau AS DOUBLE)) OVER (
+                         ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS dau_ma7
+        FROM daily
+    """,
+    category=CAT,
+)
+def q_dau_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN3: daily active users with a 7-day trailing moving average —
+    the topline engagement chart (DAU + smoothed trend).
+
+    Scale: exact DISTINCT per day shuffles on (day, user) — at 100 TB
+    prefer `approx_count_distinct` (HLL partials merge map-side; see
+    q_agg_approx_distinct) or a day×user pre-dedup. The MA window runs
+    over the |days|-row daily frame — bounded by the calendar, so its
+    single partition is harmless.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.countDistinct("user_id").alias("dau"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "dau",
+        "n_events",
+        F.round(F.avg(F.col("dau").cast("double")).over(w), 6).alias(
+            "dau_ma7"
+        ),
+    )
+
+
+_FUNNEL_ORACLE = """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ), c AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+        WHERE e.event_type = 'click' GROUP BY 1
+    ), p AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t1
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    ), steps AS (
+        SELECT '1_view' AS step, COUNT(*) AS n_users FROM v
+        UNION ALL SELECT '2_click', COUNT(*) FROM c
+        UNION ALL SELECT '3_purchase', COUNT(*) FROM p
+    )
+    SELECT step, n_users,
+           round(CAST(n_users AS DOUBLE)
+                 / lag(CAST(n_users AS DOUBLE), 1, CAST(n_users AS DOUBLE))
+                       OVER (ORDER BY step), 6) AS conv_from_prev
+    FROM steps
+"""
+
+
+@register("q_funnel_conversion", oracle=_FUNNEL_ORACLE, category=CAT)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN4: ordered funnel view → click → purchase with step
+    conversion rates. A user advances a step only with an event
+    STRICTLY AFTER their previous step's completion time (true
+    sequential funnel, not a bag-of-events intersection — that
+    distinction is what q_event_funnel's windowed variant shares).
+
+    Scale: each step is a user-keyed MIN over a type-filtered slice
+    (filter pushed to the scan), joined user-to-user — three shuffles
+    over per-user rows that all reuse one user_id partitioning. The
+    3-row rate window is free.
+    """
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    steps = (
+        v.agg(F.lit("1_view").alias("step"), F.count(F.lit(1)).alias("n_users"))
+        .unionByName(
+            c.agg(
+                F.lit("2_click").alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+        .unionByName(
+            p.agg(
+                F.lit("3_purchase").alias("step"),
+                F.count(F.lit(1)).alias("n_users"),
+            )
+        )
+    )
+    w = Window.orderBy("step")
+    nd = F.col("n_users").cast("double")
+    return steps.select(
+        "step",
+        "n_users",
+        F.round(nd / F.lag(nd, 1, None).over(w), 6).alias("conv_from_prev"),
+    ).withColumn(
+        "conv_from_prev", F.coalesce("conv_from_prev", F.lit(1.0))
+    )
+
+
+@register(
+    "q_benford_digits",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                    AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM orders WHERE o_totalprice >= 1
+        ), c AS (
+            SELECT digit, COUNT(*) AS n FROM d GROUP BY 1
+        )
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS obs_freq,
+               round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+               round(abs(CAST(n AS DOUBLE) / SUM(n) OVER ()
+                         - log10(1.0 + 1.0 / digit)), 6) AS abs_dev
+        FROM c
+    """,
+    category=CAT,
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN5: Benford first-digit audit of order totals — observed
+    leading-digit frequencies vs the Benford expectation
+    log10(1 + 1/d), with absolute deviation per digit. The standard
+    fraud/data-quality screen for monetary columns.
+
+    Scale: one map-side-combined 9-group aggregation; the OVER () total
+    runs on the 9-row result. (Synthetic uniform prices will FAIL the
+    screen — that is the point of running it on this data.)
+    """
+    o = load(spark, sf_dir, "orders")
+    c = (
+        o.filter(F.col("o_totalprice") >= 1)
+        .select(
+            F.expr(
+                "cast(substring(cast(cast(floor(o_totalprice) as bigint)"
+                " as string), 1, 1) as bigint)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy()
+    obs = F.col("n").cast("double") / F.sum("n").over(w)
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return c.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("obs_freq"),
+        F.round(exp, 6).alias("benford_freq"),
+        F.round(F.abs(obs - exp), 6).alias("abs_dev"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, median(value) AS med
+            FROM events GROUP BY 1
+        ), mad AS (
+            SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+            FROM events e JOIN med m ON e.event_type = m.event_type
+            GROUP BY 1
+        )
+        SELECT e.event_type,
+               COUNT(*) AS n,
+               round(MIN(m.med), 6) AS med,
+               round(MIN(d.mad), 6) AS mad,
+               CAST(SUM(CASE WHEN abs(0.6745 * (e.value - m.med)
+                                      / nullif(d.mad, 0.0)) > 3.5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+               round(MAX(abs(0.6745 * (e.value - m.med)
+                             / nullif(d.mad, 0.0))), 6) AS max_abs_z
+        FROM events e
+        JOIN med m ON e.event_type = m.event_type
+        JOIN mad d ON e.event_type = d.event_type
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN6: robust outlier detection via median absolute deviation —
+    per event_type, the modified z-score 0.6745·(x−med)/MAD with the
+    Iglewicz–Hoaglin 3.5 threshold. Complements q_zscore_outliers
+    (mean/stddev): MAD's 50% breakdown point survives the very
+    outliers a mean-based z gets dragged by.
+
+    Determinism: both medians are exact rank statistics (sort-based,
+    order-free); the z expression is the same IEEE double dag on both
+    engines, so even the threshold comparison agrees bit-for-bit.
+
+    Scale: two grouped exact medians + two broadcast joins of
+    |event_type|-row stat tables. Exact median sorts each group; at
+    100 TB substitute approx_percentile(value, 0.5) — plan shape
+    (grouped agg → broadcast join → grouped agg) is unchanged.
+    """
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    dev = e.join(F.broadcast(med), "event_type")
+    mad = dev.groupBy("event_type").agg(
+        F.median(F.abs(F.col("value") - F.col("med"))).alias("mad")
+    )
+    z = F.expr("abs(0.6745 * (value - med) / nullif(mad, 0.0d))")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("med"), 6).alias("med"),
+            F.round(F.min("mad"), 6).alias("mad"),
+            F.sum(F.when(z > 3.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_outliers"),
+            F.round(F.max(z), 6).alias("max_abs_z"),
+        )
+    )
+
+
+@register(
+    "q_percentile_bands",
+    oracle="""
+        WITH q AS (
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(*) AS n,
+                   quantile_cont(value, [0.5, 0.9, 0.99]) AS qs
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n,
+               round(qs[1], 6) AS p50,
+               round(qs[2], 6) AS p90,
+               round(qs[3], 6) AS p99
+        FROM q
+    """,
+    category=CAT,
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN7: daily p50/p90/p99 bands of event value — the SLO/latency
+    dashboard shape. Exact linear-interpolation percentiles (Spark
+    `percentile` ≡ DuckDB `quantile_cont`, same (n−1)·q rank formula),
+    computed as ONE multi-quantile aggregate per day so the per-group
+    sort is paid once, not three times.
+
+    Scale: exact per-group percentile materializes each day's values;
+    days are fine-grained enough to bound group size. For heavy groups
+    switch to approx_percentile (KLL sketch — mergeable partials,
+    map-side combined), same plan otherwise.
+    """
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile(
+                "value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))
+            ).alias("qs"),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            F.round(F.col("qs")[0], 6).alias("p50"),
+            F.round(F.col("qs")[1], 6).alias("p90"),
+            F.round(F.col("qs")[2], 6).alias("p99"),
+        )
+    )
+
+
+@register(
+    "q_mode_median",
+    oracle=f"""
+        WITH cnt AS (
+            SELECT o_orderpriority, o_orderstatus, COUNT(*) AS c
+            FROM orders GROUP BY 1, 2
+        ), mode AS (
+            SELECT o_orderpriority, o_orderstatus AS mode_status, c AS mode_n
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY o_orderpriority
+                      ORDER BY c DESC, o_orderstatus ASC) AS rn
+                  FROM cnt)
+            WHERE rn = 1
+        ), med AS (
+            SELECT o_orderpriority,
+                   COUNT(*) AS n,
+                   round(median(o_totalprice), 6) AS median_price,
+                   {o_davg("o_totalprice", "mean_price")}
+            FROM orders GROUP BY 1
+        )
+        SELECT m.o_orderpriority, m.n, m.median_price, m.mean_price,
+               d.mode_status, d.mode_n
+        FROM med m JOIN mode d ON m.o_orderpriority = d.o_orderpriority
+    """,
+    category=CAT,
+)
+def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN8: per-priority distribution profile — deterministic mode of
+    order status (ties broken by status value — NOT the built-in
+    `mode()`, whose tie choice is engine-arbitrary) alongside exact
+    median and exact-sum mean of the total price.
+
+    Scale: the mode is a (priority,status)-grouped count + per-priority
+    top-1 window over |domain| rows; the median/mean pass groups the
+    fact once. Both stat tables are tiny and broadcast-joined.
+    """
+    o = load(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("c"), F.asc("o_orderstatus")
+    )
+    mode = (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("c").alias("mode_n"),
+        )
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.median("o_totalprice"), 6).alias("median_price"),
+        davg("o_totalprice", "mean_price"),
+    )
+    return med.join(F.broadcast(mode), "o_orderpriority").select(
+        "o_orderpriority",
+        "n",
+        "median_price",
+        "mean_price",
+        "mode_status",
+        "mode_n",
+    )

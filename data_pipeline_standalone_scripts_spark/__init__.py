@@ -105,11 +105,13 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics,
+        corpus,
         dedup_ext,
         events,
         filters,
         joins,
         llm,
+        maintenance,
         mlfit,
         multimodal,
         ordering,

@@ -1,0 +1,221 @@
+"""Corpus-curation operators for training-data pipelines: boilerplate
+n-gram mining, incremental (cross-snapshot) dedup, and lexical
+diversity profiling. These extend the cleaning family in
+`llm.py`/`textpipe.py` with the BETWEEN-snapshot and ACROSS-corpus
+analyses a crawl pipeline runs each refresh: what text is template
+boilerplate, which newly-crawled docs are already in the corpus, and
+which docs are degenerate repetition.
+
+Scale notes (100 TB):
+- Boilerplate mining shuffles (shingle → partial count) pairs with
+  map-side combine; the top-k is TakeOrderedAndProject. The shingle
+  stream is ~|tokens| rows but never materializes raw text past the
+  hash-sized shingle strings.
+- Incremental dedup is the anti-join pattern: hash both sides in
+  their scans, LEFT ANTI on the 32-byte digest. The existing-corpus
+  side reduces to DISTINCT hashes — at 100 TB that digest set is
+  ~3 orders of magnitude smaller than the corpus and partitions
+  evenly (sha256 keys can't skew); a Bloom build over it
+  (q_bloom_prefilter) turns the anti-join into a scan-side filter.
+- TTR profiling is explode → two stacked per-doc aggregations that
+  share one doc_id partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+CAT = "corpus"
+
+_NG = 5  # boilerplate shingle width (words)
+
+
+@register(
+    "q_boilerplate_ngrams",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), grams AS (
+            SELECT doc_id, array_to_string(toks[i+1:i+{_NG}], ' ') AS gram
+            FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - {_NG}))
+                             AS i) g
+            WHERE len(toks) >= {_NG}
+        ), c AS (
+            SELECT gram, COUNT(*) AS n_occurrences,
+                   COUNT(DISTINCT doc_id) AS n_docs
+            FROM grams GROUP BY 1
+        )
+        SELECT gram, n_occurrences, n_docs
+        FROM c
+        ORDER BY n_occurrences DESC, gram ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C1: boilerplate mining — the corpus's most repeated 5-word
+    shingles with occurrence and document counts. High-frequency ×
+    high-document-spread shingles are template/boilerplate candidates
+    (cookie banners, nav text) that C4-style cleaners strip before
+    training; this op produces that strip list from the data itself.
+
+    Scale: shingles explode to ~|tokens| rows but aggregate with
+    map-side combine on the gram key; the distinct-doc count rides the
+    same shuffle (gram, doc) → gram. Top-20 is TakeOrderedAndProject —
+    no global sort. At 100 TB, hash grams to 64-bit first and resolve
+    the winning strings in a second tiny pass.
+    """
+    d = load(spark, sf_dir, "documents")
+    grams = (
+        d.select("doc_id", F.split("text", " ").alias("toks"))
+        .filter(F.size("toks") >= _NG)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(toks) - {_NG}),"
+                    f" i -> concat_ws(' ', slice(toks, i + 1, {_NG})))"
+                )
+            ).alias("gram"),
+        )
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("gram"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_incremental_dedup",
+    oracle="""
+        WITH x AS (
+            SELECT doc_id, lang, source, sha256(text) AS h,
+                   CAST(substr(source, 4) AS INT) >= 10 AS is_new
+            FROM documents
+        ), existing AS (
+            SELECT DISTINCT h FROM x WHERE NOT is_new
+        ), novel AS (
+            SELECT n.doc_id, n.lang, n.source, n.h
+            FROM x n LEFT JOIN existing e ON n.h = e.h
+            WHERE n.is_new AND e.h IS NULL
+        )
+        SELECT h AS text_hash, MIN(doc_id) AS doc_id,
+               MIN(lang) AS lang, MIN(source) AS source,
+               COUNT(*) AS n_batch_copies
+        FROM novel GROUP BY h
+    """,
+    category=CAT,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: cross-snapshot incremental dedup — the new crawl batch
+    (sources src10+) is admitted only where its SHA-256 is absent from
+    the existing corpus (src0–src9), then deduped within itself
+    (keep min doc_id). This is the per-refresh ingestion gate of an
+    accumulating training corpus: never re-admit what a previous
+    snapshot already contributed.
+
+    Determinism: the lang/source MINs are true functional dependencies
+    of the kept doc (grouped on the full content hash, reported for
+    the min-doc representative's group).
+
+    Scale: both sides hash IN THE SCAN; the anti-join runs on 32-byte
+    digests that cannot skew. The existing side is DISTINCT digests —
+    at 100 TB keep that digest set as its own bucketed table so each
+    refresh joins without re-hashing history; Bloom-prefilter
+    (q_bloom_prefilter) removes ~99% of probes before the shuffle.
+    """
+    d = load(spark, sf_dir, "documents")
+    x = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.sha2("text", 256).alias("h"),
+        (F.substring("source", 4, 10).cast("int") >= 10).alias("is_new"),
+    )
+    existing = x.filter(~F.col("is_new")).select("h").distinct()
+    novel = (
+        x.filter(F.col("is_new"))
+        .join(existing, "h", "left_anti")
+    )
+    return novel.groupBy(F.col("h").alias("text_hash")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("lang").alias("lang"),
+        F.min("source").alias("source"),
+        F.count(F.lit(1)).alias("n_batch_copies"),
+    )
+
+
+@register(
+    "q_ttr_lexical",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ), cnt AS (
+            SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        ), per AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n_tokens,
+                   COUNT(*) AS n_types,
+                   CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_hapax
+            FROM cnt GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, n_types,
+               round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+               round(CAST(n_hapax AS DOUBLE) / n_types, 6) AS hapax_ratio
+        FROM per
+        ORDER BY ttr DESC, doc_id ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_ttr_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C3: lexical-diversity profile — type-token ratio and hapax
+    (once-occurring types) fraction per document; the top-20 most
+    diverse docs. Low TTR flags degenerate repetition (the same
+    signal q_repetition_filter thresholds, here as a ranked profile);
+    hapax fraction separates genuinely rich vocabulary from short
+    texts whose TTR is inflated.
+
+    Scale: explode → (doc, token) counts → per-doc rollup; both
+    aggregations share one doc_id-keyed shuffle (Catalyst reuses the
+    partitioning). Top-20 via TakeOrderedAndProject.
+    """
+    d = load(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_hapax"),
+    )
+    return (
+        per.select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double") / F.col("n_tokens"), 6
+            ).alias("ttr"),
+            F.round(
+                F.col("n_hapax").cast("double") / F.col("n_types"), 6
+            ).alias("hapax_ratio"),
+        )
+        .orderBy(F.desc("ttr"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -1,0 +1,145 @@
+"""Warehouse-maintenance planning operators: compaction bin-packing
+and partition-skew diagnosis. A 100 TB table is kept healthy by
+exactly these two loops — coalescing small files into right-sized
+ones, and finding the partitions whose size will wreck the next
+shuffle — and both plans must themselves be computed distributively
+(a driver that lists 50 M files into memory is the anti-pattern).
+
+Here the per-day slices of `lineitem`/`events` stand in for the
+file-manifest table a lakehouse keeps (Delta/Iceberg manifests are
+exactly such a table); the plans read manifest-shaped aggregates,
+never raw data, so they run at metadata scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import register
+from ..tables import load
+
+CAT = "maintenance"
+
+_TARGET_ROWS = 5_000  # compaction target bin size (rows per output file)
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH files AS (
+            SELECT l_shipdate AS d, COUNT(*) AS n_rows
+            FROM lineitem GROUP BY 1
+        ), cum AS (
+            SELECT d, n_rows,
+                   CAST(SUM(n_rows) OVER (ORDER BY d
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_rows
+            FROM files
+        )
+        SELECT CAST((cum_rows - n_rows) // {_TARGET_ROWS} AS BIGINT) AS bin_id,
+               COUNT(*) AS n_files,
+               CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+               strftime(MIN(d), '%Y-%m-%d') AS d_min,
+               strftime(MAX(d), '%Y-%m-%d') AS d_max
+        FROM cum GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT1: compaction bin-packing plan — treat each ship-date slice as
+    one small file, pack date-adjacent slices into ~{target}-row output
+    bins via cumulative-sum bucketing (bin = prefix-rows DIV target).
+    Adjacency-preserving packing keeps each output file's date range
+    minimal, so date predicates still prune after the rewrite — the
+    property OPTIMIZE/compaction jobs must maintain.
+
+    Scale: the pack decision is a prefix sum + integer division —
+    no driver loop, no greedy state. The window is ordered over the
+    MANIFEST (one row per file/slice), not the data; for manifests too
+    big for one partition, range-partition by date and offset each
+    range by a per-range prefix total (two metadata-scale passes).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    files = li.groupBy(F.col("l_shipdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    w = Window.orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = files.withColumn(
+        "cum_rows", F.sum("n_rows").over(w).cast("long")
+    )
+    return (
+        cum.groupBy(
+            F.expr(
+                f"cast((cum_rows - n_rows) div {_TARGET_ROWS} as bigint)"
+            ).alias("bin_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("d_min"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("d_max"),
+        )
+    )
+
+
+q_compaction_plan.__doc__ = q_compaction_plan.__doc__.replace(
+    "{target}", f"{_TARGET_ROWS:,}"
+)
+
+
+@register(
+    "q_partition_skew",
+    oracle="""
+        WITH parts AS (
+            SELECT date_trunc('day', ts) AS day,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(len(props) + 40) AS BIGINT) AS approx_bytes
+            FROM events GROUP BY 1
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_rows, approx_bytes,
+               round(CAST(n_rows AS DOUBLE)
+                     / (CAST(SUM(n_rows) OVER () AS DOUBLE)
+                        / COUNT(*) OVER ()), 6) AS skew_factor,
+               n_rows > 2 * (SUM(n_rows) OVER () / COUNT(*) OVER ())
+                   AS is_hot
+        FROM parts
+    """,
+    category=CAT,
+)
+def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT2: partition-skew report — per day-partition of `events`, row
+    count, approximate byte weight (payload length + fixed row
+    overhead), and the skew factor vs the mean partition size; `is_hot`
+    marks partitions >2× the mean, the ones AQE's skew-join would
+    split and a compaction/salting pass should target first.
+
+    Scale: one map-side-combined aggregation to partition grain, then
+    window stats over the |partitions|-row report frame (bounded by
+    the calendar, single partition harmless). This is the health check
+    you run BEFORE the big join, at metadata cost.
+    """
+    e = load(spark, sf_dir, "events")
+    parts = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.length("props") + 40).cast("long").alias("approx_bytes"),
+    )
+    w = Window.partitionBy()
+    mean_rows = (
+        F.sum("n_rows").over(w).cast("double") / F.count(F.lit(1)).over(w)
+    )
+    return parts.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_rows",
+        "approx_bytes",
+        F.round(F.col("n_rows").cast("double") / mean_rows, 6).alias(
+            "skew_factor"
+        ),
+        (
+            F.col("n_rows")
+            > 2 * (F.sum("n_rows").over(w) / F.count(F.lit(1)).over(w))
+        ).alias("is_hot"),
+    )

@@ -1,0 +1,171 @@
+"""Invariant tests for the round-3 analytics / corpus / maintenance
+families — semantic properties the oracle parity alone doesn't state
+(SURVEY.md §5.2: every operator family carries its own invariants
+beyond parity).
+"""
+
+from pyspark.sql import functions as F
+
+import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.tables import load
+
+engine.load_all_operators()
+
+
+def _run(name, spark, sf):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_retention_week0_counts_whole_cohort(spark, sf_small):
+    """Offset-0 cell of each cohort equals that cohort's user count —
+    by construction every user is active in their first week — and no
+    later cell may exceed it (retention is a survival curve)."""
+    ret = _run("q_retention_cohort", spark, sf_small).toPandas()
+    base = ret[ret.week_offset == 0].set_index("cohort_week").n_users
+    e = load(spark, sf_small, "events")
+    cohort_sizes = (
+        e.groupBy("user_id")
+        .agg(F.date_format(F.date_trunc("week", F.min("ts")), "yyyy-MM-dd").alias("w"))
+        .groupBy("w")
+        .count()
+        .toPandas()
+        .set_index("w")["count"]
+    )
+    for w, n in cohort_sizes.items():
+        assert base[w] == n
+    for _, row in ret.iterrows():
+        assert row.n_users <= base[row.cohort_week]
+
+
+def test_funnel_is_monotone_and_rates_consistent(spark, sf_small):
+    """Step counts never increase down the funnel (strict ordering
+    semantics), and each row's rate equals its count over the
+    previous count."""
+    f = (
+        _run("q_funnel_conversion", spark, sf_small)
+        .toPandas()
+        .sort_values("step")
+        .reset_index(drop=True)
+    )
+    assert list(f.step) == ["1_view", "2_click", "3_purchase"]
+    assert f.n_users.is_monotonic_decreasing
+    assert f.conv_from_prev[0] == 1.0
+    for i in (1, 2):
+        if f.n_users[i - 1] > 0:
+            assert abs(
+                f.conv_from_prev[i] - round(f.n_users[i] / f.n_users[i - 1], 6)
+            ) < 1e-9
+
+
+def test_path_transitions_conserve_events(spark, sf_small):
+    """Total transition mass (without the top-20 cut) equals
+    |events| − |users with ≥1 event|: every event except each user's
+    first has exactly one predecessor."""
+    e = load(spark, sf_small, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    total = (
+        e.select(F.lag("event_type").over(w).alias("p"))
+        .filter(F.col("p").isNotNull())
+        .count()
+    )
+    assert total == n_events - n_users
+
+
+def test_mad_outliers_bounded_and_robust(spark, sf_small):
+    """Outlier count is bounded by group size, and MAD ≤ max|x−med|
+    by definition of a median of deviations."""
+    m = _run("q_mad_outliers", spark, sf_small).toPandas()
+    assert (m.n_outliers <= m.n).all()
+    assert (m["mad"] >= 0).all()
+    assert (m.max_abs_z >= 0).all()
+
+
+def test_percentile_bands_ordered(spark, sf_small):
+    """p50 ≤ p90 ≤ p99 on every day (quantile monotonicity)."""
+    p = _run("q_percentile_bands", spark, sf_small).toPandas()
+    assert (p.p50 <= p.p90).all() and (p.p90 <= p.p99).all()
+
+
+def test_benford_frequencies_sum_to_one(spark, sf_small):
+    """Observed and theoretical digit frequencies each total 1."""
+    b = _run("q_benford_digits", spark, sf_small).toPandas()
+    assert abs(b.obs_freq.sum() - 1.0) < 1e-4
+    assert abs(b.benford_freq.sum() - 1.0) < 1e-4
+    assert set(b.digit) <= set(range(1, 10))
+
+
+def test_incremental_dedup_admits_only_novel_hashes(spark, sf_small):
+    """No admitted doc's hash exists in the existing corpus, and
+    admitted hashes are unique (batch-internal dedup)."""
+    kept = _run("q_incremental_dedup", spark, sf_small)
+    d = load(spark, sf_small, "documents")
+    existing = (
+        d.filter(F.substring("source", 4, 10).cast("int") < 10)
+        .select(F.sha2("text", 256).alias("text_hash"))
+        .distinct()
+    )
+    assert kept.join(existing, "text_hash").count() == 0
+    n = kept.count()
+    assert kept.select("text_hash").distinct().count() == n
+    # every admitted doc really is from the new batch
+    batch_ids = d.filter(
+        F.substring("source", 4, 10).cast("int") >= 10
+    ).select("doc_id")
+    assert kept.join(batch_ids, "doc_id").count() == n
+
+
+def test_compaction_bins_are_contiguous_and_sized(spark, sf_small):
+    """Bins partition the date line into contiguous, non-overlapping
+    ranges; every bin except possibly the last holds ≥ TARGET rows
+    only if it spans multiple files... the invariant that matters:
+    a bin exceeds TARGET only via its final file (prefix-sum packing
+    can't split a file)."""
+    from data_pipeline_standalone_scripts_spark.operators.maintenance import (
+        _TARGET_ROWS,
+    )
+
+    plan = (
+        _run("q_compaction_plan", spark, sf_small)
+        .toPandas()
+        .sort_values("bin_id")
+        .reset_index(drop=True)
+    )
+    # contiguity: each bin's range starts after the previous bin's end
+    for i in range(1, len(plan)):
+        assert plan.d_min[i] > plan.d_max[i - 1]
+    # size: bins begin before crossing the target boundary, so any bin
+    # holds < TARGET rows before its last file was added
+    li = load(spark, sf_small, "lineitem")
+    max_file = (
+        li.groupBy("l_shipdate").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert (plan.n_rows < _TARGET_ROWS + max_file).all()
+
+
+def test_partition_skew_mean_is_one(spark, sf_small):
+    """Skew factors average to 1 across partitions by construction."""
+    s = _run("q_partition_skew", spark, sf_small).toPandas()
+    assert abs(s.skew_factor.mean() - 1.0) < 1e-4
+    hot = s[s.is_hot]
+    assert (hot.skew_factor > 2.0 - 1e-9).all()
+
+
+def test_ttr_bounds(spark, sf_small):
+    """0 < TTR ≤ 1 and hapax_ratio ≤ 1; types ≤ tokens."""
+    t = _run("q_ttr_lexical", spark, sf_small).toPandas()
+    assert ((t.ttr > 0) & (t.ttr <= 1)).all()
+    assert ((t.hapax_ratio >= 0) & (t.hapax_ratio <= 1)).all()
+    assert (t.n_types <= t.n_tokens).all()
+
+
+def test_boilerplate_ngrams_are_5_words(spark, sf_small):
+    """Every mined shingle is exactly 5 space-separated words and
+    n_docs ≤ n_occurrences."""
+    g = _run("q_boilerplate_ngrams", spark, sf_small).toPandas()
+    assert (g.gram.str.split(" ").str.len() == 5).all()
+    assert (g.n_docs <= g.n_occurrences).all()

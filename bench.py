@@ -46,6 +46,11 @@ HEADLINE = {
     "docs_lm_score": "q_ngram_lm_score",
     "docs_bm25_topk": "q_bm25_rank",
     "emb_int8_quantize": "q_embed_quantize",
+    # round-3 rows (BASELINE.md "pipeline ops")
+    "events_retention_cohort": "q_retention_cohort",
+    "events_funnel": "q_funnel_conversion",
+    "docs_boilerplate_5gram": "q_boilerplate_ngrams",
+    "events_mad_outliers": "q_mad_outliers",
 }
 
 N_RUNS = 5

@@ -109,6 +109,7 @@ def load_all_operators() -> None:
         dedup_ext,
         events,
         filters,
+        graph,
         joins,
         llm,
         maintenance,

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import davg, o_davg
+from .common import davg, h60, o_davg, o_h60
 
 CAT = "analytics"
 
@@ -491,4 +491,137 @@ def q_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_price",
         "mode_status",
         "mode_n",
+    )
+
+
+_AB_SALT = "exp1:"
+
+
+@register(
+    "q_ab_lift",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT user_id, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn
+            FROM events
+        ), per_user AS (
+            SELECT user_id,
+                   {o_h60(f"'{_AB_SALT}' || CAST(user_id AS VARCHAR)")} % 2
+                       AS arm,
+                   CAST(MAX(CASE WHEN rn = 1 AND event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS conv,
+                   CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+                       AS v_micro
+            FROM ranked GROUP BY 1
+        ), arms AS (
+            SELECT CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS c_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS c_b,
+                   CAST(SUM(CASE WHEN arm = 0 THEN v_micro ELSE 0 END) AS BIGINT) AS v_a,
+                   CAST(SUM(CASE WHEN arm = 1 THEN v_micro ELSE 0 END) AS BIGINT) AS v_b
+            FROM per_user
+        )
+        SELECT n_a, n_b,
+               round(CAST(c_a AS DOUBLE) / n_a, 6) AS conv_a,
+               round(CAST(c_b AS DOUBLE) / n_b, 6) AS conv_b,
+               round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                     / nullif(CAST(c_a AS DOUBLE) / n_a, 0.0), 6) AS lift,
+               round((CAST(c_b AS DOUBLE) / n_b - CAST(c_a AS DOUBLE) / n_a)
+                     / nullif(sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                            * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+                            * (CAST(1.0 AS DOUBLE) / n_a
+                               + CAST(1.0 AS DOUBLE) / n_b)), 0.0), 6)
+                   AS z_score,
+               round(CAST(v_a AS DOUBLE) / 1000000.0 / n_a, 6) AS avg_value_a,
+               round(CAST(v_b AS DOUBLE) / 1000000.0 / n_b, 6) AS avg_value_b
+        FROM arms
+    """,
+    category=CAT,
+)
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN9: A/B experiment readout — users are deterministically
+    assigned to arms by a salted content hash of their id (the
+    standard randomization-by-hash: reproducible across reruns and
+    engines, no RNG), then B-over-A lift on first-touch purchase
+    conversion (did the user's FIRST event convert — a rate that
+    doesn't saturate with observation length, unlike ever-converted)
+    with the two-proportion z-score, plus mean per-user value per arm.
+
+    Determinism: assignment is h60(salt‖user_id) mod 2; first-touch
+    ties on (ts, event_id); per-user value totals accumulate as exact
+    micro-units; every emitted float is a fixed IEEE dag of those
+    integers, rounded 6. Degenerate arms (p̂ ∈ {0,1} pooled) yield
+    NULL z rather than an ANSI divide-by-zero.
+
+    Scale: one user-keyed window+aggregation pass (the first-touch
+    flag rides the same user_id partitioning), then a single-row
+    conditional rollup — the z-test consumes six exact integers.
+    Adding metrics or arms adds columns, not passes.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    per_user = (
+        e.select(
+            "user_id",
+            "value",
+            "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("rn") == 1) & (F.col("event_type") == "purchase"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("conv"),
+            F.sum(F.expr("cast(round(value * 1000000) as bigint)")).alias(
+                "v_micro"
+            ),
+        )
+        .withColumn(
+            "arm",
+            F.pmod(
+                h60(
+                    F.concat(F.lit(_AB_SALT), F.col("user_id").cast("string"))
+                ),
+                F.lit(2),
+            ),
+        )
+    )
+    arms = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).cast("long").alias("c_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).cast("long").alias("c_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("v_micro")).otherwise(0)).cast("long").alias("v_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("v_micro")).otherwise(0)).cast("long").alias("v_b"),
+    )
+    pa = F.col("c_a").cast("double") / F.col("n_a")
+    pb = F.col("c_b").cast("double") / F.col("n_b")
+    pooled = F.expr("cast(c_a + c_b as double) / (n_a + n_b)")
+    inv_n = F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
+    return arms.select(
+        "n_a",
+        "n_b",
+        F.round(pa, 6).alias("conv_a"),
+        F.round(pb, 6).alias("conv_b"),
+        F.round((pb - pa) / F.nullif(pa, F.lit(0.0)), 6).alias("lift"),
+        F.round(
+            (pb - pa)
+            / F.nullif(
+                F.sqrt(pooled * (F.lit(1.0) - pooled) * inv_n), F.lit(0.0)
+            ),
+            6,
+        ).alias("z_score"),
+        F.round(
+            F.col("v_a").cast("double") / 1000000.0 / F.col("n_a"), 6
+        ).alias("avg_value_a"),
+        F.round(
+            F.col("v_b").cast("double") / 1000000.0 / F.col("n_b"), 6
+        ).alias("avg_value_b"),
     )

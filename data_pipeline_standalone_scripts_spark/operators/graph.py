@@ -1,0 +1,135 @@
+"""Graph analytics over relational co-occurrence: triangle counting
+and clustering coefficient on the part co-purchase graph (parts are
+linked when some order contains both). Complements the near-dup graph
+ops in dedup_ext.py (connected components, PageRank) with the classic
+wedge/triangle machinery — community density, recommendation signals,
+graph health metrics — expressed as pure joins.
+
+Scale notes (100 TB):
+- Edge construction is the per-order pair expansion: C(k,2) per
+  k-item order, bounded by basket size; the DISTINCT collapses
+  multiplicity with map-side combine on the (a,b) key.
+- Triangle counting is the two-join node-iterator form. Edges are
+  oriented a<b by id here; at scale orient low-degree → high-degree
+  instead ((degree, id) lexicographic) — that bounds per-vertex wedge
+  fan-out by graph arboricity (the Schank/Wagner trick) and tames
+  power-law hubs. Orientation is a 1-line change to the edge builder;
+  the join topology is identical.
+- Each join shuffles on a single vertex key; skewed hub vertices are
+  exactly what AQE skew-split handles, or pre-salt the wedge join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+
+CAT = "graph"
+
+
+def copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct undirected co-purchase edges (a < b by part id)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l1 = li.alias("l1")
+    l2 = li.alias("l2")
+    return (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_partkey") < F.col("l2.l_partkey")),
+        )
+        .select(
+            F.col("l1.l_partkey").alias("a"), F.col("l2.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "q_triangle_count",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ), deg AS (
+            SELECT v, COUNT(*) AS d
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY 1
+        ), tri AS (
+            SELECT COUNT(*) AS n_triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.b
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+        ), nodes AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+                   CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS n_wedges
+            FROM deg
+        ), edges AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM e
+        )
+        SELECT n_nodes, n_edges,
+               CAST(n_triangles AS BIGINT) AS n_triangles,
+               n_wedges,
+               round(3.0 * n_triangles / nullif(CAST(n_wedges AS DOUBLE),
+                                                0.0), 6)
+                   AS clustering_coeff
+        FROM nodes, edges, tri
+    """,
+    category=CAT,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: exact triangle count + global clustering coefficient of the
+    co-purchase graph, by the node-iterator join: for each oriented
+    edge (a,b) and wedge (b,c), a triangle exists iff (a,c) is also an
+    edge — two equi-joins, no adjacency lists materialized per vertex.
+    Clustering coefficient = 3·triangles / wedges, wedges = Σ C(d,2).
+
+    Scale: see module docstring — at power-law scale, orient edges by
+    (degree, id) instead of raw id to bound wedge fan-out by
+    arboricity; topology of the two joins is unchanged. The edge set
+    is persisted across its three consumers (degree pass + both join
+    sides) so the expansion join runs once.
+    """
+    e = copurchase_edges(spark, sf_dir).persist()
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    nodes = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges"),
+    )
+    edges = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        nodes.join(F.broadcast(edges))
+        .join(F.broadcast(tri))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.round(
+                F.lit(3.0)
+                * F.col("n_triangles")
+                / F.nullif(F.col("n_wedges").cast("double"), F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

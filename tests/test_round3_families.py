@@ -169,3 +169,38 @@ def test_boilerplate_ngrams_are_5_words(spark, sf_small):
     g = _run("q_boilerplate_ngrams", spark, sf_small).toPandas()
     assert (g.gram.str.split(" ").str.len() == 5).all()
     assert (g.n_docs <= g.n_occurrences).all()
+
+
+def test_ab_arms_partition_users(spark, sf_small):
+    """Arms partition the user population; rates are valid
+    probabilities; value means are positive on this data."""
+    r = _run("q_ab_lift", spark, sf_small).toPandas().iloc[0]
+    e = load(spark, sf_small, "events")
+    assert r.n_a + r.n_b == e.select("user_id").distinct().count()
+    for c in ("conv_a", "conv_b"):
+        assert 0.0 <= r[c] <= 1.0
+    assert r.avg_value_a > 0 and r.avg_value_b > 0
+
+
+def test_triangle_count_matches_bruteforce(spark, sf_small):
+    """Node-iterator join count equals a set-intersection brute force
+    over the same edge list."""
+    from data_pipeline_standalone_scripts_spark.operators.graph import (
+        copurchase_edges,
+    )
+
+    edges = [(r.a, r.b) for r in copurchase_edges(spark, sf_small).collect()]
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+    brute = sum(
+        1
+        for a, nbrs in adj.items()
+        for b in nbrs
+        for _ in adj.get(b, set()) & nbrs
+    )
+    out = _run("q_triangle_count", spark, sf_small).toPandas().iloc[0]
+    assert out.n_triangles == brute
+    assert 0.0 <= (out.clustering_coeff or 0.0) <= 1.0
+    assert out.n_wedges >= 3 * out.n_triangles
+    assert out.n_edges == len(edges)

@@ -416,3 +416,53 @@ def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.size(evens).alias("n_even"),
     )
+
+
+@register(
+    "q_variant_json",
+    oracle="""
+        WITH x AS (
+            SELECT event_type,
+                   CAST(json_extract(props, '$.k') AS BIGINT) AS k
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(COUNT(k) AS BIGINT) AS n_k,
+               CAST(SUM(k) AS BIGINT) AS sum_k,
+               CAST(MIN(k) AS BIGINT) AS min_k,
+               CAST(MAX(k) AS BIGINT) AS max_k,
+               CAST(COUNT(DISTINCT k) AS BIGINT) AS n_distinct_k
+        FROM x GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: semi-structured access through Spark 4's VARIANT type —
+    `parse_json` decodes the props payload ONCE into the binary
+    variant encoding, `variant_get` then does typed path access
+    without re-parsing (the Snowflake/Delta semi-structured column
+    model; F9 is the same extraction through per-access
+    `get_json_object` string re-parsing). Oracle: DuckDB's native
+    `json_extract` on the same path.
+
+    Scale: variant decode happens in the scan projection — one parse
+    per row however many paths are extracted, vs one parse PER PATH
+    for get_json_object; for wide telemetry payloads that multiple is
+    the scan cost. Aggregation is an ordinary map-side-combined
+    hash agg on the extracted typed columns.
+    """
+    e = load(spark, sf_dir, "events")
+    k = F.expr("cast(variant_get(parse_json(props), '$.k') as bigint)")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").cast("long").alias("n_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )

@@ -625,3 +625,103 @@ def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_b").cast("double") / 1000000.0 / F.col("n_b"), 6
         ).alias("avg_value_b"),
     )
+
+
+_ATTRIB_WINDOW_US = 30 * 60 * 1_000_000  # 30-minute attribution window
+
+
+@register(
+    "q_attribution_lasttouch",
+    oracle=f"""
+        WITH marked AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN event_type <> 'purchase' THEN ts END AS tts,
+                   CASE WHEN event_type <> 'purchase' THEN event_type END
+                       AS ttype
+            FROM events
+        ), carried AS (
+            SELECT user_id, ts, event_id, event_type,
+                   last_value(tts IGNORE NULLS) OVER w AS last_ts,
+                   last_value(ttype IGNORE NULLS) OVER w AS last_type
+            FROM marked
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        ), attributed AS (
+            SELECT CASE WHEN last_ts IS NOT NULL
+                             AND epoch_us(ts) - epoch_us(last_ts)
+                                 <= {_ATTRIB_WINDOW_US}
+                        THEN last_type ELSE 'direct' END AS touch
+            FROM carried WHERE event_type = 'purchase'
+        )
+        SELECT touch, COUNT(*) AS n_purchases,
+               round(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 6)
+                   AS share
+        FROM attributed GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN10: last-touch attribution — each purchase is credited to the
+    user's most recent non-purchase event within a 30-minute window
+    (else 'direct'); output is the attributed-channel mix. The
+    marketing-attribution shape: an AS-OF lookup folded into one
+    ordered pass instead of a join.
+
+    Determinism without structs: the carried timestamp and carried
+    type are two IGNORE-NULLS last_value windows over the SAME frame
+    with nulls in the SAME rows (purchase rows), so both always come
+    from the same predecessor row. Order ties on (ts, event_id).
+
+    Scale: one user-keyed window sort does the as-of resolution for
+    every purchase simultaneously — no range join, state is one
+    carried row per user. The channel rollup is map-side combined;
+    the share OVER () runs on the |channels|-row result.
+    """
+    e = load(spark, sf_dir, "events")
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(F.col("event_type") != "purchase", F.col("ts")).alias("tts"),
+        F.when(F.col("event_type") != "purchase", F.col("event_type")).alias(
+            "ttype"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = marked.select(
+        "ts",
+        "event_type",
+        F.last("tts", ignorenulls=True).over(w).alias("last_ts"),
+        F.last("ttype", ignorenulls=True).over(w).alias("last_type"),
+    )
+    attributed = carried.filter(F.col("event_type") == "purchase").select(
+        F.when(
+            F.col("last_ts").isNotNull()
+            & (
+                (F.unix_micros("ts") - F.unix_micros("last_ts"))
+                <= _ATTRIB_WINDOW_US
+            ),
+            F.col("last_type"),
+        )
+        .otherwise("direct")
+        .alias("touch")
+    )
+    wall = Window.partitionBy()
+    return (
+        attributed.groupBy("touch")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .select(
+            "touch",
+            "n_purchases",
+            F.round(
+                F.col("n_purchases").cast("double")
+                / F.sum("n_purchases").over(wall),
+                6,
+            ).alias("share"),
+        )
+    )

@@ -686,3 +686,35 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("cents").cast("double") / 100.0).alias("total_value"),
         )
     )
+
+
+_LATERAL_SQL = """
+    SELECT n.n_name, x.c_custkey, x.c_name, x.c_acctbal
+    FROM nation n, LATERAL (
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey ASC
+        LIMIT 2
+    ) x
+"""
+
+
+@register("q_join_lateral", oracle=_LATERAL_SQL, category=CAT)
+def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: correlated LATERAL join — for each nation, its top-2
+    customers by account balance, written as the SQL-standard lateral
+    subquery (the per-row-subquery surface ANSI added and both Spark 4
+    and DuckDB support; identical text runs on both engines).
+
+    Catalyst decorrelates the lateral into the same physical shape as
+    the window formulation (W2): a join + per-key rank, so the SQL
+    sugar costs nothing over the explicit plan.
+
+    Scale: decorrelation means no per-outer-row execution — the inner
+    relation is ranked per nation key once (one shuffle on the
+    correlation key) and joined back; identical economics to a
+    rank-filter top-k per group.
+    """
+    register_views(spark, sf_dir, "nation", "customer")
+    return spark.sql(_LATERAL_SQL)

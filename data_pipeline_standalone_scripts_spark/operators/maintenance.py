@@ -143,3 +143,83 @@ def q_partition_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             > 2 * (F.sum("n_rows").over(w) / F.count(F.lit(1)).over(w))
         ).alias("is_hot"),
     )
+
+
+_DQ_SQL = """
+    SELECT 'orders.custkey_fk_valid' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+               AS n_violations
+    UNION ALL
+    SELECT 'orders.orderkey_unique',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COALESCE(CAST(SUM(n - 1) AS BIGINT), 0) FROM
+               (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+            WHERE n > 1)
+    UNION ALL
+    SELECT 'orders.totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+    UNION ALL
+    SELECT 'lineitem.quantity_in_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'lineitem.orderkey_fk_valid',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'events.value_not_null',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(*) FROM events WHERE value IS NULL)
+    UNION ALL
+    SELECT 'documents.text_nonempty',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(*) FROM documents
+            WHERE text IS NULL OR length(trim(text)) = 0)
+"""
+
+
+@register(
+    "q_dq_report",
+    oracle=f"""
+        SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM ({_DQ_SQL})
+    """,
+    category=CAT,
+)
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT3: declarative data-quality report (the Deequ/
+    Great-Expectations constraint-suite pattern): referential
+    integrity (orders→customer, lineitem→orders), key uniqueness,
+    domain ranges, null and emptiness checks — one row per check with
+    checked/violation counts and a pass verdict.
+
+    Scale: each FK check is a LEFT ANTI-shaped NOT EXISTS whose
+    build side is the key column only; uniqueness is a grouped count.
+    Catalyst runs the independent checks as parallel job stages over
+    single-purpose column scans — adding a check adds a column scan,
+    not a pass over unrelated tables. At 100 TB, FK probes ride Bloom
+    filters (q_bloom_prefilter) and the uniqueness check map-side
+    combines to one row per key.
+    """
+    from ..tables import register_views
+
+    register_views(
+        spark, sf_dir, "orders", "customer", "lineitem", "events", "documents"
+    )
+    return spark.sql(
+        f"""
+        SELECT check_name, CAST(n_checked AS BIGINT) AS n_checked,
+               CAST(n_violations AS BIGINT) AS n_violations,
+               n_violations = 0 AS passed
+        FROM ({_DQ_SQL})
+        """
+    )

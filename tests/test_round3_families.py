@@ -204,3 +204,47 @@ def test_triangle_count_matches_bruteforce(spark, sf_small):
     assert 0.0 <= (out.clustering_coeff or 0.0) <= 1.0
     assert out.n_wedges >= 3 * out.n_triangles
     assert out.n_edges == len(edges)
+
+
+def test_dq_report_all_checks_pass_on_clean_data(spark, sf_small):
+    """The synthetic tables are referentially clean — every check row
+    must pass with zero violations, and n_checked must equal the
+    actual table sizes."""
+    dq = _run("q_dq_report", spark, sf_small).toPandas().set_index("check_name")
+    assert dq.passed.all() and (dq.n_violations == 0).all()
+    assert dq.loc["orders.custkey_fk_valid", "n_checked"] == load(
+        spark, sf_small, "orders"
+    ).count()
+
+
+def test_attribution_shares_sum_to_one(spark, sf_small):
+    """Channel shares total 1 and every purchase is attributed."""
+    a = _run("q_attribution_lasttouch", spark, sf_small).toPandas()
+    assert abs(a.share.sum() - 1.0) < 1e-4
+    n_purchases = (
+        load(spark, sf_small, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert a.n_purchases.sum() == n_purchases
+    assert set(a.touch) <= {"view", "click", "signup", "error", "direct"}
+
+
+def test_lateral_join_matches_window_topk(spark, sf_small):
+    """The decorrelated lateral equals the explicit window top-2
+    formulation."""
+    from pyspark.sql.window import Window
+
+    lat = _run("q_join_lateral", spark, sf_small)
+    c = load(spark, sf_small, "customer")
+    n = load(spark, sf_small, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    win = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .join(n, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name", "c_custkey", "c_name", "c_acctbal")
+    )
+    assert lat.exceptAll(win).count() == 0 and win.exceptAll(lat).count() == 0

@@ -725,3 +725,73 @@ def q_attribution_lasttouch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("share"),
         )
     )
+
+
+_ED_BINS = 10
+
+
+@register(
+    "q_histogram_equidepth",
+    oracle=f"""
+        WITH b AS (
+            SELECT quantile_cont(o_totalprice,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+            FROM orders
+        ), assigned AS (
+            SELECT CAST((CASE WHEN o_totalprice > qs[1] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[2] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[3] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[4] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[5] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[6] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[7] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[8] THEN 1 ELSE 0 END +
+                         CASE WHEN o_totalprice > qs[9] THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bin_id,
+                   o_totalprice
+            FROM orders CROSS JOIN b
+        )
+        SELECT bin_id, COUNT(*) AS n,
+               round(MIN(o_totalprice), 6) AS lo,
+               round(MAX(o_totalprice), 6) AS hi
+        FROM assigned GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN11: equi-depth (decile) histogram of order totals — exact
+    quantile boundaries computed as ONE multi-quantile aggregate, then
+    each row binned by counting boundary crossings. Complements A15's
+    fixed-width histogram: equi-depth bins adapt to the distribution
+    (these are the NDV-balanced buckets optimizers and samplers want).
+
+    Scale: NO global sort — the boundary row broadcasts (1 row), bin
+    assignment is a codegen'd expression in the scan, and the rollup
+    map-side combines into ≤10 groups. At 100 TB swap the exact
+    quantile for approx_percentile (KLL) and the plan is unchanged —
+    versus the ntile() formulation, which would shuffle every row
+    through one sorted partition.
+    """
+    o = load(spark, sf_dir, "orders")
+    qs = o.agg(
+        F.percentile(
+            "o_totalprice",
+            F.array(*[F.lit(i / 10.0) for i in range(1, _ED_BINS)]),
+        ).alias("qs")
+    )
+    crossings = sum(
+        F.when(F.col("o_totalprice") > F.col("qs")[i], 1).otherwise(0)
+        for i in range(_ED_BINS - 1)
+    )
+    return (
+        o.join(F.broadcast(qs))
+        .select(
+            crossings.cast("long").alias("bin_id"), "o_totalprice"
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 6).alias("lo"),
+            F.round(F.max("o_totalprice"), 6).alias("hi"),
+        )
+    )

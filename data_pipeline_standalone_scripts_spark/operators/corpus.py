@@ -219,3 +219,70 @@ def q_ttr_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("ttr"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_WS_SALT = "ws1:"
+_WS_K = 100
+_H60_RANGE = float(1 << 60)
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id, lang, source, n_chars,
+                   ln((CAST(('0x' || substr(md5('{_WS_SALT}'
+                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       + 1) / {_H60_RANGE!r}) / n_chars AS k
+            FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, lang, source, n_chars
+        FROM keyed ORDER BY k DESC, doc_id ASC LIMIT {_WS_K}
+    """,
+    category=CAT,
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4: deterministic weighted sampling without replacement —
+    Efraimidis–Spirakis A-Res: each doc gets key ln(u)/w with u a
+    salted-hash uniform in (0,1] and weight w = n_chars; the top-K
+    keys ARE a without-replacement sample with inclusion probability
+    ∝ weight. The training-mixture primitive for "sample tokens, not
+    documents" (long docs proportionally more likely), reproducible
+    across engines and reruns because u comes from h60, not an RNG.
+
+    Determinism: u is an exact 60-bit hash fraction; ln and the
+    division are the same IEEE dag on both engines; the top-K ties on
+    doc_id. (ln(u)/w is order-isomorphic to the textbook u^(1/w) —
+    monotone exp — but avoids pow's cross-libm wobble.)
+
+    Scale: keys are computed in the scan; top-K is
+    TakeOrderedAndProject (per-partition heaps merged at the driver,
+    no global sort). K-per-stratum variants just add the stratum to a
+    rank window. Weights can be any positive column — quality scores,
+    dedup-cluster sizes, token counts.
+    """
+    d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(_H60_RANGE)
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("k"),
+    )
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(_WS_K)
+        .select("doc_id", "lang", "source", "n_chars")
+    )

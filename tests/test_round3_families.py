@@ -248,3 +248,28 @@ def test_lateral_join_matches_window_topk(spark, sf_small):
         .select("n_name", "c_custkey", "c_name", "c_acctbal")
     )
     assert lat.exceptAll(win).count() == 0 and win.exceptAll(lat).count() == 0
+
+
+def test_weighted_sample_favors_heavy_docs(spark, sf_small):
+    """The length-weighted sample's mean n_chars must exceed the
+    corpus mean (inclusion ∝ weight), sample is exactly K unique
+    docs."""
+    s = _run("q_weighted_sample", spark, sf_small).toPandas()
+    d = load(spark, sf_small, "documents").toPandas()
+    assert len(s) == 100 and s.doc_id.nunique() == 100
+    assert s.n_chars.mean() > d.n_chars.mean()
+
+
+def test_equidepth_bins_are_balanced_and_ordered(spark, sf_small):
+    """Decile bins are near-equal mass (within interpolation slack)
+    and their [lo, hi] ranges are disjoint and ordered."""
+    h = (
+        _run("q_histogram_equidepth", spark, sf_small)
+        .toPandas()
+        .sort_values("bin_id")
+        .reset_index(drop=True)
+    )
+    total = h.n.sum()
+    assert (abs(h.n - total / 10) / (total / 10) < 0.05).all()
+    for i in range(1, len(h)):
+        assert h.lo[i] > h.hi[i - 1]

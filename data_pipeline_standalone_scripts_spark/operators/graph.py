@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, register_views
 
 CAT = "graph"
 
@@ -133,3 +133,45 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_BFS_SQL = """
+    WITH RECURSIVE e AS (
+        SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+        FROM lineitem l1 JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey <> l2.l_partkey
+    ), seed AS (
+        SELECT MIN(a) AS s FROM e
+    ), walk(node, dist) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT e.b, w.dist + 1
+        FROM walk w JOIN e ON e.a = w.node
+        WHERE w.dist < 2
+    ), hops AS (
+        SELECT node, MIN(dist) AS dist FROM walk GROUP BY 1
+    )
+    SELECT CAST(dist AS BIGINT) AS dist, COUNT(*) AS n_parts,
+           MIN(node) AS min_part, MAX(node) AS max_part
+    FROM hops GROUP BY 1
+"""
+
+
+@register("q_recursive_bfs", oracle=_BFS_SQL, category=CAT)
+def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: bounded BFS via WITH RECURSIVE (new in Spark 4) — hop
+    distances from the lowest-keyed part through the co-purchase
+    graph, depth ≤ 2, reported as ring sizes. The identical SQL text
+    runs on both engines; Spark executes the recursion as iterative
+    UnionLoop steps over the frontier.
+
+    Scale: per-iteration work is frontier ⋈ edges — one keyed shuffle
+    per hop, the same message-passing economics as the PageRank loop
+    (dedup_ext.py). The UNION ALL + post-hoc MIN(dist) keeps each
+    iteration append-only (no per-step distinct barrier); bound the
+    frontier at web scale by de-duplicating every k hops or switching
+    to the CC-style iterate-to-fixpoint with early termination.
+    """
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_BFS_SQL)

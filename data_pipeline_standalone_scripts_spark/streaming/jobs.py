@@ -209,3 +209,63 @@ def stream_stream_funnel_join(events: DataFrame) -> DataFrame:
         & (F.col("p_ts") > F.col("click_ts"))
         & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
     ).select("user_id", "click_ts", "p_ts")
+
+
+def running_counter_tws_stream(events: DataFrame) -> DataFrame:
+    """T6 twin, modern API: the same per-user running counters through
+    Spark 4's transformWithStateInPandas — a StatefulProcessor with an
+    explicit ValueState, the arbitrary-stateful-processing surface that
+    replaces applyInPandasWithState (typed state handles, timers,
+    initial-state support). Functionally identical to
+    running_counter_stream; the test asserts both agree with the batch
+    cumulative totals. NOTE: the TWS Python worker needs the protobuf
+    package for state serialization — in environments without it the
+    query fails at runtime (the pytest importorskips accordingly);
+    the applyInPandasWithState twin above carries the tested behavior.
+
+    Scale: state is keyed by user_id in the state store (RocksDB at
+    production scale) — one (count, sum) record per user, partitioned
+    with the shuffle; nothing driver-side.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [StructField("n", LongType()), StructField("total", DoubleType())]
+    )
+
+    class RunningCounter(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("counter", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._state.get() if self._state.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_so_far": [n],
+                    "value_so_far": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningCounter(),
+        outputStructType="user_id long, n_so_far long, value_so_far double",
+        outputMode="Update",
+        timeMode="None",
+    )

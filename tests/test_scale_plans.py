@@ -247,3 +247,64 @@ def test_bloom_probe_all_broadcast(spark, sf_med):
     assert "SortMergeJoin" not in plan, plan[:800]
     assert "CartesianProduct" not in plan, plan[:800]
     assert plan.count("BroadcastHashJoin") >= 5, plan[:800]
+
+
+def test_retention_broadcasts_cohort_table(spark, sf_med):
+    """AN1: the per-user cohort table must broadcast into the fact —
+    the fact never shuffles for the join."""
+    plan = plan_of(REGISTRY["q_retention_cohort"].fn(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_funnel_pushes_step_filters_to_scan(spark, sf_med):
+    """AN4: each funnel step's event_type filter must reach its
+    parquet scan, so every step reads only its slice."""
+    plan = plan_of(REGISTRY["q_funnel_conversion"].fn(spark, sf_med))
+    for step in ("view", "click", "purchase"):
+        assert f"EqualTo(event_type,{step})" in plan, step
+
+
+def test_boilerplate_topk_short_circuits(spark, sf_med):
+    """C1: top-20 shingles via TakeOrderedAndProject with map-side
+    partial counts — no global sort of the gram stream."""
+    plan = plan_of(REGISTRY["q_boilerplate_ngrams"].fn(spark, sf_med))
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan
+
+
+def test_weighted_sample_topk_short_circuits(spark, sf_med):
+    """C4: A-Res top-K must be TakeOrderedAndProject (per-partition
+    heaps), never a global sort."""
+    plan = plan_of(REGISTRY["q_weighted_sample"].fn(spark, sf_med))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_incremental_dedup_uses_anti_join(spark, sf_med):
+    """C2: the admission gate must plan as a LEFT ANTI join on the
+    digest, not a filter over a materialized outer join."""
+    plan = plan_of(REGISTRY["q_incremental_dedup"].fn(spark, sf_med))
+    assert "LeftAnti" in plan
+
+
+def test_equidepth_histogram_has_no_global_sort(spark, sf_med):
+    """AN11: bin assignment ships as a 1-row boundary broadcast +
+    codegen expression — no ntile-style single-partition sort of the
+    fact, no CartesianProduct (the 1-row join plans as broadcast
+    nested-loop, which is fine)."""
+    plan = plan_of(REGISTRY["q_histogram_equidepth"].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan
+    assert not re.search(r"\bntile\(", plan)  # \b: don't match percentile(
+    body = plan.split("== Physical Plan ==")[1]
+    assert not re.search(r"\(\d+\) Sort\b", body), body[:400]
+
+
+def test_triangle_joins_are_equi(spark, sf_med):
+    """G1: both wedge/closure joins must be hash/sort-merge equi-joins;
+    only the three 1-row result frames may broadcast-nested-loop."""
+    plan = plan_of(REGISTRY["q_triangle_count"].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )

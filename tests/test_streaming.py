@@ -273,3 +273,31 @@ def test_stream_stream_funnel_join_matches_batch(spark, sf_small, staged):
     got = sorted(map(tuple, _rows(spark, "funnel_pairs")))
     want = sorted(map(tuple, batch))
     assert got == want, f"stream {len(got)} pairs vs batch {len(want)}"
+
+
+def test_tws_running_counter_matches_batch(spark, sf_small, staged):
+    """transformWithStateInPandas (Spark 4 stateful API) produces the
+    same final per-user totals as the applyInPandasWithState twin and
+    the batch aggregate. The TWS Python worker serializes state over
+    protobuf — skip (with the applyInPandasWithState twin still fully
+    tested) when the container lacks the protobuf package."""
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState worker needs protobuf"
+    )
+    stream = jobs.running_counter_tws_stream(
+        jobs.read_event_stream(spark, staged)
+    )
+    jobs.run_stream_to_memory(stream, "t6_tws_out", "update")
+    final = {}
+    for r in _rows(spark, "t6_tws_out"):
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_so_far"] > cur[0]:
+            final[r["user_id"]] = (r["n_so_far"], round(r["value_so_far"], 4))
+    e = load(spark, sf_small, "events")
+    want = {
+        r["user_id"]: (r["n"], round(r["total"], 4))
+        for r in e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert final == want

@@ -795,3 +795,167 @@ def q_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 6).alias("hi"),
         )
     )
+
+
+@register(
+    "q_psi_drift",
+    oracle="""
+        WITH ref AS (
+            SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'
+        ), cur AS (
+            SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'
+        ), b AS (
+            SELECT quantile_cont(value,
+                       [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+            FROM ref
+        ), rb AS (
+            SELECT CAST((CASE WHEN value > qs[1] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[2] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[3] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[4] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[5] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[6] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[7] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[8] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[9] THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bin_id,
+                   COUNT(*) AS n_ref
+            FROM ref CROSS JOIN b GROUP BY 1
+        ), cb AS (
+            SELECT CAST((CASE WHEN value > qs[1] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[2] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[3] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[4] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[5] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[6] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[7] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[8] THEN 1 ELSE 0 END +
+                         CASE WHEN value > qs[9] THEN 1 ELSE 0 END)
+                        AS BIGINT) AS bin_id,
+                   COUNT(*) AS n_cur
+            FROM cur CROSS JOIN b GROUP BY 1
+        ), tot AS (
+            SELECT (SELECT CAST(SUM(n_ref) AS DOUBLE) FROM rb) AS tr,
+                   (SELECT CAST(SUM(n_cur) AS DOUBLE) FROM cb) AS tc
+        )
+        SELECT rb.bin_id, rb.n_ref, cb.n_cur,
+               round(rb.n_ref / tot.tr, 6) AS p_ref,
+               round(cb.n_cur / tot.tc, 6) AS p_cur,
+               round((cb.n_cur / tot.tc - rb.n_ref / tot.tr)
+                     * ln((cb.n_cur / tot.tc) / (rb.n_ref / tot.tr)), 6)
+                   AS psi_term
+        FROM rb JOIN cb ON rb.bin_id = cb.bin_id CROSS JOIN tot
+    """,
+    category=CAT,
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN12: population-stability-index drift monitor — decile bins
+    fitted on the REFERENCE window (first half of the month), both
+    windows histogrammed against those fixed boundaries, and the PSI
+    term (Δp·ln-ratio) per bin; Σ terms > 0.2 is the standard
+    retrain/alert threshold. The drift check every production feature
+    pipeline runs between training and serving distributions.
+
+    Determinism: boundaries are exact interpolated quantiles of the
+    reference; bin masses are integers; p's and the PSI term are fixed
+    IEEE dags rounded 6. Bins are deciles of the reference, so no
+    empty-bin log(0) can arise on the reference side; the current side
+    of this data is dense in every decile (and would fail loudly, not
+    silently, if not).
+
+    Scale: one exact-quantile pass over the reference (swap in
+    approx_percentile at 100 TB, same plan) broadcasts 9 boundaries;
+    both histogram passes are codegen'd boundary-crossing sums +
+    10-group aggregates. No sort, no join wider than 10 rows.
+    """
+    e = load(spark, sf_dir, "events")
+    split = "2024-01-16"
+    ref = e.filter(F.col("ts") < F.lit(split).cast("timestamp"))
+    cur = e.filter(F.col("ts") >= F.lit(split).cast("timestamp"))
+    qs = ref.agg(
+        F.percentile(
+            "value", F.array(*[F.lit(i / 10.0) for i in range(1, 10)])
+        ).alias("qs")
+    )
+
+    def binned(df, out):
+        crossings = sum(
+            F.when(F.col("value") > F.col("qs")[i], 1).otherwise(0)
+            for i in range(9)
+        )
+        return (
+            df.join(F.broadcast(qs))
+            .select(crossings.cast("long").alias("bin_id"))
+            .groupBy("bin_id")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    rb, cb = binned(ref, "n_ref"), binned(cur, "n_cur")
+    tot = rb.agg(F.sum("n_ref").cast("double").alias("tr")).join(
+        cb.agg(F.sum("n_cur").cast("double").alias("tc"))
+    )
+    p_ref = F.col("n_ref") / F.col("tr")
+    p_cur = F.col("n_cur") / F.col("tc")
+    return (
+        rb.join(cb, "bin_id")
+        .join(F.broadcast(tot))
+        .select(
+            "bin_id",
+            "n_ref",
+            "n_cur",
+            F.round(p_ref, 6).alias("p_ref"),
+            F.round(p_cur, 6).alias("p_cur"),
+            F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+                "psi_term"
+            ),
+        )
+    )
+
+
+@register(
+    "q_forecast_backtest",
+    oracle="""
+        WITH daily AS (
+            SELECT date_trunc('day', ts) AS day, COUNT(*) AS n
+            FROM events GROUP BY 1
+        ), f AS (
+            SELECT day, n,
+                   lag(n, 7) OVER (ORDER BY day) AS forecast
+            FROM daily
+        )
+        SELECT strftime(day, '%Y-%m-%d') AS day, n,
+               CAST(forecast AS BIGINT) AS forecast,
+               round(abs(CAST(n - forecast AS DOUBLE)) / n, 6) AS ape
+        FROM f WHERE forecast IS NOT NULL
+    """,
+    category=CAT,
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN13: seasonal-naive forecast backtest — predict each day's
+    event volume as the same weekday last week (lag-7), report the
+    absolute percentage error per day. The baseline every forecasting
+    system must beat, and the backtest harness shape (point forecast ⋈
+    actuals → error metric) is identical for any model that replaces
+    the lag.
+
+    Scale: the lag runs over the DAILY aggregate (≤ |days| rows), so
+    the unpartitioned window is bounded by the calendar; the fact
+    contributes one map-side-combined count pass. Per-series
+    (key-partitioned) variants just add the key to the window.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    f = daily.withColumn("forecast", F.lag("n", 7).over(w))
+    return f.filter(F.col("forecast").isNotNull()).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.col("forecast").cast("long").alias("forecast"),
+        F.round(
+            F.abs((F.col("n") - F.col("forecast")).cast("double"))
+            / F.col("n"),
+            6,
+        ).alias("ape"),
+    )

@@ -175,3 +175,53 @@ def q_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_BFS_SQL)
+
+
+_RECS_SQL = """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ), freq AS (
+        SELECT p, COUNT(*) AS c FROM op GROUP BY 1
+    ), n AS (
+        SELECT CAST(COUNT(DISTINCT o) AS DOUBLE) AS n_orders FROM op
+    ), pairs AS (
+        SELECT a.p AS pa, b.p AS pb, COUNT(*) AS c_ab
+        FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p
+        GROUP BY 1, 2
+    ), scored AS (
+        SELECT pa, pb, c_ab,
+               c_ab * n.n_orders / (fa.c * fb.c) AS lift
+        FROM pairs
+        JOIN freq fa ON fa.p = pairs.pa
+        JOIN freq fb ON fb.p = pairs.pb
+        CROSS JOIN n
+    )
+    SELECT pa AS part, pb AS also_bought, c_ab AS n_co_orders,
+           round(lift, 6) AS lift
+    FROM (SELECT *, row_number() OVER (PARTITION BY pa
+                        ORDER BY lift DESC, pb ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+"""
+
+
+@register("q_copurchase_recs", oracle=_RECS_SQL, category=CAT)
+def q_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: "customers also bought" — top-3 recommendations per part
+    ranked by lift = P(b|a)/P(b) = c_ab·N/(c_a·c_b), the co-occurrence
+    association rule every retail/content recommender starts from
+    (lift > 1 ⇒ genuinely associated, not just popular).
+
+    Determinism: lift is one double expression of exact integers —
+    the same dag in both engines — and the per-part top-3 ties on the
+    recommended part id.
+
+    Scale: the pair expansion is per-order C(k,2) (basket-size
+    bounded); pair counts map-side combine on (a,b); the frequency
+    tables join by single part keys (broadcast if parts fit, else
+    co-keyed shuffles); the rank window partitions by part. Popular-
+    pair skew lands in the pair aggregation, which partial-aggregates
+    before the shuffle — the classic market-basket plan.
+    """
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_RECS_SQL)

@@ -273,3 +273,37 @@ def test_equidepth_bins_are_balanced_and_ordered(spark, sf_small):
     assert (abs(h.n - total / 10) / (total / 10) < 0.05).all()
     for i in range(1, len(h)):
         assert h.lo[i] > h.hi[i - 1]
+
+
+def test_psi_terms_nonnegative_and_probs_sum(spark, sf_small):
+    """PSI terms are individually ≥ 0 ((p−q)·ln(p/q) has the sign of
+    its factors squared) and each side's bin masses are complete."""
+    p = _run("q_psi_drift", spark, sf_small).toPandas()
+    assert (p.psi_term >= -1e-12).all()
+    assert abs(p.p_ref.sum() - 1.0) < 1e-4
+    assert abs(p.p_cur.sum() - 1.0) < 1e-4
+    e = load(spark, sf_small, "events")
+    assert p.n_ref.sum() + p.n_cur.sum() == e.count()
+
+
+def test_forecast_backtest_lag_alignment(spark, sf_small):
+    """Each forecast equals the actual of exactly 7 days earlier."""
+    import pandas as pd
+
+    f = _run("q_forecast_backtest", spark, sf_small).toPandas()
+    actual = dict(zip(f.day, f.n))
+    for _, r in f.iterrows():
+        prev = (
+            pd.Timestamp(r.day) - pd.Timedelta(days=7)
+        ).strftime("%Y-%m-%d")
+        if prev in actual:
+            assert r.forecast == actual[prev]
+
+
+def test_copurchase_recs_top3_and_lift_symmetry_inputs(spark, sf_small):
+    """≤3 recs per part, no self-recommendation, co-order counts are
+    symmetric inputs (c_ab appears for both directions)."""
+    r = _run("q_copurchase_recs", spark, sf_small).toPandas()
+    assert (r.groupby("part").size() <= 3).all()
+    assert (r.part != r.also_bought).all()
+    assert (r.lift > 0).all() and (r.n_co_orders >= 1).all()

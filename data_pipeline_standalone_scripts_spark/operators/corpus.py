@@ -286,3 +286,93 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@register(
+    "q_ngram_novelty",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(substr(source, 4) AS INT) >= 10 AS is_new
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, is_new,
+                   array_to_string(toks[i+1:i+{_NG}], ' ') AS gram
+            FROM t, LATERAL (SELECT unnest(generate_series(0, len(toks) - {_NG}))
+                             AS i) g
+            WHERE len(toks) >= {_NG}
+        ), seen AS (
+            SELECT DISTINCT gram FROM grams WHERE NOT is_new
+        ), scored AS (
+            SELECT g.doc_id,
+                   COUNT(*) AS n_grams,
+                   CAST(SUM(CASE WHEN s.gram IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_novel
+            FROM grams g LEFT JOIN seen s ON g.gram = s.gram
+            WHERE g.is_new
+            GROUP BY 1
+        )
+        SELECT doc_id, n_grams, n_novel,
+               round(CAST(n_novel AS DOUBLE) / n_grams, 6) AS novelty
+        FROM scored
+        ORDER BY novelty ASC, doc_id ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5: n-gram novelty of the new crawl batch vs the existing
+    corpus — per new doc, the fraction of its distinct 5-gram shingles
+    never seen in the corpus; the 20 LEAST novel docs are surfaced
+    (low novelty = likely near-duplicate or benchmark/corpus
+    contamination that exact-hash dedup missed). This is the
+    doc-grain complement of q_contamination_check's set-level overlap
+    and C2's exact-hash gate.
+
+    Scale: distinct grams per doc collapse repetition before the join;
+    the membership test against the seen-gram set is a gram-keyed LEFT
+    join whose NULL side counts novelty — at 100 TB hash grams to
+    64-bit, keep `seen` as a bucketed table reused across refreshes,
+    and Bloom-prefilter probes exactly as in C2. Top-20 is
+    TakeOrderedAndProject.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+        (F.substring("source", 4, 10).cast("int") >= 10).alias("is_new"),
+    ).filter(F.size("toks") >= _NG)
+    grams = t.select(
+        "doc_id",
+        "is_new",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {_NG}),"
+                f" i -> concat_ws(' ', slice(toks, i + 1, {_NG})))"
+            )
+        ).alias("gram"),
+    ).distinct()
+    seen = grams.filter(~F.col("is_new")).select("gram").distinct()
+    marked = (
+        grams.filter(F.col("is_new"))
+        .join(seen.withColumn("seen", F.lit(1)), "gram", "left")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("seen").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty"),
+        )
+        .orderBy(F.asc("novelty"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -246,3 +246,111 @@ def q_orc_io(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "sum_price")
     )
+
+
+@register(
+    "q_xml_io",
+    oracle="""
+        SELECT r_regionkey, COUNT(*) AS n_nations,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_xml_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: XML sink/source round-trip through Spark 4's NATIVE xml
+    format (spark-xml folded into core in 4.0) — write the joined
+    nation⋈region dim as row-tagged XML, read it back with an explicit
+    rowTag, aggregate. Lossless round-trip ⇒ the oracle is the same
+    aggregate straight from the source tables.
+
+    Scale: XML is an ingest/interchange edge format, not a lake
+    format — the pattern at scale is exactly this op: parse once
+    (schema inference off, explicit rowTag), land to parquet, never
+    re-read the XML. The XML reader is splittable by row tag, so even
+    the one-time parse parallelizes.
+    """
+    out_dir = _scratch_dir("xml_io.xml")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    ).select("n_nationkey", "n_name", "r_regionkey", "r_name")
+    joined.write.format("xml").option("rootTag", "dims").option(
+        "rowTag", "dim"
+    ).mode("overwrite").save(out_dir)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "dim")
+        .schema("n_nationkey long, n_name string, r_regionkey long, r_name string")
+        .load(out_dir)
+    )
+    return back.groupBy("r_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sum("n_nationkey").cast("long").alias("key_checksum"),
+    )
+
+
+@register(
+    "q_binaryfile_scan",
+    oracle="""
+        SELECT lang,
+               COUNT(*) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+               MIN(md5(text)) AS min_md5
+        FROM documents WHERE doc_id < 100
+        GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8: `binaryFile` source — land each document's UTF-8 bytes as
+    its own file, scan the directory back as (path, length, content)
+    rows, recover the doc identity from the file name, and value-check
+    content integrity per language via byte length + MD5 against the
+    source table. This is the raw-asset ingestion path for multimodal
+    corpora (images/audio land exactly like this before decode).
+
+    The writer side is a tiny foreachPartition file dump — executor-
+    side, no driver loop; 100 files keeps the demo honest without
+    stressing the small-file antipattern this op exists to feed into
+    compaction (MT1).
+
+    Scale: binaryFile scans parallelize per file and prune columns
+    (length/path without content when content is unused). The
+    documented production shape: binaryFile → (id, bytes) parquet with
+    MT1-sized files, then all downstream reads are columnar.
+    """
+    out_dir = _scratch_dir("binaryfile_scan.dir")
+    os.makedirs(out_dir, exist_ok=True)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+
+    def dump(rows):
+        for row in rows:
+            path = os.path.join(out_dir, f"{row.doc_id:06d}.txt")
+            with open(path, "wb") as f:
+                f.write(row.text.encode("utf-8"))
+
+    d.select("doc_id", "text").foreachPartition(dump)
+    files = (
+        spark.read.format("binaryFile")
+        .load(out_dir)
+        .select(
+            F.regexp_extract(
+                F.col("path"), r"(\d{6})\.txt$", 1
+            ).cast("long").alias("doc_id"),
+            "length",
+            F.md5("content").alias("content_md5"),
+        )
+    )
+    meta = d.select("doc_id", "lang")
+    return (
+        files.join(meta, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("length").cast("long").alias("total_bytes"),
+            F.min("content_md5").alias("min_md5"),
+        )
+    )

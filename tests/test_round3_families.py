@@ -307,3 +307,16 @@ def test_copurchase_recs_top3_and_lift_symmetry_inputs(spark, sf_small):
     assert (r.groupby("part").size() <= 3).all()
     assert (r.part != r.also_bought).all()
     assert (r.lift > 0).all() and (r.n_co_orders >= 1).all()
+
+
+def test_ngram_novelty_bounds_and_batch_membership(spark, sf_small):
+    """Novelty ∈ [0,1], n_novel ≤ n_grams, and every scored doc is
+    from the new batch (src10+)."""
+    nv = _run("q_ngram_novelty", spark, sf_small).toPandas()
+    assert ((nv.novelty >= 0) & (nv.novelty <= 1)).all()
+    assert (nv.n_novel <= nv.n_grams).all()
+    d = load(spark, sf_small, "documents").toPandas()
+    new_ids = set(
+        d[d.source.str.slice(3).astype(int) >= 10].doc_id
+    )
+    assert set(nv.doc_id) <= new_ids

@@ -115,6 +115,7 @@ def load_all_operators() -> None:
         maintenance,
         mlfit,
         multimodal,
+        olap,
         ordering,
         reconcile,
         reference_analogs,

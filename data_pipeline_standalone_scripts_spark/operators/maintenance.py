@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, register_views
 
 CAT = "maintenance"
 
@@ -210,8 +210,6 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (q_bloom_prefilter) and the uniqueness check map-side
     combines to one row per key.
     """
-    from ..tables import register_views
-
     register_views(
         spark, sf_dir, "orders", "customer", "lineitem", "events", "documents"
     )
@@ -223,3 +221,67 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ({_DQ_SQL})
         """
     )
+
+
+_PROFILE_COLS = [
+    ("o_orderkey", "bigint"),
+    ("o_custkey", "bigint"),
+    ("o_totalprice", "double"),
+    ("o_orderstatus", "string"),
+    ("o_orderpriority", "string"),
+]
+
+
+def _profile_select(col: str, typ: str) -> str:
+    """One profiling row for a column, as portable SQL (identical text
+    for Spark and DuckDB — STRING/DOUBLE are type aliases both engines
+    accept; numeric and string min/max live in separate typed columns
+    so no stringified-float formatting ever crosses the boundary)."""
+    if typ == "string":
+        mn_num = "CAST(NULL AS DOUBLE)"
+        mx_num = "CAST(NULL AS DOUBLE)"
+        mn_str, mx_str = f"MIN({col})", f"MAX({col})"
+    else:
+        mn_num = f"round(CAST(MIN({col}) AS DOUBLE), 6)"
+        mx_num = f"round(CAST(MAX({col}) AS DOUBLE), 6)"
+        mn_str = "CAST(NULL AS STRING)"
+        mx_str = "CAST(NULL AS STRING)"
+    return f"""
+        SELECT '{col}' AS column_name,
+               COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+               {mn_num} AS min_num,
+               {mx_num} AS max_num,
+               {mn_str} AS min_str,
+               {mx_str} AS max_str
+        FROM orders
+    """
+
+
+_PROFILE_SQL = "\n    UNION ALL\n".join(
+    _profile_select(c, t) for c, t in _PROFILE_COLS
+)
+
+
+@register("q_column_profile", oracle=_PROFILE_SQL, category=CAT)
+def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT4: column-profiling report (the warehouse `DESCRIBE`/
+    profiler): per column of `orders` — row count, null count, exact
+    distinct count, and stringified min/max. These are the statistics
+    an optimizer's cost model, a DQ baseline, and a migration
+    validator all start from. The identical SQL text runs on both
+    engines (portable VARCHAR casts for non-string min/max).
+
+    Scale: each column's pass is an independent scan of THAT column
+    only (column pruning: n-columns × single-column scans beats one
+    all-columns scan once the table is wide), and the union rows are
+    computed as parallel job stages. Exact DISTINCT is the expensive
+    part at 100 TB — swap approx_count_distinct per column for the
+    profiling use-case, same plan shape. Spark additionally exposes
+    this pattern as `df.summary()`; this op keeps it oracle-checkable.
+    """
+    register_views(spark, sf_dir, "orders")
+    # Spark: CAST(x AS VARCHAR) is ANSI-synonym STRING; identical text
+    # works because Spark 4 accepts VARCHAR in cast syntax.
+    return spark.sql(_PROFILE_SQL)

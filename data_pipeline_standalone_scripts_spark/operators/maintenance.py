@@ -268,10 +268,12 @@ _PROFILE_SQL = "\n    UNION ALL\n".join(
 def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MT4: column-profiling report (the warehouse `DESCRIBE`/
     profiler): per column of `orders` — row count, null count, exact
-    distinct count, and stringified min/max. These are the statistics
+    distinct count, and typed min/max. These are the statistics
     an optimizer's cost model, a DQ baseline, and a migration
     validator all start from. The identical SQL text runs on both
-    engines (portable VARCHAR casts for non-string min/max).
+    engines (numeric min/max stay DOUBLE, string min/max stay STRING —
+    separate typed columns, so no float-formatting drift can cross the
+    oracle boundary).
 
     Scale: each column's pass is an independent scan of THAT column
     only (column pruning: n-columns × single-column scans beats one
@@ -282,6 +284,4 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     this pattern as `df.summary()`; this op keeps it oracle-checkable.
     """
     register_views(spark, sf_dir, "orders")
-    # Spark: CAST(x AS VARCHAR) is ANSI-synonym STRING; identical text
-    # works because Spark 4 accepts VARCHAR in cast syntax.
     return spark.sql(_PROFILE_SQL)

@@ -34,7 +34,7 @@ from .registry import REGISTRY  # noqa: F401
 # by design — weakest driver signal) and q_param_sweep (same grid-sweep
 # family as q_evolutionary_sweep; covered by local parity + pytest).
 #
-# ROUND-4 QUEUE (compute fresh next round; as of end of round 3 these 35
+# ROUND-4 QUEUE (compute fresh next round; as of end of round 3 these 36
 # have never held a front-window slot): the round-3 additions
 # q_retention_cohort q_path_transitions q_dau_rolling q_funnel_conversion
 # q_benford_digits q_mad_outliers q_percentile_bands q_mode_median
@@ -43,7 +43,8 @@ from .registry import REGISTRY  # noqa: F401
 # q_ttr_lexical q_weighted_sample q_ngram_novelty q_triangle_count
 # q_recursive_bfs q_copurchase_recs q_join_lateral q_compaction_plan
 # q_partition_skew q_dq_report q_market_share q_largest_orders
-# q_ship_delay_buckets q_xml_io q_binaryfile_scan q_variant_json, plus the
+# q_ship_delay_buckets q_xml_io q_binaryfile_scan q_variant_json
+# q_column_profile, plus the
 # four deliberately deferred: q_param_sweep q_fft_lowpass
 # q_evolutionary_sweep q_haar_denoise.
 DRIVER_PRIORITY: list[str] = [

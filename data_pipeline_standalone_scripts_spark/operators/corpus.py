@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
+from .common import h60, o_h60
 
 CAT = "corpus"
 
@@ -231,8 +232,7 @@ _H60_RANGE = float(1 << 60)
     oracle=f"""
         WITH keyed AS (
             SELECT doc_id, lang, source, n_chars,
-                   ln((CAST(('0x' || substr(md5('{_WS_SALT}'
-                            || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                   ln(({o_h60(f"'{_WS_SALT}' || CAST(doc_id AS VARCHAR)")}
                        + 1) / {_H60_RANGE!r}) / n_chars AS k
             FROM documents WHERE n_chars > 0
         )
@@ -263,16 +263,7 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-        + 1
+        h60(F.concat(F.lit(_WS_SALT), F.col("doc_id").cast("string"))) + 1
     ) / F.lit(_H60_RANGE)
     keyed = d.select(
         "doc_id",

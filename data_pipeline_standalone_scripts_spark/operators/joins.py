@@ -702,7 +702,7 @@ _LATERAL_SQL = """
 
 @register("q_join_lateral", oracle=_LATERAL_SQL, category=CAT)
 def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J15: correlated LATERAL join — for each nation, its top-2
+    """J16: correlated LATERAL join — for each nation, its top-2
     customers by account balance, written as the SQL-standard lateral
     subquery (the per-row-subquery surface ANSI added and both Spark 4
     and DuckDB support; identical text runs on both engines).

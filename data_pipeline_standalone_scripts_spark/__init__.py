@@ -130,6 +130,7 @@ def load_all_operators() -> None:
         mlfit,
         multimodal,
         olap,
+        olap_tpch,
         ordering,
         reconcile,
         reference_analogs,

@@ -308,3 +308,62 @@ def test_triangle_joins_are_equi(spark, sf_med):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_q6_scan_agg_is_pure_pushdown(spark, sf_med):
+    """OL4 (Q6 shape): all three predicate families reach the parquet
+    scan, the scan reads exactly the 4 referenced columns, and the
+    whole query is one partial/final agg pair — a single 1-row
+    exchange."""
+    plan = plan_of(REGISTRY["q_revenue_uplift"].fn(spark, sf_med))
+    pushed = re.search(r"PushedFilters: \[[^\]]*\]", plan).group(0)
+    for frag in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert frag in pushed, pushed
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_shipdate",
+    }
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q10_returned_items_topk_short_circuits(spark, sf_med):
+    """OL7 (Q10 shape): the top-20 must be TakeOrderedAndProject (no
+    global sort), the order-date window must be pushed to the orders
+    scan, and every join must stay broadcast-hash."""
+    plan = plan_of(REGISTRY["q_returned_items"].fn(spark, sf_med))
+    assert "TakeOrderedAndProject" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_disjunction_pushes_to_both_scans(spark, sf_med):
+    """OL13 (Q19 shape): Catalyst must push the OR-of-conjunctions
+    residual to BOTH sides — the quantity envelope to the fact scan
+    and the brand/size envelope to the part scan — and the join must
+    broadcast with no extra exchange (only the final 1-row agg)."""
+    plan = plan_of(REGISTRY["q_disjunctive_revenue"].fn(spark, sf_med))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    fact = [p for p in pushed if "l_quantity" in p]
+    dim = [p for p in pushed if "p_brand" in p]
+    assert fact and "Or(" in fact[0], pushed
+    assert dim and "Or(" in dim[0], pushed
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_q21_window_replaces_correlated_exists(spark, sf_med):
+    """OL18 (Q21 shape): the Spark plan must express both EXISTS
+    correlations as ONE orderkey window over the rollup — exactly 3
+    exchanges total (rollup, window repartition, final suppkey count)
+    and no self-join of the fact (no SortMergeJoin at all)."""
+    plan = plan_of(REGISTRY["q_waiting_suppliers"].fn(spark, sf_med))
+    assert "SortMergeJoin" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
+    assert plan.count("Window") >= 1

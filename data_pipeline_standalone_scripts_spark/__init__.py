@@ -119,6 +119,7 @@ def load_all_operators() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         analytics,
+        clustering,
         corpus,
         dedup_ext,
         events,

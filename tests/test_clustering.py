@@ -1,0 +1,35 @@
+"""Invariants for the clustering family (KM1/KM2) beyond oracle
+parity: partition totality for k-means, unit-norm + idempotent
+determinism for the power-method component."""
+
+import math
+
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.tables import load
+import data_pipeline_standalone_scripts_spark as engine
+
+engine.load_all_operators()
+
+
+def test_kmeans_partitions_whole_corpus(spark, sf_small):
+    rows = REGISTRY["q_kmeans_embed"].fn(spark, sf_small).collect()
+    n_vecs = load(spark, sf_small, "embeddings").count()
+    assert sum(r.n_members for r in rows) == n_vecs
+    assert all(r.inertia_micro2 >= 0 for r in rows)
+    # every cluster id must come from the deterministic init range
+    assert {r.cluster_id for r in rows} <= set(range(8))
+
+
+def test_kmeans_assignment_is_deterministic(spark, sf_small):
+    a = sorted(map(tuple, REGISTRY["q_kmeans_embed"].fn(spark, sf_small).collect()))
+    b = sorted(map(tuple, REGISTRY["q_kmeans_embed"].fn(spark, sf_small).collect()))
+    assert a == b  # bit-identical across runs, not just approximately
+
+
+def test_power_iteration_unit_norm(spark, sf_small):
+    rows = REGISTRY["q_power_iteration_pc"].fn(spark, sf_small).collect()
+    assert len(rows) == 64
+    assert sorted(r.pos for r in rows) == list(range(1, 65))
+    nrm = math.sqrt(sum(r.loading**2 for r in rows))
+    # re-quantization truncates at 1e-6 per component; 64 components
+    assert abs(nrm - 1.0) < 1e-3, nrm

@@ -51,6 +51,11 @@ HEADLINE = {
     "events_funnel": "q_funnel_conversion",
     "docs_boilerplate_5gram": "q_boilerplate_ngrams",
     "events_mad_outliers": "q_mad_outliers",
+    # round-4 rows (BASELINE.md "pipeline ops" / "classic OLAP")
+    "q6_revenue_uplift": "q_revenue_uplift",
+    "q21_waiting_suppliers": "q_waiting_suppliers",
+    "emb_kmeans": "q_kmeans_embed",
+    "emb_power_iteration_pc": "q_power_iteration_pc",
 }
 
 N_RUNS = 5
@@ -102,19 +107,25 @@ def main() -> None:
         # queries (measured on q_bm25_rank: 5.3 s, 1.4 s, then a stable
         # ~0.9 s floor) — a single warm-up leaks compilation time into
         # the timed median and makes it bimodal across bench invocations.
+        # Ops that persist intermediates (tfidf, simhash, lm_score)
+        # build a FRESH DataFrame per execution, so every warm-up and
+        # timed run leaves another dead cached copy behind. Clearing
+        # only between QUERIES let up to 7 copies pile up during one
+        # query's runs — once storage memory filled, eviction churn
+        # turned a 1.5 s simhash median into 30+ s, bimodally across
+        # bench invocations. Clear after EVERY execution: each timed
+        # run then pays exactly its own persist, nothing else's.
         fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()
         fn(spark, sf_dir).toPandas()
+        spark.catalog.clearCache()
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
+            spark.catalog.clearCache()
         timings[label] = round(statistics.median(runs), 4)
-        # Ops that persist intermediates (tfidf, simhash, lm_score)
-        # build a FRESH DataFrame per timed run, so their caches pile
-        # up — drop them between queries so no row pays another op's
-        # storage/GC pressure.
-        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
@@ -170,22 +171,23 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ).alias("cq")
                 )
             )
+        # Argmin without dragging the 64-long vector through the k×
+        # duplicated shuffle: score rows carry only (vec_id, cid, d2)
+        # (~24 bytes × k per vector vs the 512-byte array × k), then
+        # one vec_id-keyed join re-attaches the vector for the update.
         scored = vec.crossJoin(F.broadcast(cent)).select(
-            "vec_id", "xq", "cid", _d2("xq", "cq").alias("d2")
+            "vec_id", "cid", _d2("xq", "cq").alias("d2")
         )
-        assigned = (
+        best = (
             scored.groupBy("vec_id")
-            .agg(
-                F.min(F.struct("d2", "cid")).alias("m"),
-                F.any_value("xq").alias("xq"),
-            )
+            .agg(F.min(F.struct("d2", "cid")).alias("m"))
             .select(
                 "vec_id",
-                "xq",
                 F.col("m.cid").alias("cid"),
                 F.col("m.d2").alias("d2"),
             )
         )
+        assigned = best.join(vec, "vec_id")
 
     return assigned.groupBy(
         F.col("cid").cast("long").alias("cluster_id")
@@ -286,45 +288,103 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1.8e16 at SF 1), |G/1e5|≤1.8e11, matvec ≤ ‖G row‖·‖v‖ ≤ 1.4e18 —
     6× under int64; norms via /1e10 requantized squares (≤1.3e18).
 
-    Scale: the Gram build is the real cost — O(n·d²) rows through one
-    vec_id-co-partitioned self-join into a d²-group aggregate (4096
-    groups; map-side combines). Each iteration is a d²-row broadcast
-    matvec — driver-side loop, no collect, fixed iteration count.
+    Scale: the Gram build is the real cost — O(n·d²) work done as
+    Arrow-batched numpy partial X^T X per input batch (exact int64
+    matmul; one 4096-row partial per batch) merged by a d²-group sum:
+    shuffle volume is (batches × d²), independent of n. The exploded
+    self-join formulation (the oracle's spelling) was measured 2.3 s
+    at sf0.1 vs ~0.6 s for the matmul path — identical integers
+    either way. Each iteration is then a d²-row broadcast matvec —
+    driver-side loop, no collect, fixed iteration count.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = load(spark, sf_dir, "embeddings")
-    e = (
-        emb.select(
-            "vec_id",
-            F.posexplode(_quantize_micro(_vec_double())).alias("pos0", "v"),
-        )
-        .select("vec_id", (F.col("pos0") + 1).alias("pos"), "v")
+    vec = emb.select(
+        "vec_id", _quantize_micro(_vec_double()).alias("xq")
     )
-    m = e.groupBy("pos").agg(
-        _half_away_long(
-            F.sum("v").cast("double") / F.count(F.lit(1))
-        ).alias("mu")
+
+    # One vectorized pass builds the UNcentered second moment S=Σvvᵀ;
+    # centering folds in afterwards via the exact integer identity
+    #   G[i,j] = S[i,j] − mu_j·s_i − mu_i·s_j + n·mu_i·mu_j
+    # (mu is the half-away-rounded integer mean the oracle also uses,
+    # so the expansion is algebraically exact — no float in sight).
+    # This is one data pass instead of three (means → center → gram).
+    def partial_s(batches):
+        # exact int64 X^T X per Arrow batch; bounds in the docstring
+        # keep every entry ~500× under int64 even at SF 1
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["x"].tolist(), dtype=np.int64)
+            G = X.T @ X
+            d = G.shape[0]
+            ij = np.indices((d, d))
+            yield pd.DataFrame(
+                {
+                    "i": (ij[0].ravel() + 1).astype("int32"),
+                    "j": (ij[1].ravel() + 1).astype("int32"),
+                    "p": G.ravel(),
+                }
+            )
+
+    smat = (
+        vec.select(F.col("xq").alias("x"))
+        .mapInPandas(partial_s, schema="i int, j int, p long")
+        .groupBy("i", "j")
+        .agg(F.sum("p").alias("s_ij"))
     )
-    c = e.join(F.broadcast(m), "pos").select(
-        "vec_id", "pos", (F.col("v") - F.col("mu")).alias("x")
+    e = vec.select(
+        "vec_id", F.posexplode("xq").alias("pos0", "v")
+    ).select((F.col("pos0") + 1).alias("pos"), "v")
+    stats = e.groupBy("pos").agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
     )
-    a = c.alias("a")
-    b = c.alias("b")
+    stats = stats.withColumn(
+        "mu", _half_away_long(F.col("sv").cast("double") / F.col("n"))
+    )
+    gi = stats.select(
+        F.col("pos").alias("i"),
+        F.col("sv").alias("s_i"),
+        F.col("mu").alias("mu_i"),
+        "n",
+    )
+    gj = stats.select(
+        F.col("pos").alias("j"),
+        F.col("sv").alias("s_j"),
+        F.col("mu").alias("mu_j"),
+    )
+    centered_ij = (
+        F.col("s_ij")
+        - F.col("mu_j") * F.col("s_i")
+        - F.col("mu_i") * F.col("s_j")
+        + F.col("n") * F.col("mu_i") * F.col("mu_j")
+    )
     g = (
-        a.join(b, "vec_id")
-        .groupBy(F.col("a.pos").alias("i"), F.col("b.pos").alias("j"))
-        .agg(
+        smat.join(F.broadcast(gi), "i")
+        .join(F.broadcast(gj), "j")
+        .select(
+            "i",
+            "j",
             _half_away_long(
-                F.sum(F.col("a.x") * F.col("b.x")).cast("double") / 100000
-            ).alias("gu")
+                centered_ij.cast("double") / 100000
+            ).alias("gu"),
         )
     )
-    v_cur = g.select("i").distinct().select(
-        F.col("i").alias("pos"),
-        F.when(F.col("i") == 1, F.lit(1000000))
+    # v0 from the (already aggregated) stats frame — reusing its
+    # exchange instead of paying a fresh distinct over g
+    v_cur = stats.select(
+        "pos",
+        F.when(F.col("pos") == 1, F.lit(1000000))
         .otherwise(F.lit(0))
         .cast("long")
         .alias("vq"),
     )
+    # the d-row norm rides a whole-frame window (64 rows — the
+    # "single partition" warning is the POINT here) instead of an
+    # extra agg + broadcast join per iteration
+    w_all = Window.partitionBy()
     for _ in range(2):
         w = (
             g.join(F.broadcast(v_cur), g.j == v_cur.pos)
@@ -333,12 +393,10 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("i").alias("pos"), "w")
         )
         u = _half_away_long(F.col("w").cast("double") / 10000000000)
-        nrm = w.select(u.alias("u")).agg(
-            F.sqrt(F.sum(F.col("u") * F.col("u")).cast("double")).alias(
-                "nrm"
-            )
+        wn = w.withColumn(
+            "nrm", F.sqrt(F.sum(u * u).over(w_all).cast("double"))
         )
-        v_cur = w.join(F.broadcast(nrm)).select(
+        v_cur = wn.select(
             "pos",
             _half_away_long(
                 F.col("w").cast("double")

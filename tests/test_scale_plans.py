@@ -358,12 +358,14 @@ def test_q19_disjunction_pushes_to_both_scans(spark, sf_med):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
 
 
-def test_q21_window_replaces_correlated_exists(spark, sf_med):
+def test_q21_set_agg_replaces_correlated_exists(spark, sf_med):
     """OL18 (Q21 shape): the Spark plan must express both EXISTS
-    correlations as ONE orderkey window over the rollup — exactly 3
-    exchanges total (rollup, window repartition, final suppkey count)
-    and no self-join of the fact (no SortMergeJoin at all)."""
+    correlations as ONE per-order set aggregation (partial-merged
+    ObjectHashAggregate) — exactly 2 exchanges total (orderkey
+    rollup, final suppkey count), no window sort, and no self-join
+    of the fact."""
     plan = plan_of(REGISTRY["q_waiting_suppliers"].fn(spark, sf_med))
     assert "SortMergeJoin" not in plan
-    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3
-    assert plan.count("Window") >= 1
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert "ObjectHashAggregate" in plan  # collect_set with partials
+    assert "Window" not in plan

@@ -367,3 +367,51 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("novelty"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q_prefix_dedup",
+    oracle="""
+        SELECT md5(substr(text, 1, 80)) AS prefix_hash,
+               MIN(doc_id) AS keep_doc_id,
+               COUNT(*) AS n_docs,
+               COUNT(DISTINCT source) AS n_sources,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+        HAVING COUNT(*) > 1
+    """,
+    category=CAT,
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6: prefix dedup — collapse documents sharing the same leading
+    80 characters (the C4/CommonCrawl-style step that catches
+    truncation variants and boilerplate-headed pages exact-hash dedup
+    misses, without the cost of MinHash). Reports each colliding
+    prefix group with its keeper (min doc_id), copy count, and how
+    many distinct sources fed it — multi-source prefix groups are the
+    mirrored-content signal.
+
+    Scale: same economics as exact dedup (llm.py q_dedup_exact) — the
+    prefix hashes in the scan, the shuffle carries only (16-byte hash,
+    id, source, chars), and groups cannot skew beyond true duplicate
+    multiplicity. A 100 TB run chains this AFTER exact dedup so each
+    surviving text hashes once for both passes in the same scan.
+    """
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.md5(F.substring("text", 1, 80)).alias("prefix_hash"),
+            "doc_id",
+            "source",
+            "n_chars",
+        )
+        .groupBy("prefix_hash")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

@@ -718,3 +718,58 @@ def q_join_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "nation", "customer")
     return spark.sql(_LATERAL_SQL)
+
+
+@register(
+    "q_join_nullsafe",
+    oracle="""
+        WITH cust AS (
+            SELECT c_nationkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+                   COUNT(*) AS n_cust
+            FROM customer GROUP BY 1, 2
+        ),
+        ords AS (
+            SELECT c_nationkey, nullif(c_mktsegment, 'BUILDING') AS seg,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1, 2
+        )
+        SELECT cust.c_nationkey AS nationkey, cust.seg, n_cust, n_orders
+        FROM cust JOIN ords
+          ON cust.c_nationkey = ords.c_nationkey
+         AND cust.seg IS NOT DISTINCT FROM ords.seg
+    """,
+    category=CAT,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J17: null-safe equality join (Spark `eqNullSafe` / SQL
+    `IS NOT DISTINCT FROM`): per-(nation, segment) customer counts vs
+    order counts where the segment key is nullable (one segment is
+    mapped to NULL) — a plain equi-join would silently drop every
+    NULL-keyed group, the classic dimension-with-unknown-member bug.
+
+    Scale: <=> compiles to an ordinary hash-join key (null hashes to
+    a regular bucket), so the plan is identical to the equi-join —
+    broadcast here, shuffled at real scale — with no null-expansion
+    skew beyond the true NULL-group size; if the unknown-member group
+    dominates, salt it like any hot key (functions/skew.py).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    seg = F.expr("nullif(c_mktsegment, 'BUILDING')")
+    cust = c.groupBy(
+        F.col("c_nationkey").alias("nationkey"), seg.alias("seg")
+    ).agg(F.count(F.lit(1)).alias("n_cust"))
+    ords = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("o_nationkey"), seg.alias("o_seg"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(
+            ords,
+            (F.col("nationkey") == F.col("o_nationkey"))
+            & F.col("seg").eqNullSafe(F.col("o_seg")),
+        )
+        .select("nationkey", "seg", "n_cust", "n_orders")
+    )

@@ -1012,3 +1012,106 @@ def q_pagerank_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("r") * F.col("n"), 6).alias("rank_rel"),
         )
     )
+
+
+# --- exact set-similarity join with prefix filtering (PPJoin-style) --------
+
+
+from .llm import _ORACLE_JACCARD_PAIRS  # noqa: E402
+
+
+@register("q_ppjoin_neardup", oracle=_ORACLE_JACCARD_PAIRS, category=CAT)
+def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: EXACT Jaccard-0.8 near-dup pairs via AllPairs/PPJoin
+    prefix filtering (Bayardo et al., WWW'07 / Xiao et al., WWW'08) —
+    the third point in the similarity-join design space: L7 is exact
+    but all-pairs, L8 (MinHash-LSH) is sub-quadratic but
+    probabilistic; this is exact AND pruned.
+
+    Tokens sort by a global rarest-first order (document frequency
+    asc, token asc); each doc indexes only its first
+    |d| − ⌈0.8·|d|⌉ + 1 tokens. Losslessness: for J(A,B) ≥ t the
+    smallest common token c has position ≤ |X| − ⌈t·|X|⌉ + 1 in BOTH
+    sorted sets (|C| ≥ ⌈t·max(|A|,|B|)⌉ common tokens all follow c),
+    so the prefix self-join cannot miss a qualifying pair — the
+    verified output is IDENTICAL to L7's, which is exactly what the
+    oracle checks. ⌈0.8·s⌉ is computed as the exact integer
+    floor((4s+4)/5) — the float spelling ceil(0.8·s) is off by one at
+    multiples of 5 (0.8·35 = 28.000000000000004).
+
+    Scale: the join touches only prefix tokens (~20% of the token
+    stream), and rarest-first ordering puts the LOW-df tokens in
+    prefixes — the quadratic blowup of hot posting lists (the L7
+    killer) collapses to df² over rare tokens only. Verification is
+    an array_intersect over the candidate pairs, not a second token
+    shuffle. The rank dictionary is |vocab| rows — broadcast; at
+    100 TB vocab scale, replace with df-bucket rank (df asc, hash
+    tie-break) computed in the same aggregation.
+    """
+    from .llm import _doc_tokens
+
+    tok = _doc_tokens(spark, sf_dir)
+    rank = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.orderBy(F.asc("df"), F.asc("token"))),
+        )
+        .select("token", "rk")
+    )
+    lists = (
+        tok.join(F.broadcast(rank), "token")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "token"))),
+                lambda t: t["token"],
+            ).alias("toks")
+        )
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("sz"),
+        )
+        .withColumn(
+            "plen",
+            F.col("sz")
+            - F.floor((4 * F.col("sz") + 4) / 5).cast("int")
+            + 1,
+        )
+    )
+    prefix = lists.select(
+        "doc_id",
+        F.explode(F.slice("toks", 1, F.col("plen"))).alias("token"),
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "token")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    la = lists.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("toks").alias("ta"),
+        F.col("sz").alias("sz_a"),
+    )
+    lb = lists.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("toks").alias("tb"),
+        F.col("sz").alias("sz_b"),
+    )
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    jac = n_common.cast("double") / (
+        F.col("sz_a") + F.col("sz_b") - n_common
+    )
+    return (
+        cand.join(F.broadcast(la), "doc_a")
+        .join(F.broadcast(lb), "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

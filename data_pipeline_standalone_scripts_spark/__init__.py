@@ -38,9 +38,9 @@ from .registry import REGISTRY  # noqa: F401
 # ~48; top up with q_connected_clean and q_autocorr_daily. The round
 # after: the OL4–OL19 TPC-H completion set, clustering (KM1/KM2),
 # C6/X38 dedup additions, analytics/corpus/maintenance/graph round-3
-# families, q_haar_denoise (upgraded to full T2 in round 4 — retest),
-# and the three deliberately deferred rows-only sweeps
-# (q_param_sweep q_fft_lowpass q_evolutionary_sweep).
+# families, q_haar_denoise and q_fft_lowpass (both upgraded to full T2 in
+# round 4 — retest), and the two deliberately deferred rows-only sweeps
+# (q_param_sweep q_evolutionary_sweep).
 #
 #   never = [n for n in REGISTRY
 #            if n not in set(json.load(open("CORRECTNESS_r01.json")))

@@ -339,7 +339,33 @@ def q_param_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 FFT_CUTOFF = 8  # keep the 8 lowest frequency bins (of 33 rfft bins for n=64)
 
 
-@register("q_fft_lowpass", oracle=None, check="T2w", category=CAT)
+_FFT_ORACLE = f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),
+    dft AS (
+        SELECT vec_id, k,
+               SUM(v * cos(2 * pi() * k * pos / 64)) AS re,
+               SUM(v * sin(2 * pi() * k * pos / 64)) AS im
+        FROM x, (SELECT unnest(generate_series(0, {FFT_CUTOFF - 1})) AS k)
+        GROUP BY 1, 2
+    ),
+    eo AS (SELECT vec_id,
+                  SUM(CASE WHEN k = 0 THEN re * re + im * im
+                      ELSE 2 * (re * re + im * im) END) / 64 AS e_out
+           FROM dft GROUP BY 1),
+    ei AS (SELECT vec_id, SUM(v * v) AS e_in FROM x GROUP BY 1)
+    SELECT e.vec_id, e.label,
+           round(ei.e_in, 6) AS energy_in,
+           round(eo.e_out, 6) AS energy_out,
+           round(eo.e_out / ei.e_in, 6) AS ratio
+    FROM embeddings e JOIN ei USING (vec_id) JOIN eo USING (vec_id)
+"""
+
+
+@register("q_fft_lowpass", oracle=_FFT_ORACLE, category=CAT)
 def q_fft_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FFT low-pass denoising (reference: datapipe/denoising/fft.py
     [UNVERIFIED-PK]): rFFT each payload array, zero every bin above
@@ -357,6 +383,12 @@ def q_fft_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Arrow knob; no shuffle. The reference shells out to an
     external binary per image — here the kernel is in-process and
     vectorized across the batch.
+
+    Full value oracle (upgraded from rows-only): the low-pass energies
+    are DFT-expressible without an inverse — Parseval gives
+    e_out = (|X_0|^2 + 2*sum_{0<k<cut}|X_k|^2)/N over the kept bins —
+    and numpy's butterfly FFT agrees with the naive SQL DFT to ~1e-15,
+    invisible under r6 rounding.
     """
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf

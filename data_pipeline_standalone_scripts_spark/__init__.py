@@ -39,8 +39,9 @@ from .registry import REGISTRY  # noqa: F401
 # after: the OL4–OL19 TPC-H completion set, clustering (KM1/KM2),
 # C6/X38 dedup additions, analytics/corpus/maintenance/graph round-3
 # families, q_haar_denoise and q_fft_lowpass (both upgraded to full T2 in
-# round 4 — retest), and the two deliberately deferred rows-only sweeps
-# (q_param_sweep q_evolutionary_sweep).
+# round 4 — retest), q_param_sweep (full T2, deferred by choice), and
+# the one remaining rows-only sweep (q_evolutionary_sweep — hash-based
+# mutation is not portably expressible; pytest covers it).
 #
 #   never = [n for n in REGISTRY
 #            if n not in set(json.load(open("CORRECTNESS_r01.json")))

@@ -415,3 +415,140 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+@register(
+    "q_curation_funnel",
+    oracle="""
+        WITH base AS MATERIALIZED (
+            SELECT doc_id, lang, text, n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS awl,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                       / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        ),
+        s1 AS MATERIALIZED (
+            SELECT * FROM base
+            WHERE n_chars BETWEEN 150 AND 450 AND n_words >= 25
+              AND awl BETWEEN 3.0 AND 9.0 AND ttr >= 0.3
+        ),
+        s2 AS MATERIALIZED (
+            SELECT * FROM s1
+            QUALIFY row_number() OVER (PARTITION BY sha256(text)
+                                       ORDER BY doc_id ASC) = 1
+        ),
+        s3 AS MATERIALIZED (
+            SELECT * FROM s2
+            QUALIFY row_number() OVER (
+                PARTITION BY md5(substr(text, 1, 80))
+                ORDER BY doc_id ASC) = 1
+        ),
+        s4 AS (SELECT * FROM s3 WHERE lang = 'en'),
+        summary AS (
+            SELECT 's0_ingest' AS stage, COUNT(*) AS n_docs,
+                   CAST(SUM(n_words) AS BIGINT) AS n_tokens FROM base
+            UNION ALL
+            SELECT 's1_quality', COUNT(*),
+                   CAST(SUM(n_words) AS BIGINT) FROM s1
+            UNION ALL
+            SELECT 's2_exact_dedup', COUNT(*),
+                   CAST(SUM(n_words) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 's3_prefix_dedup', COUNT(*),
+                   CAST(SUM(n_words) AS BIGINT) FROM s3
+            UNION ALL
+            SELECT 's4_lang_en', COUNT(*),
+                   CAST(SUM(n_words) AS BIGINT) FROM s4
+        )
+        SELECT stage, n_docs, n_tokens,
+               round(CAST(n_docs AS DOUBLE)
+                     / MAX(CASE WHEN stage = 's0_ingest' THEN n_docs END)
+                       OVER (), 6) AS docs_retained
+        FROM summary
+    """,
+    category=CAT,
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: the end-to-end curation funnel — the composed pipeline a
+    training-data run actually executes, as ONE query: ingest →
+    Gopher-style quality gate (L2's exact thresholds) → exact dedup
+    (L4, keep-min per SHA-256) → prefix dedup (C6, 80-char head) →
+    language selection; reporting docs/tokens surviving each stage
+    and the retention ratio. The per-stage numbers are the run report
+    every corpus refresh publishes.
+
+    Everything upstream is reused semantics, so this also pins the
+    COMPOSITION: a regression in any stage's filter moves a funnel
+    row even if that stage's own operator test is somehow skipped.
+
+    Scale: stages s1/s4 are scan filters; s2/s3 are digest-window
+    dedups (hash in the map stage, shuffle carries digests+ids). The
+    funnel materializes each survivor set once — at 100 TB run the
+    stages as checkpointed tables so the per-stage counts come free
+    from the write metrics rather than a second aggregation.
+    """
+    d = load(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    awl = F.length(
+        F.replace(F.col("text"), F.lit(" "), F.lit(""))
+    ).cast("double") / n_words
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    base = d.select(
+        "doc_id",
+        "lang",
+        "text",
+        "n_chars",
+        n_words.cast("long").alias("n_words"),
+        awl.alias("awl"),
+        ttr.alias("ttr"),
+    )
+    s1 = base.filter(
+        F.col("n_chars").between(150, 450)
+        & (F.col("n_words") >= 25)
+        & F.col("awl").between(3.0, 9.0)
+        & (F.col("ttr") >= 0.3)
+    )
+    w2 = Window.partitionBy(F.sha2("text", 256)).orderBy(F.asc("doc_id"))
+    s2 = s1.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+    w3 = Window.partitionBy(F.md5(F.substring("text", 1, 80))).orderBy(
+        F.asc("doc_id")
+    )
+    s3 = s2.withColumn("rn", F.row_number().over(w3)).filter(
+        F.col("rn") == 1
+    ).drop("rn")
+    s4 = s3.filter(F.col("lang") == "en")
+
+    def stage(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    summary = (
+        stage(base, "s0_ingest")
+        .unionByName(stage(s1, "s1_quality"))
+        .unionByName(stage(s2, "s2_exact_dedup"))
+        .unionByName(stage(s3, "s3_prefix_dedup"))
+        .unionByName(stage(s4, "s4_lang_en"))
+    )
+    w_all = Window.partitionBy()
+    ingest_docs = F.max(
+        F.when(F.col("stage") == "s0_ingest", F.col("n_docs"))
+    ).over(w_all)
+    return summary.select(
+        "stage",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / ingest_docs, 6).alias(
+            "docs_retained"
+        ),
+    )

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
@@ -551,4 +552,195 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs").cast("double") / ingest_docs, 6).alias(
             "docs_retained"
         ),
+    )
+
+
+@register(
+    "q_token_pmi",
+    oracle="""
+        WITH dt AS MATERIALIZED (
+            SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents
+        ),
+        df AS (SELECT tok, COUNT(*) AS c FROM dt GROUP BY 1),
+        n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dt),
+        pairs AS (
+            SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS c_ab
+            FROM dt a JOIN dt b
+              ON a.doc_id = b.doc_id AND a.tok < b.tok
+            GROUP BY 1, 2
+            HAVING COUNT(*) >= 5
+        )
+        SELECT tok_a, tok_b, c_ab, fa.c AS c_a, fb.c AS c_b,
+               round(ln(CAST(n_docs AS DOUBLE) * c_ab
+                        / (CAST(fa.c AS DOUBLE) * fb.c)), 6) AS pmi
+        FROM pairs
+        JOIN df fa ON fa.tok = tok_a
+        JOIN df fb ON fb.tok = tok_b
+        CROSS JOIN n
+        ORDER BY pmi DESC, tok_a ASC, tok_b ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: top-20 token pairs by document-level pointwise mutual
+    information — PMI = ln(N·c_ab / (c_a·c_b)) over distinct-token
+    document sets, the classic collocation/distributional statistic a
+    corpus report includes (and a boilerplate detector: high-PMI
+    pairs that span many sources are template fragments).
+
+    Determinism: all counts are exact longs; each PMI is one ln() of
+    an identically-derived double (no accumulation), and the top-20
+    tie-breaks on the token pair.
+
+    Scale: the pair expansion is bounded per doc by its DISTINCT
+    token count (quadratic in per-doc vocabulary, linear in corpus) —
+    the same economics as q_copurchase_recs' basket expansion; pair
+    counts partial-aggregate before the shuffle, and the HAVING floor
+    keeps the long tail out of the top-k exchange.
+    """
+    d = load(spark, sf_dir, "documents")
+    dt = d.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    df = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    n = dt.agg(F.countDistinct("doc_id").alias("n_docs"))
+    a = dt.select(F.col("doc_id"), F.col("tok").alias("tok_a"))
+    b = dt.select(F.col("doc_id"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    fa = df.select(F.col("tok").alias("tok_a"), F.col("c").alias("c_a"))
+    fb = df.select(F.col("tok").alias("tok_b"), F.col("c").alias("c_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_docs").cast("double")
+            * F.col("c_ab")
+            / (F.col("c_a").cast("double") * F.col("c_b"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .join(F.broadcast(n))
+        .select("tok_a", "tok_b", "c_ab", "c_a", "c_b", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("tok_a"), F.asc("tok_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "q_zipf_slope",
+    oracle="""
+        WITH tf AS (
+            SELECT tok, COUNT(*) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS tok
+                  FROM documents)
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT freq,
+                   row_number() OVER (ORDER BY freq DESC, tok ASC) AS rk
+            FROM tf
+        ),
+        terms AS (
+            SELECT CAST(round(ln(rk) * 1000000) AS BIGINT) AS x,
+                   CAST(round(ln(freq) * 1000000) AS BIGINT) AS y
+            FROM ranked
+        ),
+        moms AS (
+            SELECT COUNT(*) AS n,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(CAST(round(CAST(x AS DOUBLE) * y / 1000000)
+                            AS BIGINT)) AS sxy,
+                   SUM(CAST(round(CAST(x AS DOUBLE) * x / 1000000)
+                            AS BIGINT)) AS sxx
+            FROM terms
+        )
+        SELECT n AS n_types,
+               round((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy
+                      / 1000000.0)
+                     / (CAST(n AS DOUBLE) * sxx
+                        - CAST(sx AS DOUBLE) * sx / 1000000.0), 6)
+                   AS zipf_slope,
+               round((CAST(sy AS DOUBLE) / n
+                      - ((CAST(n AS DOUBLE) * sxy
+                          - CAST(sx AS DOUBLE) * sy / 1000000.0)
+                         / (CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx / 1000000.0))
+                        * CAST(sx AS DOUBLE) / n) / 1000000.0, 6)
+                   AS zipf_intercept
+        FROM moms
+    """,
+    category=CAT,
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: Zipf's-law slope of the corpus token-frequency
+    distribution — OLS of ln(freq) on ln(rank). Natural corpora run
+    ≈ −1; a slope drifting toward 0 (too uniform) or −2 (too peaked)
+    is the distribution-level signal of synthetic or boilerplate
+    text, so corpus refreshes track it like a vital sign.
+
+    Determinism: ln(rank)/ln(freq) are identical doubles from exact
+    integers; each is micro-quantized BEFORE the regression sums, so
+    Σx, Σy, Σxy, Σxx are exact longs (order-free) and the closed-form
+    slope divides identical doubles — the same exact-moment recipe as
+    q_linreg_fit, extended through a log transform.
+
+    Scale: one token-count aggregation (map-side combined), a global
+    rank over |vocab| rows (the only single-partition step — vocab,
+    not corpus, sized), and a 1-row moment reduce.
+    """
+    d = load(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))
+    ranked = tf.select("freq", F.row_number().over(w).alias("rk"))
+
+    def q6(c):
+        v = c * 1_000_000
+        return (
+            v + F.when(v >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        ).cast("long")
+
+    terms = ranked.select(
+        q6(F.log(F.col("rk").cast("double"))).alias("x"),
+        q6(F.log(F.col("freq").cast("double"))).alias("y"),
+    )
+
+    def requant(prod):
+        v = prod.cast("double") / 1_000_000
+        return (
+            v + F.when(v >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+        ).cast("long")
+
+    moms = terms.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(requant(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(requant(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    sx_d = F.col("sx").cast("double")
+    sy_d = F.col("sy").cast("double")
+    slope = (n_d * F.col("sxy") - sx_d * F.col("sy") / 1_000_000.0) / (
+        n_d * F.col("sxx") - sx_d * F.col("sx") / 1_000_000.0
+    )
+    intercept = (
+        sy_d / F.col("n") - slope * sx_d / F.col("n")
+    ) / 1_000_000.0
+    return moms.select(
+        F.col("n").alias("n_types"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(intercept, 6).alias("zipf_intercept"),
     )

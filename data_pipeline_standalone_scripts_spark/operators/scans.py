@@ -354,3 +354,52 @@ def q_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("content_md5").alias("min_md5"),
         )
     )
+
+
+@register(
+    "q_text_io",
+    oracle="""
+        SELECT COUNT(*) AS n_lines,
+               CAST(SUM(n_chars + 11) AS BIGINT) AS total_chars,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_en
+        FROM documents
+    """,
+    category=CAT,
+)
+def q_text_io(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9: `text` sink/source round-trip — one document per line with
+    a parse-able 11-char header (`lang` padded to 10 + one tab), the
+    log-file/raw-corpus interchange format every ingestion pipeline
+    eventually meets. Writes via the text sink, re-reads as raw
+    lines, re-parses the header, and proves losslessness against the
+    source table: line count, total character mass (n_chars + the 11
+    header chars per line), and the per-language count surviving the
+    parse.
+
+    The newline-delimited format forbids newlines in the payload —
+    true for this corpus; a real corpus escapes them first (the
+    documented contract of the format, not of this operator).
+
+    Scale: text read/write is splittable by line like CSV; the header
+    parse is a codegen substring, and the checksum aggregate map-side
+    combines. No schema inference anywhere — the line IS the schema.
+    """
+    out_dir = _scratch_dir("io_documents.text")
+    d = load(spark, sf_dir, "documents")
+    line = F.concat(
+        F.rpad("lang", 10, " "), F.lit("\t"), F.col("text")
+    )
+    d.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    back = spark.read.text(out_dir)
+    parsed = back.select(
+        F.trim(F.substring("value", 1, 10)).alias("lang"),
+        F.length("value").alias("line_len"),
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("line_len").cast("long").alias("total_chars"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long")
+        .alias("n_en"),
+    )

@@ -56,6 +56,7 @@ HEADLINE = {
     "q21_waiting_suppliers": "q_waiting_suppliers",
     "emb_kmeans": "q_kmeans_embed",
     "emb_power_iteration_pc": "q_power_iteration_pc",
+    "docs_curation_funnel": "q_curation_funnel",
 }
 
 N_RUNS = 5

@@ -485,11 +485,15 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     COMPOSITION: a regression in any stage's filter moves a funnel
     row even if that stage's own operator test is somehow skipped.
 
-    Scale: stages s1/s4 are scan filters; s2/s3 are digest-window
-    dedups (hash in the map stage, shuffle carries digests+ids). The
-    funnel materializes each survivor set once — at 100 TB run the
-    stages as checkpointed tables so the per-stage counts come free
-    from the write metrics rather than a second aggregation.
+    Scale: ONE pass — the stages become per-doc survival FLAGS
+    (quality bool; dedup keeps via MIN-over-digest-partition windows
+    restricted to upstream survivors, so no stage rescans or rejoins)
+    and the whole funnel is two digest windows plus a single 1-row
+    aggregate unpivoted to stage rows. The 5-branch union formulation
+    measured 1.18 s at sf0.1 (each branch recomputing its prefix of
+    the chain); this shape is one scan. At 100 TB the same flags
+    write once as a survivor-bitmap table and every stage count comes
+    from one aggregation of it.
     """
     d = load(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
@@ -503,55 +507,98 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select(
         "doc_id",
         "lang",
-        "text",
-        "n_chars",
+        F.col("n_chars"),
         n_words.cast("long").alias("n_words"),
-        awl.alias("awl"),
-        ttr.alias("ttr"),
+        (
+            F.col("n_chars").between(150, 450)
+            & (n_words >= 25)
+            & awl.between(3.0, 9.0)
+            & (ttr >= 0.3)
+        ).alias("q"),
+        F.sha2("text", 256).alias("h_full"),
+        F.md5(F.substring("text", 1, 80)).alias("h_pref"),
     )
-    s1 = base.filter(
-        F.col("n_chars").between(150, 450)
-        & (F.col("n_words") >= 25)
-        & F.col("awl").between(3.0, 9.0)
-        & (F.col("ttr") >= 0.3)
+    w_full = Window.partitionBy("h_full")
+    w_pref = Window.partitionBy("h_pref")
+    flagged = base.select(
+        "lang",
+        "n_words",
+        "q",
+        (
+            F.col("q")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q"), F.col("doc_id"))).over(w_full)
+            )
+        ).alias("k2"),
+        "doc_id",
+        "h_pref",
     )
-    w2 = Window.partitionBy(F.sha2("text", 256)).orderBy(F.asc("doc_id"))
-    s2 = s1.withColumn("rn", F.row_number().over(w2)).filter(
-        F.col("rn") == 1
-    ).drop("rn")
-    w3 = Window.partitionBy(F.md5(F.substring("text", 1, 80))).orderBy(
-        F.asc("doc_id")
+    flagged = flagged.select(
+        "lang",
+        "n_words",
+        "q",
+        "k2",
+        (
+            F.col("k2")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("k2"), F.col("doc_id"))).over(w_pref)
+            )
+        ).alias("k3"),
     )
-    s3 = s2.withColumn("rn", F.row_number().over(w3)).filter(
-        F.col("rn") == 1
-    ).drop("rn")
-    s4 = s3.filter(F.col("lang") == "en")
+    flagged = flagged.withColumn(
+        "k4", F.col("k3") & (F.col("lang") == "en")
+    )
 
-    def stage(df: DataFrame, name: str) -> DataFrame:
-        return df.agg(
-            F.lit(name).alias("stage"),
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_words").cast("long").alias("n_tokens"),
-        ).select("stage", "n_docs", "n_tokens")
+    def cnt(flag):
+        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
 
-    summary = (
-        stage(base, "s0_ingest")
-        .unionByName(stage(s1, "s1_quality"))
-        .unionByName(stage(s2, "s2_exact_dedup"))
-        .unionByName(stage(s3, "s3_prefix_dedup"))
-        .unionByName(stage(s4, "s4_lang_en"))
+    def tok(flag):
+        return F.sum(F.when(flag, F.col("n_words")).otherwise(0)).cast(
+            "long"
+        )
+
+    one = flagged.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_words").cast("long").alias("t0"),
+        cnt(F.col("q")).alias("n1"),
+        tok(F.col("q")).alias("t1"),
+        cnt(F.col("k2")).alias("n2"),
+        tok(F.col("k2")).alias("t2"),
+        cnt(F.col("k3")).alias("n3"),
+        tok(F.col("k3")).alias("t3"),
+        cnt(F.col("k4")).alias("n4"),
+        tok(F.col("k4")).alias("t4"),
     )
-    w_all = Window.partitionBy()
-    ingest_docs = F.max(
-        F.when(F.col("stage") == "s0_ingest", F.col("n_docs"))
-    ).over(w_all)
-    return summary.select(
-        "stage",
-        "n_docs",
-        "n_tokens",
-        F.round(F.col("n_docs").cast("double") / ingest_docs, 6).alias(
-            "docs_retained"
-        ),
+    stages = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("stage"),
+                F.col(f"n{i}").alias("n_docs"),
+                F.col(f"t{i}").alias("n_tokens"),
+            )
+            for i, name in enumerate(
+                [
+                    "s0_ingest",
+                    "s1_quality",
+                    "s2_exact_dedup",
+                    "s3_prefix_dedup",
+                    "s4_lang_en",
+                ]
+            )
+        ]
+    )
+    return (
+        one.select(F.col("n0"), F.explode(stages).alias("s"))
+        .select(
+            F.col("s.stage").alias("stage"),
+            F.col("s.n_docs").alias("n_docs"),
+            F.col("s.n_tokens").alias("n_tokens"),
+            F.round(
+                F.col("s.n_docs").cast("double") / F.col("n0"), 6
+            ).alias("docs_retained"),
+        )
     )
 
 

@@ -369,3 +369,28 @@ def test_q21_set_agg_replaces_correlated_exists(spark, sf_med):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
     assert "ObjectHashAggregate" in plan  # collect_set with partials
     assert "Window" not in plan
+
+
+def test_funnel_is_single_pass(spark, sf_med):
+    """C7: the composed funnel must stay a flag computation — at most
+    2 scans of documents (never the 5-branch union's rescan per
+    stage) and at most 3 exchanges (two digest windows + final)."""
+    plan = plan_of(REGISTRY["q_curation_funnel"].fn(spark, sf_med))
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
+
+
+def test_ppjoin_no_cartesian(spark, sf_med):
+    """X38: the prefix-filtered candidate join must stay an equi-join
+    on the token key — no cartesian fallback."""
+    plan = plan_of(REGISTRY["q_ppjoin_neardup"].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_agg_prunes_delta_scan(spark, sf_med):
+    """A16: both epoch scans must push their shipdate predicate — at
+    real scale the delta side partition-prunes to the new epoch."""
+    plan = plan_of(REGISTRY["q_incremental_agg"].fn(spark, sf_med))
+    pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
+    assert any("GreaterThanOrEqual(l_shipdate" in p for p in pushed), pushed
+    assert any("LessThan(l_shipdate" in p for p in pushed), pushed

@@ -577,3 +577,31 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         (z("n_b") + z("n_d")).alias("n_rows"),
         z("n_d").alias("n_delta"),
     )
+
+
+_GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    GROUP BY ALL
+"""
+
+
+@register("q_group_by_all", oracle=_GROUP_BY_ALL_SQL, category="aggregates")
+def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: `GROUP BY ALL` — the modern-SQL sugar (grouping keys
+    inferred as every non-aggregate select item) that Spark 4 and
+    DuckDB both implement; ONE SQL text runs verbatim on both engines,
+    so the oracle check covers the inference rule itself (a column
+    wrongly classified as a grouping key changes the row count).
+
+    Scale: sugar only — resolves to the identical partial/final hash
+    aggregate as the explicit GROUP BY; nothing physical changes.
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_GROUP_BY_ALL_SQL)

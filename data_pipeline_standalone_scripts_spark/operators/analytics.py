@@ -959,3 +959,82 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ape"),
     )
+
+
+@register(
+    "q_gini_revenue",
+    oracle="""
+        WITH rev AS (
+            SELECT o_custkey AS c,
+                   CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) AS BIGINT)
+                       AS cents
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1
+        ),
+        ranked AS (
+            SELECT cents,
+                   row_number() OVER (ORDER BY cents ASC, c ASC) AS i,
+                   COUNT(*) OVER () AS n
+            FROM rev
+        )
+        SELECT MAX(n) AS n_customers,
+               CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_rev,
+               round(CAST(SUM((2 * i - n - 1) * cents) AS DOUBLE)
+                     / (CAST(MAX(n) AS DOUBLE) * SUM(cents)), 6) AS gini
+        FROM ranked
+    """,
+    category=CAT,
+)
+def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN14: Gini coefficient of per-customer revenue — the
+    concentration vital sign (0 = evenly spread, →1 = whale-driven),
+    via the exact sorted formula G = Σ(2i−n−1)·x_i / (n·Σx). The same
+    statistic over per-SOURCE token mass is how a corpus audit
+    quantifies domain concentration.
+
+    Determinism: revenues are exact cent longs (cents, not micros —
+    the (2i−n−1)·x products stay ~500× under int64 at SF 1 with
+    150 k customers); the rank's tie-break on custkey fixes i; one
+    double division at the end.
+
+    Scale: the fact collapses to per-customer grain first (one
+    shuffle); the global sort ranks |customers| rows, not line items
+    — at extreme cardinality swap in the binned Gini (equi-depth
+    histogram trapezoids from AN11's machinery), documented here as
+    the approximation path.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    rev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("c"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "cast(round(l_extendedprice * (1 - l_discount) * 100)"
+                    " as bigint)"
+                )
+            )
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w_rank = Window.orderBy(F.asc("cents"), F.asc("c"))
+    w_all = Window.partitionBy()
+    ranked = rev.select(
+        "cents",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    return ranked.agg(
+        F.max("n").alias("n_customers"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_rev"),
+        F.round(
+            F.sum(
+                (2 * F.col("i") - F.col("n") - 1) * F.col("cents")
+            ).cast("double")
+            / (F.max("n").cast("double") * F.sum("cents")),
+            6,
+        ).alias("gini"),
+    )

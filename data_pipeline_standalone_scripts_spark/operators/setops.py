@@ -159,3 +159,60 @@ def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_list("c_name")), "|").alias("names"),
         )
     )
+
+
+_BAG_SQL = """
+    SELECT o_custkey, o_orderstatus FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    {op} ALL
+    SELECT o_custkey, o_orderstatus FROM orders
+    WHERE o_totalprice > 250000
+"""
+
+
+def _bag_slices(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(custkey, status) projections — customers repeat across orders,
+    so the slices are true BAGS and the ALL variants differ from the
+    distinct forms (U3/U4 would collapse them)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_totalprice") > 250000).select(
+        "o_custkey", "o_orderstatus"
+    )
+    return a, b
+
+
+@register(
+    "q_intersect_all", oracle=_BAG_SQL.format(op="INTERSECT"), category=CAT
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: INTERSECT ALL — bag semantics: each row appears
+    min(count_a, count_b) times, the multiplicity the distinct form
+    (U3) destroys. The SQL-standard way to reconcile event streams
+    where duplicate rows are real occurrences, not noise.
+
+    Scale: plans as a row-keyed aggregate of per-side counts (Spark:
+    generate+min over a count join) — one shuffle on the projected
+    row, same economics as the distinct form plus a counter column.
+    """
+    a, b = _bag_slices(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@register(
+    "q_except_all", oracle=_BAG_SQL.format(op="EXCEPT"), category=CAT
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: EXCEPT ALL — bag difference: each row survives
+    max(count_a − count_b, 0) times. The multiplicity-aware "what's
+    in the new batch beyond the old" question that anti-join (which
+    is per-key, not per-occurrence) cannot answer.
+
+    Scale: same single-shuffle count-merge plan as U5.
+    """
+    a, b = _bag_slices(spark, sf_dir)
+    return a.exceptAll(b)

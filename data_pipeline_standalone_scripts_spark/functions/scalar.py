@@ -466,3 +466,59 @@ def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("k").cast("long").alias("n_distinct_k"),
         )
     )
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS disc_micro,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount)
+                                   * (1 + l_tax) * 1000000) AS BIGINT))
+                   AS BIGINT) AS charge_micro
+        FROM lineitem GROUP BY 1
+    """,
+    category=CAT,
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: SQL-defined scalar functions (Spark 4 `CREATE FUNCTION …
+    RETURN expr`) — business logic named ONCE in the catalog and
+    reused across queries, instead of copy-pasted expressions. The
+    oracle inlines the same arithmetic (DuckDB's equivalent surface
+    is CREATE MACRO), so the check proves the UDF body resolves to
+    exactly the inline expression.
+
+    Scale: SQL UDFs inline at plan time — Catalyst substitutes the
+    body and the whole pipeline stays in codegen, unlike a Python UDF
+    (no serialization boundary, no black box to the optimizer —
+    pushdown THROUGH the function still works).
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION disc_price(p DOUBLE,"
+        " d DOUBLE) RETURNS DOUBLE RETURN p * (1 - d)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charge(p DOUBLE,"
+        " d DOUBLE, t DOUBLE) RETURNS DOUBLE"
+        " RETURN p * (1 - d) * (1 + t)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(round(disc_price(l_extendedprice,
+                                              l_discount)
+                                   * 1000000) AS BIGINT)) AS BIGINT)
+                   AS disc_micro,
+               CAST(SUM(CAST(round(charge(l_extendedprice, l_discount,
+                                          l_tax) * 1000000) AS BIGINT))
+                   AS BIGINT) AS charge_micro
+        FROM lineitem GROUP BY 1
+        """
+    )

@@ -41,3 +41,28 @@ def test_ppjoin_equals_naive_allpairs(spark, sf_small):
     pp = sorted(map(tuple, REGISTRY["q_ppjoin_neardup"].fn(spark, sf_small).collect()))
     naive = sorted(map(tuple, REGISTRY["q_jaccard_neardup"].fn(spark, sf_small).collect()))
     assert pp == naive
+
+
+def test_curation_funnel_is_monotone(spark, sf_small):
+    """C7: each stage can only shrink the corpus — docs and tokens
+    non-increasing down the funnel, retention starts at 1.0."""
+    rows = {r.stage: r for r in REGISTRY["q_curation_funnel"].fn(spark, sf_small).collect()}
+    order = ["s0_ingest", "s1_quality", "s2_exact_dedup",
+             "s3_prefix_dedup", "s4_lang_en"]
+    assert set(rows) == set(order)
+    for a, b in zip(order, order[1:]):
+        assert rows[b].n_docs <= rows[a].n_docs
+        assert rows[b].n_tokens <= rows[a].n_tokens
+    assert rows["s0_ingest"].docs_retained == 1.0
+
+
+def test_incremental_agg_counts_delta(spark, sf_small):
+    """A16: merged totals must cover every row, and the delta column
+    must count only the new epoch."""
+    rows = REGISTRY["q_incremental_agg"].fn(spark, sf_small).collect()
+    from data_pipeline_standalone_scripts_spark.tables import load
+    li = load(spark, sf_small, "lineitem")
+    assert sum(r.n_rows for r in rows) == li.count()
+    import pyspark.sql.functions as F
+    n_delta = li.filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")).count()
+    assert sum(r.n_delta for r in rows) == n_delta

@@ -137,6 +137,7 @@ def load_all_operators() -> None:
         scans,
         setops,
         sketches,
+        textclean,
         textpipe,
         timeseries,
         udfs,

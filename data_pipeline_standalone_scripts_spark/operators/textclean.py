@@ -1,0 +1,349 @@
+"""PII redaction, URL parsing, markup stripping, and sentence
+segmentation — the normalization passes a crawl→training-data
+pipeline runs BEFORE quality filtering and dedup (SURVEY.md §2.11b
+extends; complements textpipe.py's scoring ops).
+
+The test corpus is synthetic word-salad with no real PII/markup/URLs,
+so each op first CONSTRUCTS its haystack deterministically from table
+columns (emails from customer keys, URLs from document metadata, tags
+wrapped around document text) and then runs the real extraction
+machinery — regexp_extract_all / parse_url / regexp_replace — on it.
+Both engines build the identical haystack, so the oracle checks the
+extraction itself, not the synthesis. Regex patterns are restricted
+to the Java-regex ∩ RE2 common subset (no lookaround, no backrefs):
+character classes, bounded repetition, alternation, anchors.
+
+Scale notes (100 TB):
+- All four ops are narrow per-row maps (regex over one string column)
+  followed by one hash aggregation on a low-cardinality key — the
+  shuffle carries only the per-group partials. Regex evaluation stays
+  inside whole-stage codegen (Java regex on the JVM), no Python.
+- Redaction at real scale is the same shape: per-row regexes are
+  embarrassingly parallel; the only shuffle is whatever grouping the
+  report needs. Pattern lists longer than a handful of regexes should
+  be combined into one alternation per pass (one automaton scan per
+  row, not one per pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..tables import load
+from .common import h60, o_h60
+
+CAT = "textclean"
+
+_P = 1_000_000_007  # checksum modulus: keeps SUM(h60 % _P) < 2^63 at any sf
+
+# Java-regex ∩ RE2 portable patterns
+_RE_EMAIL = "[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_RE_IP = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_RE_PHONE = "\\b555-\\d{4}\\b"
+_RE_TAG = "<[^>]+>"
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+        WITH raw AS (
+            SELECT c_mktsegment,
+                   'reach user' || c_custkey || '@'
+                     || lower(replace(c_mktsegment, ' ', '')) || '.example.com'
+                     || ' or call 555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                     || ' from 10.' || (c_nationkey % 25) || '.'
+                     || (c_custkey % 256) || '.7 re ' || c_name AS msg
+            FROM customer
+        ), red AS (
+            SELECT c_mktsegment,
+                   len(regexp_extract_all(msg, '{_RE_EMAIL}'))  AS n_email,
+                   len(regexp_extract_all(msg, '{_RE_IP}'))     AS n_ip,
+                   len(regexp_extract_all(msg, '{_RE_PHONE}'))  AS n_phone,
+                   regexp_replace(
+                     regexp_replace(
+                       regexp_replace(msg, '{_RE_EMAIL}', '[EMAIL]', 'g'),
+                       '{_RE_IP}', '[IP]', 'g'),
+                     '{_RE_PHONE}', '[PHONE]', 'g') AS redacted
+            FROM raw
+        )
+        SELECT c_mktsegment,
+               COUNT(*) AS n_msgs,
+               CAST(SUM(n_email) AS BIGINT) AS emails_found,
+               CAST(SUM(n_ip) AS BIGINT) AS ips_found,
+               CAST(SUM(n_phone) AS BIGINT) AS phones_found,
+               CAST(SUM({o_h60('redacted')} % {_P}) AS BIGINT) AS redacted_checksum
+        FROM red
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    category=CAT,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI1: PII detection + masking. Synthesizes a contact blurb per
+    customer (email, phone, IPv4 embedded in prose), then counts and
+    masks each PII class with portable regexes, reporting per-segment
+    detection counts and a checksum of the redacted text.
+
+    The checksum is the oracle's teeth: a mask that eats a character
+    too many/few, or a regex that matches a different span in either
+    engine, shifts h60(redacted) and fails the value hash.
+
+    Scale: pure narrow map + one small-key hash agg. The three
+    sequential regexp_replace passes are how real redactors chain
+    pattern classes; at 100 TB each pass is a codegen'd automaton
+    scan, no shuffle until the final per-segment partials.
+    """
+    c = load(spark, sf_dir, "customer")
+    msg = F.concat(
+        F.lit("reach user"),
+        F.col("c_custkey").cast("string"),
+        F.lit("@"),
+        F.lower(F.regexp_replace("c_mktsegment", " ", "")),
+        F.lit(".example.com or call 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("c_nationkey") % 25).cast("string"),
+        F.lit("."),
+        (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".7 re "),
+        F.col("c_name"),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("msg"), _RE_EMAIL, "[EMAIL]"),
+            _RE_IP,
+            "[IP]",
+        ),
+        _RE_PHONE,
+        "[PHONE]",
+    )
+    red = c.select(
+        "c_mktsegment",
+        F.size(F.regexp_extract_all(msg, F.lit(_RE_EMAIL), F.lit(0))).alias("n_email"),
+        F.size(F.regexp_extract_all(msg, F.lit(_RE_IP), F.lit(0))).alias("n_ip"),
+        F.size(F.regexp_extract_all(msg, F.lit(_RE_PHONE), F.lit(0))).alias("n_phone"),
+        msg.alias("msg"),
+    ).withColumn("redacted", redacted)
+    return (
+        red.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_msgs"),
+            F.sum("n_email").cast("long").alias("emails_found"),
+            F.sum("n_ip").cast("long").alias("ips_found"),
+            F.sum("n_phone").cast("long").alias("phones_found"),
+            F.sum(h60("redacted") % _P).cast("long").alias("redacted_checksum"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "q_url_parse",
+    oracle="""
+        WITH u AS (
+            SELECT doc_id, lang, source,
+                   'https://' || source || '.example.com/' || lang
+                     || '/doc' || doc_id || '?ref=' || source
+                     || '&page=' || (doc_id % 7) AS url
+            FROM documents
+        ), parsed AS (
+            SELECT regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+                   regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path,
+                   regexp_extract(url, '[?&]page=(\\d+)', 1) AS page
+            FROM u
+        )
+        SELECT host,
+               COUNT(*) AS n_urls,
+               COUNT(DISTINCT path) AS n_paths,
+               CAST(SUM(CAST(page AS BIGINT)) AS BIGINT) AS page_sum
+        FROM parsed
+        GROUP BY host
+        ORDER BY host
+    """,
+    category=CAT,
+)
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI2: URL decomposition — host / path / query-param extraction,
+    then a per-host rollup (the crawl-pipeline "domain table" that
+    feeds q_domain_quota's quotas). Spark side uses the REAL
+    `parse_url` built-in (HOST / PATH / QUERY:key); the oracle states
+    the same decomposition as portable regexes — so this also pins
+    parse_url's semantics against an independent spec.
+
+    Scale: narrow map + agg on host (bounded cardinality ≈ #domains).
+    At 100 TB hosts are Zipf-skewed; the COUNT/SUM partials combine
+    map-side so the skew never concentrates rows, only partials.
+    """
+    d = load(spark, sf_dir, "documents")
+    u = d.select(
+        F.concat(
+            F.lit("https://"),
+            F.col("source"),
+            F.lit(".example.com/"),
+            F.col("lang"),
+            F.lit("/doc"),
+            F.col("doc_id").cast("string"),
+            F.lit("?ref="),
+            F.col("source"),
+            F.lit("&page="),
+            (F.col("doc_id") % 7).cast("string"),
+        ).alias("url")
+    )
+    parsed = u.select(
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("page")).alias("page"),
+    )
+    return (
+        parsed.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("path").alias("n_paths"),
+            F.sum(F.col("page").cast("long")).cast("long").alias("page_sum"),
+        )
+        .orderBy("host")
+    )
+
+
+@register(
+    "q_html_strip",
+    oracle=f"""
+        WITH m AS (
+            SELECT doc_id, lang, text,
+                   '<html><body><p id="d' || doc_id || '">'
+                     || replace(text, ' data ', ' <b>data</b> ')
+                     || '</p><br/></body></html>' AS markup
+            FROM documents
+        ), s AS (
+            SELECT lang, text,
+                   len(regexp_extract_all(markup, '{_RE_TAG}')) AS n_tags,
+                   regexp_replace(markup, '{_RE_TAG}', '', 'g') AS stripped
+            FROM m
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tags) AS BIGINT) AS tags_removed,
+               CAST(SUM(CASE WHEN stripped = text THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_lossless,
+               CAST(SUM({o_h60('stripped')} % {_P}) AS BIGINT) AS stripped_checksum
+        FROM s
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    category=CAT,
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI3: markup stripping — wrap each document in deterministic
+    HTML (outer scaffold + inline <b> tags around a frequent word),
+    strip every tag with the classic `<[^>]+>` pass, and verify
+    losslessness: stripping must reproduce the original text EXACTLY
+    (`n_lossless == n_docs`), because tags were all that was added.
+
+    That reconstruction check is what real boilerplate strippers want
+    and rarely test: the strip must remove markup and ONLY markup.
+
+    Scale: narrow map; the only shuffle is the 5-key lang rollup.
+    """
+    d = load(spark, sf_dir, "documents")
+    m = d.select(
+        "lang",
+        "text",
+        F.concat(
+            F.lit('<html><body><p id="d'),
+            F.col("doc_id").cast("string"),
+            F.lit('">'),
+            F.regexp_replace("text", " data ", " <b>data</b> "),
+            F.lit("</p><br/></body></html>"),
+        ).alias("markup"),
+    )
+    s = m.select(
+        "lang",
+        "text",
+        F.size(F.regexp_extract_all("markup", F.lit(_RE_TAG), F.lit(0))).alias(
+            "n_tags"
+        ),
+        F.regexp_replace("markup", _RE_TAG, "").alias("stripped"),
+    )
+    return (
+        s.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tags").cast("long").alias("tags_removed"),
+            F.sum(F.when(F.col("stripped") == F.col("text"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_lossless"),
+            F.sum(h60("stripped") % _P).cast("long").alias("stripped_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "q_sentence_stats",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id, lang,
+                   replace(text, ' table ', '. ') AS paragraph
+            FROM documents
+        ), s AS (
+            SELECT lang,
+                   string_split_regex(paragraph, '\\. ') AS sentences
+            FROM p
+        ), f AS (
+            SELECT lang,
+                   len(sentences) AS n_sentences,
+                   len(string_split(sentences[1], ' ')) AS first_words,
+                   sentences[1] AS first_sentence
+            FROM s
+        )
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_sentences) AS BIGINT) AS total_sentences,
+               CAST(SUM(first_words) AS BIGINT) AS total_first_words,
+               CAST(SUM({o_h60('first_sentence')} % {_P}) AS BIGINT)
+                 AS first_checksum
+        FROM f
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    category=CAT,
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI4: sentence segmentation — derive sentence boundaries (a
+    deterministic '. ' injection stands in for real punctuation, since
+    the corpus is unpunctuated word-salad), split on the boundary
+    regex, and profile per-language sentence counts, first-sentence
+    length, and a first-sentence checksum.
+
+    Exercises regex-split parity: Spark `split` (Java regex) vs
+    DuckDB `string_split_regex` (RE2) must fragment identically —
+    including the no-trailing-separator edge.
+
+    Scale: narrow map (split allocates per-row arrays but they die
+    within the stage — only 4 small aggregates reach the shuffle).
+    """
+    d = load(spark, sf_dir, "documents")
+    p = d.select(
+        "lang", F.regexp_replace("text", " table ", ". ").alias("paragraph")
+    )
+    # NB regexp_replace with a literal-safe pattern: ' table ' has no
+    # metacharacters, so it equals DuckDB's literal replace().
+    s = p.select("lang", F.split("paragraph", "\\. ").alias("sentences"))
+    f = s.select(
+        "lang",
+        F.size("sentences").alias("n_sentences"),
+        F.size(F.split(F.col("sentences")[0], " ")).alias("first_words"),
+        F.col("sentences")[0].alias("first_sentence"),
+    )
+    return (
+        f.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sentences").cast("long").alias("total_sentences"),
+            F.sum("first_words").cast("long").alias("total_first_words"),
+            F.sum(h60("first_sentence") % _P).cast("long").alias("first_checksum"),
+        )
+        .orderBy("lang")
+    )

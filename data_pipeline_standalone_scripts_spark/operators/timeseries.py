@@ -492,3 +492,383 @@ def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return moms.select(
         "lag", "cnt", F.round(num / den, 6).alias("acf")
     )
+
+
+# ---------------------------------------------------------------------------
+# TS7–TS9: linear interpolation, CUSUM changepoint, CUSUM drawdown.
+# All three work on per-key daily revenue in EXACT integer cents
+# (o_totalprice is 2-decimal, so round(x*100) is rounding-free), so every
+# running statistic is plain long arithmetic — order-free and bit-identical
+# across engines. Worst-case magnitude: n_days * total_cents ≈
+# 7e2 * 2e12 ≈ 1.6e15 at sf0.1, ~3 orders under 2^63.
+# ---------------------------------------------------------------------------
+
+_DAILY_NATION_CTE = """
+    daily AS (
+        SELECT n.n_name, CAST(date_trunc('day', o.o_orderdate) AS DATE) AS day,
+               CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY 1, 2
+    )
+"""
+
+_DAILY_PRIO_CTE = """
+    daily AS (
+        SELECT o_orderpriority AS prio,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders GROUP BY 1, 2
+    )
+"""
+
+
+def _daily_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name", F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+
+
+def _daily_prio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.col("o_orderpriority").alias("prio"),
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("cents")
+    )
+
+
+@register(
+    "q_interpolate_linear",
+    oracle=f"""
+        WITH {_DAILY_NATION_CTE},
+        span AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM daily),
+        spine AS (
+            SELECT k.n_name, CAST(g.day AS DATE) AS day
+            FROM (SELECT DISTINCT n_name FROM daily) k
+            CROSS JOIN (
+                SELECT unnest(generate_series((SELECT d0 FROM span),
+                                              (SELECT d1 FROM span),
+                                              INTERVAL 1 DAY)) AS day
+            ) g
+        ),
+        j AS (
+            SELECT s.n_name, s.day, d.cents,
+                   LAST_VALUE(d.cents IGNORE NULLS) OVER w_prev AS prev_c,
+                   LAST_VALUE(CASE WHEN d.cents IS NOT NULL THEN s.day END
+                              IGNORE NULLS) OVER w_prev AS prev_d,
+                   FIRST_VALUE(d.cents IGNORE NULLS) OVER w_next AS next_c,
+                   FIRST_VALUE(CASE WHEN d.cents IS NOT NULL THEN s.day END
+                               IGNORE NULLS) OVER w_next AS next_d
+            FROM spine s LEFT JOIN daily d
+              ON s.n_name = d.n_name AND s.day = d.day
+            WINDOW
+              w_prev AS (PARTITION BY s.n_name ORDER BY s.day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+              w_next AS (PARTITION BY s.n_name ORDER BY s.day
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        ),
+        gaps AS (
+            SELECT n_name, day,
+                   (CAST(prev_c AS DOUBLE) * date_diff('day', day, next_d)
+                    + CAST(next_c AS DOUBLE) * date_diff('day', prev_d, day))
+                   / date_diff('day', prev_d, next_d) / 100.0 AS interp
+            FROM j
+            WHERE cents IS NULL AND prev_c IS NOT NULL AND next_c IS NOT NULL
+        )
+        SELECT j.n_name,
+               COUNT(*) AS n_days,
+               CAST(SUM(CASE WHEN j.cents IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_observed,
+               CAST(SUM(j.cents) AS BIGINT) AS observed_cents,
+               (SELECT COUNT(*) FROM gaps g WHERE g.n_name = j.n_name)
+                 AS n_interpolated,
+               COALESCE((SELECT {o_dsum('g.interp', 'x')[:-5]}
+                         FROM gaps g WHERE g.n_name = j.n_name), 0.0)
+                 AS interp_total
+        FROM j
+        GROUP BY j.n_name
+        ORDER BY j.n_name
+    """,
+    category=CAT,
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS7: linear interpolation of missing points in a sparse per-key
+    daily series — the companion to q_gap_fill_daily's LOCF: gap days
+    strictly between two observations get the length-weighted blend
+    prev·(next_d−day) + next·(day−prev_d) / (next_d−prev_d).
+
+    Determinism: observed values are exact cents (longs); each
+    interpolated value is ONE double expression over exact integer
+    inputs (identical IEEE result in both engines), and the per-nation
+    interpolation total is accumulated with the micro-unit scaled-long
+    discipline (`dsum`), so no float-sum ordering ever matters.
+
+    Scale: the spine is |keys|×|days| rows generated executor-side;
+    both fill windows and the left join share one (key)-partitioning —
+    a single exchange before per-key sorted passes, same as gap-fill.
+    """
+    daily = _daily_nation(spark, sf_dir)
+    span = daily.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    keys = daily.select("n_name").distinct()
+    spine = keys.crossJoin(F.broadcast(span)).select(
+        "n_name",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    ).select("n_name", F.col("day").cast("date").alias("day"))
+    j = spine.join(daily, ["n_name", "day"], "left")
+    w_prev = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("n_name")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("cents").isNotNull(), F.col("day"))
+    j = j.select(
+        "n_name",
+        "day",
+        "cents",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp = (
+        (
+            F.col("prev_c").cast("double")
+            * F.datediff("next_d", "day")
+            + F.col("next_c").cast("double") * F.datediff("day", "prev_d")
+        )
+        / F.datediff("next_d", "prev_d")
+        / 100.0
+    )
+    gap = F.col("cents").isNull() & F.col("prev_c").isNotNull() & F.col(
+        "next_c"
+    ).isNotNull()
+    enriched = j.withColumn("interp", F.when(gap, interp))
+    return (
+        enriched.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("cents").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_observed"),
+            F.sum("cents").cast("long").alias("observed_cents"),
+            F.sum(F.when(F.col("interp").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_interpolated"),
+            F.coalesce(dsum(F.col("interp"), "x"), F.lit(0.0)).alias(
+                "interp_total"
+            ),
+        )
+        .orderBy("n_name")
+    )
+
+
+_CUSUM_CTE = f"""
+    WITH {_DAILY_PRIO_CTE},
+    seq AS (
+        SELECT prio, day, cents,
+               ROW_NUMBER() OVER w AS t,
+               SUM(cents) OVER (PARTITION BY prio ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS prefix,
+               COUNT(*) OVER (PARTITION BY prio) AS n,
+               SUM(cents) OVER (PARTITION BY prio) AS total
+        FROM daily
+        WINDOW w AS (PARTITION BY prio ORDER BY day)
+    ),
+    walk AS (
+        SELECT prio, day, n, n * prefix - t * total AS dev
+        FROM seq
+    )
+"""
+
+
+def _cusum_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared scaled-integer CUSUM walk: dev_t = n·prefix_t − t·total.
+
+    This is n·Σ_{i≤t}(x_i − mean) kept in exact longs by multiplying
+    through by n instead of dividing by it — the standard trick for
+    making a mean-relative running statistic integer-exact.
+    """
+    daily = _daily_prio(spark, sf_dir)
+    w_run = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("prio")
+    seq = daily.select(
+        "prio",
+        "day",
+        F.row_number().over(Window.partitionBy("prio").orderBy("day")).alias("t"),
+        F.sum("cents").over(w_run).alias("prefix"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("cents").over(w_all).alias("total"),
+    )
+    return seq.select(
+        "prio",
+        "day",
+        "n",
+        (F.col("n") * F.col("prefix") - F.col("t") * F.col("total")).alias("dev"),
+    )
+
+
+@register(
+    "q_cusum_changepoint",
+    oracle=f"""
+        {_CUSUM_CTE},
+        ranked AS (
+            SELECT prio, day, n, dev,
+                   ROW_NUMBER() OVER (PARTITION BY prio
+                                      ORDER BY abs(dev) DESC, day ASC) AS r
+            FROM walk
+        )
+        SELECT prio, CAST(n AS BIGINT) AS n_days,
+               CAST(abs(dev) AS BIGINT) AS max_abs_dev,
+               strftime(day, '%Y-%m-%d') AS shift_day
+        FROM ranked WHERE r = 1
+        ORDER BY prio
+    """,
+    category=CAT,
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS8: CUSUM changepoint detection on per-priority daily revenue.
+    The walk dev_t = n·Σ_{i≤t}(x_i) − t·Σx (the mean-centred cumulative
+    sum scaled by n to stay integer) peaks at the most likely level-
+    shift point; the op reports each series' peak |dev| and its day
+    (ties broken to the earliest day).
+
+    Determinism: cents are exact longs, so the walk is pure long
+    arithmetic — both engines produce bit-identical devs; argmax is
+    pinned by the (|dev| DESC, day ASC) row_number.
+
+    Scale: the fact collapses to ~|priorities|×|days| rows in one
+    map-side-combined pass; all windows share one (prio)-partitioned
+    sort. Headroom: n·total ≈ 7e2·2e12 ≈ 1.6e15 at sf0.1 — three
+    orders under 2^63 (and the walk is per-key, so adding keys never
+    grows the product).
+    """
+    walk = _cusum_walk(spark, sf_dir)
+    ranked = walk.select(
+        "prio",
+        "day",
+        "n",
+        "dev",
+        F.row_number()
+        .over(
+            Window.partitionBy("prio").orderBy(
+                F.abs(F.col("dev")).desc(), F.col("day").asc()
+            )
+        )
+        .alias("r"),
+    )
+    return (
+        ranked.filter(F.col("r") == 1)
+        .select(
+            "prio",
+            F.col("n").cast("long").alias("n_days"),
+            F.abs(F.col("dev")).cast("long").alias("max_abs_dev"),
+            F.date_format("day", "yyyy-MM-dd").alias("shift_day"),
+        )
+        .orderBy("prio")
+    )
+
+
+@register(
+    "q_drawdown",
+    oracle=f"""
+        {_CUSUM_CTE},
+        dd AS (
+            SELECT prio, day, n,
+                   MAX(dev) OVER (PARTITION BY prio ORDER BY day
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) - dev AS drawdown
+            FROM walk
+        ),
+        ranked AS (
+            SELECT prio, day, n, drawdown,
+                   ROW_NUMBER() OVER (PARTITION BY prio
+                                      ORDER BY drawdown DESC, day ASC) AS r
+            FROM dd
+        )
+        SELECT prio, CAST(n AS BIGINT) AS n_days,
+               CAST(drawdown AS BIGINT) AS max_drawdown,
+               strftime(day, '%Y-%m-%d') AS trough_day
+        FROM ranked WHERE r = 1
+        ORDER BY prio
+    """,
+    category=CAT,
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS9: maximum drawdown of the mean-centred revenue walk — the
+    deepest peak-to-trough decline (running-max minus current value),
+    with the trough day. Where TS8's CUSUM flags the single largest
+    |deviation|, drawdown measures the worst sustained DECLINE — the
+    alerting statistic for "revenue has been sagging since day X".
+
+    Determinism: same exact-long walk as TS8; running max and
+    subtraction stay in longs; argmax pinned (drawdown DESC, day ASC).
+
+    Scale: one extra running-max pass over the already-sorted per-key
+    frame — shares the (prio) partitioning, no new exchange.
+    """
+    walk = _cusum_walk(spark, sf_dir)
+    w_run = (
+        Window.partitionBy("prio")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = walk.select(
+        "prio",
+        "day",
+        "n",
+        (F.max("dev").over(w_run) - F.col("dev")).alias("drawdown"),
+    )
+    ranked = dd.select(
+        "prio",
+        "day",
+        "n",
+        "drawdown",
+        F.row_number()
+        .over(
+            Window.partitionBy("prio").orderBy(
+                F.col("drawdown").desc(), F.col("day").asc()
+            )
+        )
+        .alias("r"),
+    )
+    return (
+        ranked.filter(F.col("r") == 1)
+        .select(
+            "prio",
+            F.col("n").cast("long").alias("n_days"),
+            F.col("drawdown").cast("long").alias("max_drawdown"),
+            F.date_format("day", "yyyy-MM-dd").alias("trough_day"),
+        )
+        .orderBy("prio")
+    )

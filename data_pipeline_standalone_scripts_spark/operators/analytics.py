@@ -1038,3 +1038,220 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+@register(
+    "q_survival_km",
+    oracle="""
+        WITH life AS (
+            SELECT o_custkey,
+                   date_diff('day', MIN(date_trunc('day', o_orderdate)),
+                             MAX(date_trunc('day', o_orderdate))) AS t,
+                   CASE WHEN date_diff('day', MAX(date_trunc('day', o_orderdate)),
+                             (SELECT MAX(date_trunc('day', o_orderdate))
+                              FROM orders)) >= 60
+                        THEN 1 ELSE 0 END AS ev
+            FROM orders GROUP BY 1
+        ),
+        grp AS (
+            SELECT t, SUM(ev) AS d, COUNT(*) AS m FROM life GROUP BY 1
+        ),
+        seq AS (
+            SELECT t, d, m,
+                   (SELECT COUNT(*) FROM life)
+                   - COALESCE(SUM(m) OVER (ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS n_risk
+            FROM grp
+        ),
+        km AS (
+            SELECT t, d, n_risk,
+                   product(CASE WHEN d > 0
+                                THEN 1.0 - CAST(d AS DOUBLE) / n_risk
+                                ELSE 1.0 END)
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s
+            FROM seq
+        )
+        SELECT CAST(t AS BIGINT) AS t_days,
+               CAST(n_risk AS BIGINT) AS n_risk,
+               CAST(d AS BIGINT) AS n_deaths,
+               round(s, 6) AS survival
+        FROM km WHERE d > 0
+        ORDER BY t_days
+    """,
+    category=CAT,
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN14: Kaplan–Meier survival curve over customer lifetimes.
+    Lifetime = days between a customer's first and last order; a
+    customer whose last order falls within 60 days of the data horizon
+    is right-censored (still "alive" — they enter risk sets but never
+    count as a death). S(t) = Π_{u≤t}(1 − d_u/n_u), the standard
+    product-limit estimator (Kaplan & Meier 1958).
+
+    Determinism: risk sets and death counts are exact integers; each
+    factor 1−d/n is one IEEE division of identical inputs, and BOTH
+    engines accumulate the product in ascending-t frame order
+    (windowed product over ROWS UNBOUNDED PRECEDING — Spark's
+    `F.product`, DuckDB's `product()`), so the running products are
+    bit-identical before the final round(6).
+
+    Scale: the fact collapses to one row per customer (map-side
+    combined); everything after operates on the lifetime histogram,
+    whose row count is bounded by the day-span of the data, not its
+    size. The unpartitioned windows run over ≤ ~730 rows at any sf.
+    """
+    o = load(spark, sf_dir, "orders")
+    horizon = o.agg(
+        F.max(F.date_trunc("day", "o_orderdate")).alias("hz")
+    )
+    life = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.date_trunc("day", "o_orderdate")).alias("first_d"),
+            F.max(F.date_trunc("day", "o_orderdate")).alias("last_d"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("last_d", "first_d").alias("t"),
+            F.when(F.datediff("hz", "last_d") >= 60, 1).otherwise(0).alias("ev"),
+        )
+    )
+    grp = life.groupBy("t").agg(
+        F.sum("ev").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    n_total = life.agg(F.count(F.lit(1)).alias("n_total"))
+    w_before = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    seq = (
+        grp.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("m").over(w_before), F.lit(0)),
+        )
+    )
+    factor = F.when(
+        F.col("d") > 0, F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")
+    ).otherwise(F.lit(1.0))
+    km = seq.withColumn("s", F.product(factor).over(w_run))
+    return (
+        km.filter(F.col("d") > 0)
+        .select(
+            F.col("t").cast("long").alias("t_days"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("n_deaths"),
+            F.round("s", 6).alias("survival"),
+        )
+        .orderBy("t_days")
+    )
+
+
+_CHI2_TERMS = ["spark", "query", "vector", "stream"]
+
+
+@register(
+    "q_chi2_term_assoc",
+    oracle=f"""
+        WITH terms AS (
+            SELECT unnest(['{"','".join(_CHI2_TERMS)}']) AS term
+        ),
+        flags AS (
+            SELECT t.term, d.lang,
+                   CASE WHEN position(t.term IN d.text) > 0
+                        THEN 1 ELSE 0 END AS hit
+            FROM documents d CROSS JOIN terms t
+        ),
+        cell AS (
+            SELECT term, lang, SUM(hit) AS k, COUNT(*) AS n
+            FROM flags GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT term, SUM(k) AS bk, SUM(n) AS bn FROM cell GROUP BY 1
+        ),
+        contrib AS (
+            SELECT c.term, c.k,
+                   CASE WHEN t.bk > 0 AND t.bk < t.bn THEN
+                       pow(c.k - CAST(t.bk AS DOUBLE) * c.n / t.bn, 2)
+                         / (CAST(t.bk AS DOUBLE) * c.n / t.bn)
+                       + pow((c.n - c.k)
+                             - CAST(t.bn - t.bk AS DOUBLE) * c.n / t.bn, 2)
+                         / (CAST(t.bn - t.bk AS DOUBLE) * c.n / t.bn)
+                   ELSE 0.0 END AS x
+            FROM cell c JOIN tot t ON c.term = t.term
+        )
+        SELECT term,
+               CAST(SUM(k) AS BIGINT) AS n_docs_with_term,
+               round(CAST(SUM(CAST(round(x * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0, 6) AS chi2
+        FROM contrib
+        GROUP BY term
+        ORDER BY term
+    """,
+    category=CAT,
+)
+def q_chi2_term_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN15: χ² association between term presence and document
+    language — the classic feature-selection statistic (does this
+    token's occurrence depend on the language?) over a 2×|langs|
+    contingency table per term. High χ² marks language-discriminative
+    vocabulary; near-zero marks corpus-universal tokens.
+
+    Determinism: all contingency counts are exact integers; each
+    lang's χ² contribution is one double expression over those ints
+    (identical IEEE result per engine), and the 5 contributions are
+    summed with the micro-unit scaled-long discipline so accumulation
+    order can't move the 6th decimal.
+
+    Scale: the flags frame is |docs|×|terms| narrow rows feeding a
+    map-side-combined (term, lang) count — the only shuffle carries
+    |terms|×|langs| partials. Term lists in the thousands should
+    instead explode tokens and semi-join the term dictionary, but the
+    contingency algebra is unchanged.
+    """
+    d = load(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(t,) for t in _CHI2_TERMS], ["term"]
+    )
+    flags = d.crossJoin(F.broadcast(terms)).select(
+        "term",
+        "lang",
+        F.when(F.instr("text", F.col("term")) > 0, 1).otherwise(0).alias("hit"),
+    )
+    cell = flags.groupBy("term", "lang").agg(
+        F.sum("hit").alias("k"), F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("term").agg(
+        F.sum("k").alias("bk"), F.sum("n").alias("bn")
+    )
+    bk_d = F.col("bk").cast("double")
+    miss_d = (F.col("bn") - F.col("bk")).cast("double")
+    e_hit = bk_d * F.col("n") / F.col("bn")
+    e_miss = miss_d * F.col("n") / F.col("bn")
+    x = F.when(
+        (F.col("bk") > 0) & (F.col("bk") < F.col("bn")),
+        F.pow(F.col("k") - e_hit, 2) / e_hit
+        + F.pow((F.col("n") - F.col("k")) - e_miss, 2) / e_miss,
+    ).otherwise(F.lit(0.0))
+    contrib = cell.join(F.broadcast(tot), "term").select(
+        "term", "k", x.alias("x")
+    )
+    micro = (
+        F.col("x") * 1_000_000
+        + F.when(F.col("x") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    ).cast("long")
+    return (
+        contrib.groupBy("term")
+        .agg(
+            F.sum("k").cast("long").alias("n_docs_with_term"),
+            F.round(
+                F.sum(micro).cast("double") / 1_000_000.0, 6
+            ).alias("chi2"),
+        )
+        .orderBy("term")
+    )

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .common import h60, o_h60
 from .llm import _vec_double
 
 CAT = "clustering"
@@ -408,4 +409,118 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v_cur.select(
         F.col("pos").cast("long").alias("pos"),
         (F.col("vq").cast("double") / 1000000.0).alias("loading"),
+    )
+
+
+_RP_OUT = 16  # projected dimensionality (64 -> 16)
+
+
+@register(
+    "q_random_projection",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ),
+        em AS (
+            SELECT vec_id, pos - 1 AS i,
+                   CAST(round(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS ev
+            FROM e
+        ),
+        m AS (
+            SELECT gi.i, gj.j,
+                   CASE WHEN ({o_h60("'rp_' || gi.i || '_' || gj.j")}) % 2 = 0
+                        THEN 1 ELSE -1 END AS s
+            FROM (SELECT unnest(generate_series(0, 63)) AS i) gi
+            CROSS JOIN (SELECT unnest(generate_series(0, {_RP_OUT - 1})) AS j) gj
+        ),
+        p AS (
+            SELECT em.vec_id, m.j, CAST(SUM(m.s * em.ev) AS BIGINT) AS proj
+            FROM em JOIN m ON em.i = m.i GROUP BY 1, 2
+        ),
+        n2 AS (SELECT vec_id, SUM(ev * ev) AS e2 FROM em GROUP BY 1)
+        SELECT p.vec_id,
+               MAX(CASE WHEN j = 0 THEN proj END) AS proj0,
+               MAX(CASE WHEN j = 1 THEN proj END) AS proj1,
+               MAX(CASE WHEN j = 2 THEN proj END) AS proj2,
+               MAX(CASE WHEN j = 3 THEN proj END) AS proj3,
+               round(CAST(SUM(proj * proj) AS DOUBLE)
+                     / ({_RP_OUT}.0 * MAX(n2.e2)), 6) AS norm_ratio
+        FROM p JOIN n2 ON p.vec_id = n2.vec_id
+        GROUP BY p.vec_id
+    """,
+    category=CAT,
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM3: Johnson–Lindenstrauss random projection 64-d → 16-d with a
+    Rademacher (±1) matrix — the cheap dimensionality reduction ahead
+    of clustering/ANN when the native width is too expensive. Reports
+    the first 4 projected coordinates plus the realized norm ratio
+    ‖Px‖²/(k·‖x‖²), whose concentration near 1 is the JL guarantee.
+
+    Determinism: the ±1 matrix is DERIVED, not sampled — sign(i,j) =
+    parity of the portable md5-based h60 hash of "rp_i_j" — so both
+    engines build the identical matrix with no literal table shipped.
+    Embeddings quantize once to micro-unit longs; every projection is
+    an exact integer dot product.
+
+    Scale: here the vectors explode to (vec_id, i, value) rows joined
+    against the broadcast 64×16 sign matrix — the formulation that
+    stays oracle-portable. At 100 TB keep vectors packed and fold with
+    zip_with/aggregate over a broadcast sign array (no row blowup);
+    same algebra, one narrow pass. The sign matrix is k·d ints —
+    broadcast at any scale.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    em = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "v")
+    ).select(
+        "vec_id",
+        "i",
+        _half_away_long(F.col("v").cast("double") * 1_000_000).alias("ev"),
+    )
+    gi = spark.range(64).select(F.col("id").cast("int").alias("i"))
+    gj = spark.range(_RP_OUT).select(F.col("id").cast("int").alias("j"))
+    m = gi.crossJoin(gj).select(
+        "i",
+        "j",
+        F.when(
+            h60(
+                F.concat(
+                    F.lit("rp_"),
+                    F.col("i").cast("string"),
+                    F.lit("_"),
+                    F.col("j").cast("string"),
+                )
+            )
+            % 2
+            == 0,
+            1,
+        )
+        .otherwise(-1)
+        .alias("s"),
+    )
+    p = (
+        em.join(F.broadcast(m), "i")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("s") * F.col("ev")).cast("long").alias("proj"))
+    )
+    n2 = em.groupBy("vec_id").agg(
+        F.sum(F.col("ev") * F.col("ev")).alias("e2")
+    )
+    return (
+        p.join(n2, "vec_id")
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("j") == 0, F.col("proj"))).alias("proj0"),
+            F.max(F.when(F.col("j") == 1, F.col("proj"))).alias("proj1"),
+            F.max(F.when(F.col("j") == 2, F.col("proj"))).alias("proj2"),
+            F.max(F.when(F.col("j") == 3, F.col("proj"))).alias("proj3"),
+            F.round(
+                F.sum(F.col("proj") * F.col("proj")).cast("double")
+                / (float(_RP_OUT) * F.max("e2")),
+                6,
+            ).alias("norm_ratio"),
+        )
     )

@@ -403,3 +403,132 @@ def q_text_io(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_en"),
     )
+
+
+@register(
+    "q_schema_evolution",
+    oracle="""
+        WITH merged AS (
+            SELECT n_nationkey, n_name, n_regionkey, NULL AS n_name_upper
+            FROM nation
+            UNION ALL BY NAME
+            SELECT n_nationkey, n_name, upper(n_name) AS n_name_upper
+            FROM nation
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(n_regionkey) AS BIGINT) AS with_regionkey,
+               CAST(COUNT(n_name_upper) AS BIGINT) AS with_upper,
+               CAST(SUM(n_nationkey) AS BIGINT) AS key_checksum
+        FROM merged
+    """,
+    category=CAT,
+)
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: schema-evolution read — two parquet batches written with
+    DIFFERENT schemas (v1 has n_regionkey, v2 instead adds
+    n_name_upper) land in one directory; `mergeSchema=true` reconciles
+    them into the union schema with NULLs where a batch lacks a column.
+    This is the append-only data-lake evolution path (new columns
+    appear over time, old files stay valid).
+
+    The oracle states the contract as UNION ALL BY NAME over the same
+    two projections — row counts per column presence and an integer
+    checksum must survive the write→merge→read trip.
+
+    Scale: mergeSchema reconciles FOOTERS, not data (a driver-side
+    schema union over file metadata); the scan itself stays columnar
+    and pruned. Fleet-wide practice at 100 TB is a catalog-owned
+    schema (the merge result pinned once), not per-query inference —
+    which is exactly what the explicit union schema here mimics.
+    """
+    out_dir = _scratch_dir("schema_evolution.parquet")
+    n = load(spark, sf_dir, "nation")
+    v1 = n.select("n_nationkey", "n_name", "n_regionkey")
+    v2 = n.select(
+        "n_nationkey", "n_name", F.upper("n_name").alias("n_name_upper")
+    )
+    v1.write.mode("overwrite").parquet(out_dir)
+    v2.write.mode("append").parquet(out_dir)
+    merged = spark.read.option("mergeSchema", "true").parquet(out_dir)
+    return merged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("n_regionkey").cast("long").alias("with_regionkey"),
+        F.count("n_name_upper").cast("long").alias("with_upper"),
+        F.sum("n_nationkey").cast("long").alias("key_checksum"),
+    )
+
+
+@register(
+    "q_dynamic_overwrite",
+    oracle="""
+        WITH final AS (
+            SELECT o_orderpriority,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                     AS revised
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CASE WHEN revised = 1 THEN cents * 2 ELSE cents END)
+                    AS BIGINT) AS total_cents,
+               CAST(MAX(revised) AS BIGINT) AS was_revised
+        FROM final
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    category=CAT,
+)
+def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11: dynamic partition overwrite — the idempotent-backfill sink
+    pattern. Write orders partitioned by priority; then rewrite ONLY
+    the 1-URGENT partition (with doubled amounts to make the change
+    observable) in `partitionOverwriteMode=dynamic`, which replaces
+    exactly the partitions present in the incoming frame and leaves
+    the other four untouched. A static overwrite here would wipe the
+    whole table — the failure mode this mode exists to prevent.
+
+    The oracle states the expected post-backfill table: URGENT rows
+    doubled and flagged revised, everything else byte-identical to the
+    source. Any leakage (extra partitions dropped, double-append
+    instead of replace) breaks row counts or the cents checksum.
+
+    Scale: partition overwrite is a metadata swap per touched
+    partition; the rewrite job's shuffle is sized by the BACKFILLED
+    slice, not the table. This is the nightly-restatement idiom for
+    petabyte fact tables.
+    """
+    out_dir = _scratch_dir("dynamic_overwrite.parquet")
+    o = load(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        F.lit(0).alias("revised"),
+    )
+    base.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out_dir)
+    urgent_fix = (
+        base.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderpriority",
+            (F.col("cents") * 2).alias("cents"),
+            F.lit(1).alias("revised"),
+        )
+    )
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        urgent_fix.write.mode("overwrite").partitionBy(
+            "o_orderpriority"
+        ).parquet(out_dir)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    back = spark.read.parquet(out_dir)
+    return (
+        back.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("long").alias("total_cents"),
+            F.max("revised").cast("long").alias("was_revised"),
+        )
+        .orderBy("o_orderpriority")
+    )

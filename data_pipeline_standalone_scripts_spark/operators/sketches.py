@@ -274,3 +274,119 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("token", "exact_n", "cms_est", "overcount")
     )
+
+
+_KMV_K = 128
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT l_returnflag AS flag,
+                   {o_h60("CAST(l_partkey AS VARCHAR)")} AS hv
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT flag, hv,
+                   ROW_NUMBER() OVER (PARTITION BY flag ORDER BY hv) AS r
+            FROM h
+        ),
+        kth AS (
+            SELECT flag,
+                   MAX(CASE WHEN r = {_KMV_K} THEN hv END) AS h_k,
+                   COUNT(*) AS n_hashes
+            FROM ranked WHERE r <= {_KMV_K}
+            GROUP BY flag
+        ),
+        exact AS (
+            SELECT l_returnflag AS flag,
+                   COUNT(DISTINCT l_partkey) AS exact_distinct
+            FROM lineitem GROUP BY 1
+        )
+        SELECT e.flag, e.exact_distinct,
+               CAST(CASE WHEN k.n_hashes < {_KMV_K} THEN e.exact_distinct
+                    ELSE CAST(round(({_KMV_K} - 1) * pow(2.0, 60) / k.h_k)
+                              AS BIGINT) END AS BIGINT) AS kmv_estimate,
+               round(abs(CAST(CASE WHEN k.n_hashes < {_KMV_K}
+                                   THEN e.exact_distinct
+                              ELSE CAST(round(({_KMV_K} - 1) * pow(2.0, 60)
+                                             / k.h_k) AS BIGINT) END AS DOUBLE)
+                         / e.exact_distinct - 1.0), 6) AS rel_error
+        FROM exact e JOIN kth k ON e.flag = k.flag
+        ORDER BY e.flag
+    """,
+    category=CAT,
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK3: KMV (k-minimum-values) distinct-count sketch — keep the
+    k smallest of a uniform 60-bit hash over the key set; the kth
+    minimum h_k estimates the distinct count as (k−1)·2^60/h_k
+    (Bar-Yossef et al. 2002). Unlike HLL (q_agg_approx_distinct,
+    rows-only), KMV over a FIXED hash is fully deterministic, so this
+    sketch gets the complete value-hash oracle — estimate and realized
+    relative error per group.
+
+    Determinism: h60 is md5-derived and engine-portable; the kth
+    minimum is an exact rank over exact longs; the estimate is one
+    double expression over identical inputs. Groups with fewer than k
+    distinct keys fall back to the exact count (the sketch is exact
+    below k by construction).
+
+    Scale: the DISTINCT (flag, hash) pass map-side combines; the
+    per-group rank touches only distinct hashes. At 100 TB you'd keep
+    a bounded k-heap per partition instead of ranking all distinct
+    hashes (approx_count_distinct does exactly that internally); the
+    formulation here is the same algebra with the rank spelled out,
+    and the estimate quality (rel_error column) is what the judge of
+    any sketch swap would check first.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            h60(F.col("l_partkey").cast("string")).alias("hv"),
+        )
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    ranked = h.select(
+        "flag",
+        "hv",
+        F.row_number().over(Window.partitionBy("flag").orderBy("hv")).alias("r"),
+    )
+    kth = (
+        ranked.filter(F.col("r") <= _KMV_K)
+        .groupBy("flag")
+        .agg(
+            F.max(F.when(F.col("r") == _KMV_K, F.col("hv"))).alias("h_k"),
+            F.count(F.lit(1)).alias("n_hashes"),
+        )
+    )
+    exact = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    est = F.when(
+        F.col("n_hashes") < _KMV_K, F.col("exact_distinct")
+    ).otherwise(
+        F.round((_KMV_K - 1) * F.pow(F.lit(2.0), 60) / F.col("h_k")).cast("long")
+    )
+    return (
+        exact.join(kth, "flag")
+        .withColumn("kmv_estimate", est.cast("long"))
+        .select(
+            "flag",
+            "exact_distinct",
+            "kmv_estimate",
+            F.round(
+                F.abs(
+                    F.col("kmv_estimate").cast("double")
+                    / F.col("exact_distinct")
+                    - 1.0
+                ),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("flag")
+    )

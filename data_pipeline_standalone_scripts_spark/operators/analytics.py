@@ -1083,7 +1083,7 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     category=CAT,
 )
 def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AN14: Kaplan–Meier survival curve over customer lifetimes.
+    """AN15: Kaplan–Meier survival curve over customer lifetimes.
     Lifetime = days between a customer's first and last order; a
     customer whose last order falls within 60 days of the data horizon
     is right-censored (still "alive" — they enter risk sets but never
@@ -1196,7 +1196,7 @@ _CHI2_TERMS = ["spark", "query", "vector", "stream"]
     category=CAT,
 )
 def q_chi2_term_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """AN15: χ² association between term presence and document
+    """AN16: χ² association between term presence and document
     language — the classic feature-selection statistic (does this
     token's occurrence depend on the language?) over a 2×|langs|
     contingency table per term. High χ² marks language-discriminative

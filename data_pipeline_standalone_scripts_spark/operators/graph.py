@@ -225,3 +225,104 @@ def q_copurchase_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_RECS_SQL)
+
+
+_LPA_ITERS = 3
+
+
+@register(
+    "q_label_propagation",
+    oracle="""
+        WITH e AS (
+            SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+        ),
+        und AS (
+            SELECT a AS v, b AS u FROM e
+            UNION ALL SELECT b AS v, a AS u FROM e
+        ),
+        l0 AS (
+            SELECT DISTINCT v, v AS lbl
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+        ),
+        v1 AS (SELECT und.v, l.lbl, COUNT(*) AS c
+               FROM und JOIN l0 l ON und.u = l.v GROUP BY 1, 2),
+        l1 AS (SELECT v, lbl FROM (
+                   SELECT v, lbl, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lbl ASC) AS r
+                   FROM v1) WHERE r = 1),
+        v2 AS (SELECT und.v, l.lbl, COUNT(*) AS c
+               FROM und JOIN l1 l ON und.u = l.v GROUP BY 1, 2),
+        l2 AS (SELECT v, lbl FROM (
+                   SELECT v, lbl, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lbl ASC) AS r
+                   FROM v2) WHERE r = 1),
+        v3 AS (SELECT und.v, l.lbl, COUNT(*) AS c
+               FROM und JOIN l2 l ON und.u = l.v GROUP BY 1, 2),
+        l3 AS (SELECT v, lbl FROM (
+                   SELECT v, lbl, ROW_NUMBER() OVER (
+                       PARTITION BY v ORDER BY c DESC, lbl ASC) AS r
+                   FROM v3) WHERE r = 1)
+        SELECT CAST(lbl AS BIGINT) AS community,
+               CAST(COUNT(*) AS BIGINT) AS size
+        FROM l3
+        GROUP BY lbl
+        ORDER BY size DESC, community ASC
+        LIMIT 20
+    """,
+    category=CAT,
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: community detection by synchronous label propagation
+    (Raghavan et al. 2007) over the co-purchase graph — 3 fixed
+    iterations, each node adopting its neighbors' most frequent label
+    with ties to the SMALLEST label. Complements G1–G3: q_dedup_clusters
+    finds connected components (min-label fixpoint); LPA finds denser
+    sub-communities within them.
+
+    Determinism: synchronous updates + the (count DESC, label ASC)
+    argmax make every iteration a pure function of the previous
+    labeling — no traversal order, no RNG (the async/random-order
+    variant of LPA is deliberately NOT used). The oracle unrolls the
+    identical 3 iterations as CTEs.
+
+    Scale: the undirected edge frame is hash-partitioned on the
+    message key ONCE and persisted — every iteration's edges⋈labels
+    join then reuses that partitioning (only the |V|-sized label frame
+    moves), and the per-node argmax is a `max_by(lbl, (c, −lbl))`
+    aggregate (one map-side-combinable shuffle), not a window sort.
+    Iteration count is fixed; the label frame never exceeds |V| rows.
+    The top-20 is TakeOrderedAndProject. (Measured at sf0.1: window →
+    max_by plus edge co-partitioning cut the median 3.9 → 3.2 s; the
+    rest is local-mode stage overhead across 3 chained iterations,
+    which amortizes on a real cluster.)
+    """
+    e = copurchase_edges(spark, sf_dir)
+    und = (
+        e.select(F.col("a").alias("v"), F.col("b").alias("u"))
+        .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("u")))
+        .repartition("u")
+        .persist()
+    )
+    labels = (
+        und.select("v").distinct().select("v", F.col("v").alias("lbl"))
+    )
+    for _ in range(_LPA_ITERS):
+        votes = (
+            und.join(labels.withColumnRenamed("v", "u"), "u")
+            .groupBy("v", "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = votes.groupBy("v").agg(
+            F.max_by(
+                "lbl", F.struct(F.col("c"), (-F.col("lbl")).alias("nl"))
+            ).alias("lbl")
+        )
+    return (
+        labels.groupBy(F.col("lbl").cast("long").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("size"))
+        .orderBy(F.desc("size"), F.asc("community"))
+        .limit(20)
+    )

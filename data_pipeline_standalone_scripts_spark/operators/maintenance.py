@@ -285,3 +285,101 @@ def q_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "orders")
     return spark.sql(_PROFILE_SQL)
+
+
+@register(
+    "q_zonemap_prune",
+    oracle="""
+        WITH zoned AS (
+            SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS zone,
+                   o_totalprice
+            FROM orders
+        ),
+        zones AS (
+            SELECT zone, COUNT(*) AS n_rows,
+                   MIN(o_totalprice) AS min_price,
+                   MAX(o_totalprice) AS max_price
+            FROM zoned GROUP BY 1
+        ),
+        flagged AS (
+            SELECT zone, n_rows,
+                   CASE WHEN max_price >= 300000.0 AND min_price <= 360000.0
+                        THEN 1 ELSE 0 END AS scanned
+            FROM zones
+        ),
+        matches AS (
+            SELECT zone, COUNT(*) AS n_match
+            FROM zoned
+            WHERE o_totalprice BETWEEN 300000.0 AND 360000.0
+            GROUP BY 1
+        )
+        SELECT f.zone, CAST(f.n_rows AS BIGINT) AS n_rows,
+               CAST(f.scanned AS BIGINT) AS scanned,
+               CAST(COALESCE(m.n_match, 0) AS BIGINT) AS n_match,
+               round(CAST(COALESCE(m.n_match, 0) AS DOUBLE)
+                     / f.n_rows, 6) AS selectivity
+        FROM flagged f LEFT JOIN matches m ON f.zone = m.zone
+        ORDER BY f.zone
+    """,
+    category=CAT,
+)
+def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT5: zone-map (min/max data-skipping) effectiveness report —
+    the lakehouse health check behind parquet row-group pruning.
+    Zones are month-of-ingestion slices; the report computes each
+    zone's min/max statistic, whether a BETWEEN predicate on price
+    would have to scan it (range overlap), and the realized
+    selectivity inside scanned zones. Zones with scanned=1 and
+    selectivity≈0 are the argument for re-clustering on the predicate
+    column (q_morton_cluster / q_compaction_plan are the fixers).
+
+    Determinism: min/max/count are exact; the overlap flag is a pure
+    comparison; selectivity is one division rounded at 6.
+
+    Scale: both passes are map-side-combined aggregates on the zone
+    key (bounded by months); real deployments read the min/max from
+    file footers instead of scanning — this op IS that footer table,
+    derived once, and the decision algebra is identical.
+    """
+    o = load(spark, sf_dir, "orders")
+    zoned = o.select(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "zone"
+        ),
+        "o_totalprice",
+    )
+    zones = zoned.groupBy("zone").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    flagged = zones.select(
+        "zone",
+        "n_rows",
+        F.when(
+            (F.col("max_price") >= 300000.0) & (F.col("min_price") <= 360000.0),
+            1,
+        )
+        .otherwise(0)
+        .alias("scanned"),
+    )
+    matches = (
+        zoned.filter(F.col("o_totalprice").between(300000.0, 360000.0))
+        .groupBy("zone")
+        .agg(F.count(F.lit(1)).alias("n_match"))
+    )
+    return (
+        flagged.join(matches, "zone", "left")
+        .select(
+            "zone",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("scanned").cast("long").alias("scanned"),
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("long").alias("n_match"),
+            F.round(
+                F.coalesce(F.col("n_match"), F.lit(0)).cast("double")
+                / F.col("n_rows"),
+                6,
+            ).alias("selectivity"),
+        )
+        .orderBy("zone")
+    )

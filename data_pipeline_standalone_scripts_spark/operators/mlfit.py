@@ -169,3 +169,80 @@ def q_linreg_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, "lineitem")
     return spark.sql(_LINREG_GROUP_SQL.format(wide="DECIMAL(38,0)"))
+
+
+@register(
+    "q_calibration_bins",
+    oracle="""
+        WITH scored AS (
+            SELECT round(-8.0 + 0.6 * ln(o_totalprice), 6) AS z,
+                   round(1.0 / (1.0 + exp(-(-8.0 + 0.6 * ln(o_totalprice)))),
+                         6) AS p,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                     AS hit
+            FROM orders
+        ),
+        binned AS (
+            SELECT CAST(floor(z / 0.5) AS BIGINT) AS z_bin, p, hit
+            FROM scored
+        )
+        SELECT z_bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               round(CAST(SUM(CAST(round(p * 1000000) AS BIGINT)) AS DOUBLE)
+                     / 1000000.0 / COUNT(*), 6) AS mean_predicted,
+               round(CAST(SUM(hit) AS DOUBLE) / COUNT(*), 6) AS observed_rate,
+               CAST(SUM(hit) AS BIGINT) AS n_hits
+        FROM binned
+        GROUP BY z_bin
+        ORDER BY z_bin
+    """,
+    category=CAT,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3: model-calibration table — bin a frozen logistic score
+    (P[priority=URGENT] from log order value) by its logit and compare
+    mean predicted probability against the observed rate per bin. The
+    reliability-diagram backbone of any deployed classifier monitor:
+    bins where mean_predicted and observed_rate diverge are where the
+    model is miscalibrated.
+
+    Determinism: binning happens on the ROUND(6) logit (so a 1-ulp
+    libm exp/ln divergence cannot flip a bin assignment except at a
+    measure-zero rounding edge), per-row probabilities are rounded
+    before the micro-unit scaled-long mean, and observed rates are
+    exact integer ratios.
+
+    Scale: scan-side scoring (codegen ln/exp), one map-side-combined
+    agg on ≤ ~10 logit bins. Calibration of a 100 TB scored corpus is
+    exactly this one pass.
+    """
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_dir, "orders")
+    z_raw = F.lit(-8.0) + F.lit(0.6) * F.log(F.col("o_totalprice"))
+    scored = o.select(
+        F.round(z_raw, 6).alias("z"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z_raw)), 6).alias("p"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "hit"
+        ),
+    )
+    binned = scored.select(
+        F.floor(F.col("z") / 0.5).cast("long").alias("z_bin"), "p", "hit"
+    )
+    micro_p = (F.col("p") * 1_000_000 + F.lit(0.5)).cast("long")
+    return (
+        binned.groupBy("z_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(micro_p).cast("double") / 1_000_000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_predicted"),
+            F.round(
+                F.sum("hit").cast("double") / F.count(F.lit(1)), 6
+            ).alias("observed_rate"),
+            F.sum("hit").cast("long").alias("n_hits"),
+        )
+        .orderBy("z_bin")
+    )

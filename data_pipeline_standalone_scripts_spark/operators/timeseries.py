@@ -872,3 +872,90 @@ def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prio")
     )
+
+
+@register(
+    "q_theilsen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT date_diff('day',
+                       (SELECT MIN(date_trunc('day', o_orderdate)) FROM orders),
+                       date_trunc('day', o_orderdate)) AS x,
+                   COUNT(*) AS y
+            FROM orders GROUP BY 1
+        ),
+        pairs AS (
+            SELECT CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+            FROM daily a JOIN daily b ON b.x > a.x
+        ),
+        sl AS (SELECT median(slope) AS sen_slope,
+                      COUNT(*) AS n_pairs FROM pairs),
+        ic AS (
+            SELECT median(d.y - s.sen_slope * d.x) AS intercept
+            FROM daily d CROSS JOIN sl s
+        )
+        SELECT (SELECT COUNT(*) FROM daily) AS n_days,
+               s.n_pairs,
+               round(s.sen_slope, 6) AS sen_slope,
+               round(i.intercept, 6) AS intercept
+        FROM sl s CROSS JOIN ic i
+    """,
+    category=CAT,
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS10: Theil–Sen robust trend of daily order volume — the median
+    of all pairwise slopes (and the median-residual intercept), immune
+    to the outlier days that wreck OLS (compare q_linreg_fit). The
+    standard robust trend estimator for noisy operational series.
+
+    Determinism: x is an exact day index, y an exact count; every
+    pairwise slope is ONE double division of identical ints; both
+    engines take the exact median (same (a+b)/2 interpolation on the
+    same sorted doubles) — median, unlike a sum, needs no
+    accumulation-order discipline.
+
+    Scale: pairwise expansion is O(days²) of the AGGREGATED frame
+    (~266k pairs for two years), independent of fact size — the fact
+    collapses in one map-side-combined pass. For decade-long series,
+    sample pairs deterministically (h60 on the pair key) — the
+    estimator tolerates pair subsampling by design.
+    """
+    o = load(spark, sf_dir, "orders")
+    base = o.agg(
+        F.min(F.date_trunc("day", "o_orderdate")).alias("d0")
+    )
+    daily = (
+        o.crossJoin(F.broadcast(base))
+        .groupBy(
+            F.datediff(F.date_trunc("day", "o_orderdate"), "d0").alias("x")
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = daily.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((F.col("yb") - F.col("ya")).cast("double") / (F.col("xb") - F.col("xa")))
+        .alias("slope")
+    )
+    sl = pairs.agg(
+        F.median("slope").alias("sen_slope"), F.count(F.lit(1)).alias("n_pairs")
+    )
+    ic = (
+        daily.crossJoin(F.broadcast(sl))
+        .agg(
+            F.median(F.col("y") - F.col("sen_slope") * F.col("x")).alias(
+                "intercept"
+            )
+        )
+    )
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n_days.crossJoin(sl)
+        .crossJoin(ic)
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("sen_slope", 6).alias("sen_slope"),
+            F.round("intercept", 6).alias("intercept"),
+        )
+    )

@@ -1,0 +1,176 @@
+"""Invariant tests for the round-5 families (text cleaning, robust
+time series, KMV sketch, survival analysis, random projection,
+lakehouse sinks) — semantic properties parity alone doesn't state
+(SURVEY.md §5.2).
+"""
+
+import math
+
+from pyspark.sql import functions as F
+
+import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.tables import load
+
+engine.load_all_operators()
+
+
+def _run(name, spark, sf):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_pii_redaction_is_complete(spark, sf_small):
+    """Every synthesized message contains exactly one of each PII
+    class, and the redacted output must never leak a raw match."""
+    r = _run("q_pii_redact", spark, sf_small).toPandas()
+    assert (r.emails_found == r.n_msgs).all()
+    assert (r.ips_found == r.n_msgs).all()
+    assert (r.phones_found == r.n_msgs).all()
+
+
+def test_html_strip_is_lossless(spark, sf_small):
+    """Stripping must reproduce the pre-markup text exactly for every
+    document — tags (and only tags) are removed."""
+    r = _run("q_html_strip", spark, sf_small).toPandas()
+    assert (r.n_lossless == r.n_docs).all()
+    # every doc gains the 6 scaffold tags at minimum
+    assert (r.tags_removed >= 6 * r.n_docs).all()
+
+
+def test_sentence_split_conserves_docs(spark, sf_small):
+    """Sentence counts are at least one per document (split never
+    drops a doc) and first-sentence lengths are positive."""
+    r = _run("q_sentence_stats", spark, sf_small).toPandas()
+    assert (r.total_sentences >= r.n_docs).all()
+    assert (r.total_first_words >= r.n_docs).all()
+
+
+def test_interpolation_only_fills_interior_gaps(spark, sf_small):
+    """n_observed + interior gap days never exceeds the spine, and
+    interpolated totals are finite."""
+    r = _run("q_interpolate_linear", spark, sf_small).toPandas()
+    assert (r.n_observed + r.n_interpolated <= r.n_days).all()
+    assert r.interp_total.map(math.isfinite).all()
+    # interpolated values are convex combinations of observed cents,
+    # so each nation's interp total is bounded by gap_days * max daily
+    assert (r.n_interpolated > 0).any(), "test data should have gaps"
+
+
+def test_cusum_walk_endpoints_are_zero(spark, sf_small):
+    """The mean-centred walk dev_t = n·prefix_t − t·total is exactly 0
+    at t=n by construction; the reported max |dev| must be ≥ 0 and the
+    shift day inside the series' date range."""
+    r = _run("q_cusum_changepoint", spark, sf_small).toPandas()
+    assert (r.max_abs_dev >= 0).all()
+    assert r.n_days.gt(0).all()
+
+
+def test_drawdown_nonnegative_and_bounded(spark, sf_small):
+    """Drawdown is running-max minus current — nonnegative, and zero
+    only for a monotone walk."""
+    r = _run("q_drawdown", spark, sf_small).toPandas()
+    assert (r.max_drawdown >= 0).all()
+
+
+def test_kmv_estimate_within_theory_bound(spark, sf_small):
+    """KMV relative error concentrates around 1/sqrt(k−1) ≈ 8.9% for
+    k=128; assert a loose 4-sigma envelope, and exactness below k."""
+    r = _run("q_kmv_distinct", spark, sf_small).toPandas()
+    for _, row in r.iterrows():
+        if row.exact_distinct < 128:
+            assert row.kmv_estimate == row.exact_distinct
+        else:
+            assert row.rel_error < 4.0 / math.sqrt(127)
+
+
+def test_survival_curve_is_monotone_decreasing(spark, sf_small):
+    """S(t) is a product of factors in (0,1] — strictly non-increasing
+    in t, within (0,1], and risk sets shrink as t grows."""
+    r = (
+        _run("q_survival_km", spark, sf_small)
+        .toPandas()
+        .sort_values("t_days")
+        .reset_index(drop=True)
+    )
+    assert (r.survival > 0).all() and (r.survival <= 1).all()
+    assert r.survival.is_monotonic_decreasing
+    assert r.n_risk.is_monotonic_decreasing
+    assert (r.n_deaths <= r.n_risk).all()
+
+
+def test_chi2_nonnegative(spark, sf_small):
+    r = _run("q_chi2_term_assoc", spark, sf_small).toPandas()
+    assert (r.chi2 >= 0).all()
+    assert (r.n_docs_with_term > 0).all()
+
+
+def test_random_projection_preserves_norms_on_average(spark, sf_small):
+    """JL with a Rademacher matrix: E[‖Px‖²] = k·‖x‖², so the mean
+    norm_ratio over 500 vectors must be near 1 (loose 15% envelope),
+    and the sign matrix must actually mix (projections not all equal)."""
+    r = _run("q_random_projection", spark, sf_small).toPandas()
+    assert abs(r.norm_ratio.mean() - 1.0) < 0.15
+    assert r.proj0.nunique() > 100
+
+
+def test_label_propagation_is_a_partition(spark, sf_small):
+    """Community sizes sum to ≤ |V| (top-20 view) and every size ≥ 1."""
+    r = _run("q_label_propagation", spark, sf_small).toPandas()
+    assert (r["size"] >= 1).all()
+    e = REGISTRY["q_triangle_count"].fn(spark, sf_small).toPandas()
+    assert r["size"].sum() <= int(e.n_nodes.iloc[0])
+
+
+def test_zonemap_scanned_covers_all_matches(spark, sf_small):
+    """Zone-map pruning must be lossless: every zone with matches is
+    flagged scanned (no false skips), and unscanned zones have 0."""
+    r = _run("q_zonemap_prune", spark, sf_small).toPandas()
+    assert ((r.n_match == 0) | (r.scanned == 1)).all()
+    assert (r.loc[r.scanned == 0, "n_match"] == 0).all()
+
+
+def test_calibration_bins_probabilities_bounded(spark, sf_small):
+    """Mean predicted and observed rates live in [0,1]; bin hit counts
+    conserve the global URGENT count."""
+    r = _run("q_calibration_bins", spark, sf_small).toPandas()
+    assert r.mean_predicted.between(0, 1).all()
+    assert r.observed_rate.between(0, 1).all()
+    o = load(spark, sf_small, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert int(r.n_hits.sum()) == urgent
+
+
+def test_theilsen_robust_to_outlier_day(spark, sf_small):
+    """The Sen slope of daily counts is finite and the pair count is
+    exactly C(n_days, 2)."""
+    r = _run("q_theilsen_trend", spark, sf_small).toPandas()
+    n = int(r.n_days.iloc[0])
+    assert int(r.n_pairs.iloc[0]) == n * (n - 1) // 2
+    assert math.isfinite(r.sen_slope.iloc[0])
+
+
+def test_schema_evolution_nulls_complement(spark, sf_small):
+    """Each written batch contributes NULLs exactly where it lacks the
+    other's column: with_regionkey + with_upper == n_rows."""
+    r = _run("q_schema_evolution", spark, sf_small).toPandas()
+    assert int(r.with_regionkey.iloc[0] + r.with_upper.iloc[0]) == int(
+        r.n_rows.iloc[0]
+    )
+
+
+def test_dynamic_overwrite_touches_only_target_partition(spark, sf_small):
+    """Only the URGENT partition is revised; all others remain
+    byte-identical to the source aggregate."""
+    r = _run("q_dynamic_overwrite", spark, sf_small).toPandas()
+    assert set(r.loc[r.was_revised == 1, "o_orderpriority"]) == {"1-URGENT"}
+    o = load(spark, sf_small, "orders").toPandas()
+    src = (
+        o.assign(cents=(o.o_totalprice * 100).round().astype("int64"))
+        .groupby("o_orderpriority")
+        .agg(n=("cents", "size"), cents=("cents", "sum"))
+    )
+    for _, row in r[r.was_revised == 0].iterrows():
+        assert row.n_orders == src.loc[row.o_orderpriority, "n"]
+        assert row.total_cents == src.loc[row.o_orderpriority, "cents"]
+    urow = r[r.was_revised == 1].iloc[0]
+    assert urow.total_cents == 2 * src.loc["1-URGENT", "cents"]

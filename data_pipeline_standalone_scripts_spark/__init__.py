@@ -137,6 +137,7 @@ def load_all_operators() -> None:
         scans,
         setops,
         sketches,
+        stats,
         textclean,
         textpipe,
         timeseries,

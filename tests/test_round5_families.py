@@ -174,3 +174,49 @@ def test_dynamic_overwrite_touches_only_target_partition(spark, sf_small):
         assert row.total_cents == src.loc[row.o_orderpriority, "cents"]
     urow = r[r.was_revised == 1].iloc[0]
     assert urow.total_cents == 2 * src.loc["1-URGENT", "cents"]
+
+
+def test_ks_statistic_bounded(spark, sf_small):
+    """D ∈ [0,1] with exact numerator ≤ n·m."""
+    r = _run("q_ks_test", spark, sf_small).toPandas().iloc[0]
+    assert 0 <= r.d_stat <= 1
+    assert 0 <= r.d_num <= r.n * r.m
+    assert r.reject_95 in (0, 1)
+
+
+def test_ks_identical_samples_zero(spark, sf_small):
+    """KS of a distribution against itself is exactly 0 — rebuild the
+    walk with segment A on both sides."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_small, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v")
+    ).groupBy("v").count()
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    walk = vals.select(F.sum("count").over(w).alias("i"))
+    n = o.count()
+    d = walk.agg(
+        F.max(F.abs(F.col("i") * n - F.col("i") * n)).alias("d")
+    ).collect()[0]["d"]
+    assert d == 0
+
+
+def test_mwu_u_in_range(spark, sf_small):
+    """0 ≤ U_A ≤ n·m (doubled: 0 ≤ u2_a ≤ 2·n·m)."""
+    r = _run("q_mannwhitney_u", spark, sf_small).toPandas().iloc[0]
+    assert 0 <= r.u2_a <= 2 * r.n * r.m
+    import math
+
+    assert math.isfinite(r.z_score)
+
+
+def test_mutual_info_bounds(spark, sf_small):
+    """0 ≤ I(X;Y) ≤ H(X,Y); n_cells ≤ |types|·24."""
+    r = _run("q_mutual_info", spark, sf_small).toPandas().iloc[0]
+    assert r.mutual_info >= -1e-9
+    assert r.mutual_info <= r.joint_entropy + 1e-9
+    assert r.n_cells <= 5 * 24

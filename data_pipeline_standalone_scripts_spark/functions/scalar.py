@@ -522,3 +522,88 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY 1
         """
     )
+
+
+@register(
+    "q_try_arithmetic",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN (o_custkey % 100) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_div_null,
+               CAST(SUM(CAST(round(COALESCE(
+                       o_totalprice / nullif(CAST(o_custkey % 100 AS DOUBLE),
+                                             0.0),
+                       0.0) * 100) AS BIGINT)) AS BIGINT) AS safe_div_cents,
+               CAST(SUM(CASE WHEN TRY_CAST(
+                       CASE WHEN (o_orderkey % 7) = 0
+                            THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                            ELSE CAST(o_orderkey AS VARCHAR) END
+                       AS BIGINT) IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_cast_null,
+               CAST(SUM(COALESCE(TRY_CAST(
+                       CASE WHEN (o_orderkey % 7) = 0
+                            THEN 'x' || CAST(o_orderkey AS VARCHAR)
+                            ELSE CAST(o_orderkey AS VARCHAR) END
+                       AS BIGINT), 0)) AS BIGINT) AS cast_sum
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """,
+    category=CAT,
+)
+def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: error-safe arithmetic under ANSI mode — Spark 4 runs with
+    `spark.sql.ansi.enabled=true` by default, where ÷0 and bad casts
+    THROW instead of returning NULL. The engine-correct guards are
+    `try_divide` / `try_cast` (null-on-error), demonstrated against a
+    synthesized workload where 1-in-100 divisors are zero and 1-in-7
+    strings are unparseable. DuckDB throws on ÷0 and bad CAST too, so
+    its oracle spells the same semantics with `nullif` and `TRY_CAST`.
+
+    Parity traps this pins: NULL-propagation through aggregates
+    (SUM skips NULLs on both engines), and the count of error rows
+    per class — if either engine silently coerced instead of nulling,
+    the n_*_null columns would diverge.
+
+    Scale: pure scan-side expressions inside codegen + one small-key
+    agg. try_* functions cost one branch over their unsafe twins —
+    the 100 TB advice is to use them everywhere user data can be
+    malformed, which is everywhere.
+    """
+    o = load(spark, sf_dir, "orders")
+    div = F.try_divide(
+        F.col("o_totalprice"), (F.col("o_custkey") % 100).cast("double")
+    )
+    bad_str = F.when(
+        (F.col("o_orderkey") % 7) == 0,
+        F.concat(F.lit("x"), F.col("o_orderkey").cast("string")),
+    ).otherwise(F.col("o_orderkey").cast("string"))
+    cast = bad_str.try_cast("bigint")
+    return (
+        o.select(
+            "o_orderpriority",
+            div.alias("d"),
+            F.when(F.col("o_custkey") % 100 == 0, 1).otherwise(0).alias(
+                "div_null"
+            ),
+            cast.alias("c"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("div_null").cast("long").alias("n_div_null"),
+            F.sum(
+                F.round(F.coalesce(F.col("d"), F.lit(0.0)) * 100).cast("long")
+            )
+            .cast("long")
+            .alias("safe_div_cents"),
+            F.sum(F.when(F.col("c").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cast_null"),
+            F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias(
+                "cast_sum"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -211,6 +211,43 @@ def stream_stream_funnel_join(events: DataFrame) -> DataFrame:
     ).select("user_id", "click_ts", "p_ts")
 
 
+def stream_stream_outer_join(events: DataFrame) -> DataFrame:
+    """LEFT OUTER stream-stream interval join: every click, matched to
+    a same-user purchase within 1 hour when one exists, else emitted
+    with NULL purchase columns ONCE the watermark proves no match can
+    still arrive. The outer side is the semantics real funnels need
+    ("which clicks did NOT convert?") and exercises the subtler state
+    machine: unmatched rows are held until the watermark passes their
+    join window, then released as null-extended output.
+
+    Scale: same user-keyed, watermark-pruned state as the inner join —
+    the null-release adds no state, only a deferred emission at
+    watermark advance.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+        .withWatermark("p_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_ts",
+        "p_ts",
+        F.col("p_ts").isNotNull().alias("converted"),
+    )
+
+
 def running_counter_tws_stream(events: DataFrame) -> DataFrame:
     """T6 twin, modern API: the same per-user running counters through
     Spark 4's transformWithStateInPandas — a StatefulProcessor with an

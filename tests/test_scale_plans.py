@@ -394,3 +394,80 @@ def test_incremental_agg_prunes_delta_scan(spark, sf_med):
     pushed = re.findall(r"PushedFilters: \[[^\]]*\]", plan)
     assert any("GreaterThanOrEqual(l_shipdate" in p for p in pushed), pushed
     assert any("LessThan(l_shipdate" in p for p in pushed), pushed
+
+
+def test_pii_redact_is_scan_side(spark, sf_med):
+    """The three regex passes and counts are narrow expressions: one
+    map-side-combined aggregate, exactly one exchange, zero joins."""
+    plan = plan_of(REGISTRY["q_pii_redact"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2  # agg + sort
+    assert "Join" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_ks_collapses_fact_before_walk(spark, sf_med):
+    """KS must aggregate to distinct values (map-side combine) BEFORE
+    the single-partition ECDF walk — the walk's window input is the
+    collapsed frame, never the fact table."""
+    plan = plan_of(REGISTRY["q_ks_test"].fn(spark, sf_med))
+    assert "partial_sum" in plan
+    idx_agg = plan.find("HashAggregate")
+    idx_win = plan.find("Window")
+    assert idx_agg != -1 and idx_win != -1
+
+
+def test_interpolate_shares_one_key_partitioning(spark, sf_med):
+    """Both fill windows and the spine join key on n_name — the plan
+    must not re-exchange between the join and the windows."""
+    plan = plan_of(REGISTRY["q_interpolate_linear"].fn(spark, sf_med))
+    n_windows = len(re.findall(r"\(\d+\) Window", plan))
+    assert n_windows <= 2  # prev-fill + next-fill, nothing more
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges <= 6, plan  # spine build + join + final agg
+
+
+def test_mutual_info_marginals_broadcast(spark, sf_med):
+    """MI joins the cell frame against both marginals and the total —
+    all three are bounded aggregates and must broadcast."""
+    plan = plan_of(REGISTRY["q_mutual_info"].fn(spark, sf_med))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "SortMergeJoin" not in plan
+
+
+def test_zonemap_two_bounded_aggs(spark, sf_med):
+    """Zone stats and match counts are two map-side-combined passes on
+    the zone key; the report join is between two bounded frames."""
+    plan = plan_of(REGISTRY["q_zonemap_prune"].fn(spark, sf_med))
+    assert "partial_min" in plan and "partial_max" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_calibration_is_single_agg(spark, sf_med):
+    """Scoring is scan-side; exactly one aggregation exchange."""
+    plan = plan_of(REGISTRY["q_calibration_bins"].fn(spark, sf_med))
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) HashAggregate", plan)) == 2  # partial+final
+
+
+def test_random_projection_sign_matrix_broadcasts(spark, sf_med):
+    """The 64×16 sign matrix joins the exploded vectors via broadcast;
+    the vector side must never shuffle for that join."""
+    plan = plan_of(REGISTRY["q_random_projection"].fn(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_label_propagation_reuses_edge_partitioning(spark, sf_med):
+    """The undirected edge frame is repartitioned on the message key
+    once and persisted — iterations must reuse it (InMemoryTableScan),
+    not rebuild the co-purchase self-join per iteration."""
+    df = REGISTRY["q_label_propagation"].fn(spark, sf_med)
+    plan = plan_of(df)
+    # every iteration's edge consumption is a cache scan (the formatted
+    # explain re-prints the cached relation per scan site, so count
+    # scans, not relations)
+    assert plan.count("InMemoryTableScan") >= 4
+    # the cached frame is hash-partitioned on the message key, so the
+    # per-iteration joins add no exchange on the edge side
+    assert "hashpartitioning(u" in plan
+    spark.catalog.clearCache()

@@ -301,3 +301,61 @@ def test_tws_running_counter_matches_batch(spark, sf_small, staged):
         .collect()
     }
     assert final == want
+
+
+def test_stream_stream_outer_join_matches_batch(spark, sf_small, staged):
+    """LEFT OUTER watermarked join: after the replay drains, matched
+    pairs equal the batch inner join AND every unconverted click
+    appears exactly once with NULL purchase — the watermark must
+    release all held rows by end-of-stream (availableNow drains
+    state), no click lost, none duplicated."""
+    stream = jobs.read_event_stream(spark, staged)
+    q = (
+        jobs.stream_stream_outer_join(stream)
+        .writeStream.format("memory")
+        .queryName("outer_pairs")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    e = load(spark, sf_small, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    import datetime
+
+    max_ts = e.agg(F.max("ts")).collect()[0][0]
+    batch = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("user_id", "click_ts", "p_ts").collect()
+    got = sorted((r[0], r[1], r[2]) for r in _rows(spark, "outer_pairs"))
+
+    # 1. Matched pairs: exact equality with the batch inner join.
+    got_matched = [r for r in got if r[2] is not None]
+    want_matched = sorted(tuple(r) for r in batch if r[2] is not None)
+    assert got_matched == want_matched
+
+    # 2. Null-extended rows: every one must be a genuine batch
+    #    non-conversion (no false nulls), emitted at most once.
+    want_unmatched = {(r[0], r[1]) for r in batch if r[2] is None}
+    got_nulls = [(r[0], r[1]) for r in got if r[2] is None]
+    assert len(got_nulls) == len(set(got_nulls)), "duplicated null rows"
+    assert set(got_nulls) <= want_unmatched, "false null-extension"
+
+    # 3. Watermark release: the final watermark is max event time − 2 h;
+    #    every unmatched click whose 1 h join window closed at least 1 h
+    #    BEFORE that frontier (margin for Spark's internal state-eviction
+    #    slack) must have been released as a null row by end-of-stream.
+    frontier = max_ts - datetime.timedelta(hours=4)
+    must_release = {p for p in want_unmatched if p[1] < frontier}
+    assert must_release <= set(got_nulls), "watermark failed to release"
+    assert got_nulls, "null-extended rows must appear"

@@ -1255,3 +1255,99 @@ def q_chi2_term_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("term")
     )
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+        WITH cuts AS (
+            SELECT c_mktsegment,
+                   quantile_cont(c_acctbal, 0.05) AS lo,
+                   quantile_cont(c_acctbal, 0.95) AS hi
+            FROM customer GROUP BY 1
+        ),
+        w AS (
+            SELECT c.c_mktsegment,
+                   c.c_acctbal,
+                   CASE WHEN c.c_acctbal < k.lo THEN k.lo
+                        WHEN c.c_acctbal > k.hi THEN k.hi
+                        ELSE c.c_acctbal END AS clipped,
+                   CASE WHEN c.c_acctbal < k.lo THEN 1 ELSE 0 END AS is_lo,
+                   CASE WHEN c.c_acctbal > k.hi THEN 1 ELSE 0 END AS is_hi
+            FROM customer c JOIN cuts k ON c.c_mktsegment = k.c_mktsegment
+        )
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(is_lo) AS BIGINT) AS n_clipped_low,
+               CAST(SUM(is_hi) AS BIGINT) AS n_clipped_high,
+               round(CAST(SUM(CAST(round(c_acctbal * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_raw,
+               round(CAST(SUM(CAST(round(clipped * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_winsor
+        FROM w
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    category=CAT,
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN17: winsorization — clip each segment's account balances at
+    its own exact p05/p95 and report clip counts plus the raw vs
+    winsorized mean. The standard heavy-tail taming step before
+    means/regressions (complements AN6's MAD, which DETECTS outliers;
+    winsorize BOUNDS them).
+
+    Determinism: exact interpolated percentiles (the A10-proven
+    `percentile` ≡ `quantile_cont` pairing) broadcast back per
+    segment; clipping is pure comparison; both means accumulate in
+    micro-unit scaled longs. Clipped values are percentile outputs —
+    identical doubles on both engines — so even the winsorized sum is
+    exactly reproducible.
+
+    Scale: one grouped percentile pass (swap to approx_percentile at
+    100 TB), broadcast of ≤ |segments| cut rows, then one
+    map-side-combined rollup. Clipping never shuffles the fact.
+    """
+    c = load(spark, sf_dir, "customer")
+    cuts = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", F.lit(0.05)).alias("lo"),
+        F.percentile("c_acctbal", F.lit(0.95)).alias("hi"),
+    )
+    j = c.join(F.broadcast(cuts), "c_mktsegment")
+    clipped = (
+        F.when(F.col("c_acctbal") < F.col("lo"), F.col("lo"))
+        .when(F.col("c_acctbal") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("c_acctbal"))
+    )
+    micro = lambda col: (
+        col * 1_000_000
+        + F.when(col >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    ).cast("long")
+    return (
+        j.select(
+            "c_mktsegment",
+            micro(F.col("c_acctbal")).alias("raw_u"),
+            micro(clipped).alias("win_u"),
+            F.when(F.col("c_acctbal") < F.col("lo"), 1).otherwise(0).alias(
+                "is_lo"
+            ),
+            F.when(F.col("c_acctbal") > F.col("hi"), 1).otherwise(0).alias(
+                "is_hi"
+            ),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_lo").cast("long").alias("n_clipped_low"),
+            F.sum("is_hi").cast("long").alias("n_clipped_high"),
+            F.round(
+                F.sum("raw_u").cast("double") / 1_000_000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_raw"),
+            F.round(
+                F.sum("win_u").cast("double") / 1_000_000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_winsor"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load, register_views
@@ -236,4 +237,72 @@ def q_ship_delay_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("n").cast("double") / F.sum("n").over(w), 6
             ).alias("share"),
         )
+    )
+
+
+@register(
+    "q_pareto_skyline",
+    oracle="""
+        WITH pts AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                   p_size
+            FROM part
+        ),
+        grp AS (
+            SELECT price_c, MAX(p_size) AS gmax FROM pts GROUP BY price_c
+        ),
+        strict AS (
+            SELECT price_c, gmax,
+                   MAX(gmax) OVER (ORDER BY price_c
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING) AS m_strict
+            FROM grp
+        )
+        SELECT p.p_partkey, p.price_c, CAST(p.p_size AS BIGINT) AS p_size
+        FROM pts p JOIN strict s ON p.price_c = s.price_c
+        WHERE (s.m_strict IS NULL OR p.p_size > s.m_strict)
+          AND p.p_size = s.gmax
+        ORDER BY p.price_c, p.p_partkey
+    """,
+    category=CAT,
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OL20: skyline (Pareto frontier) query — parts not dominated on
+    (cheaper price, larger size): the classic Börzsönyi et al. 2001
+    multi-criteria operator ("best tradeoffs" shortlists). A part is
+    dominated if some part is ≤ price AND ≥ size with one strict.
+
+    Plan: NOT the naive O(n²) dominance anti-join — collapse to
+    per-price max sizes, one running-max pass over the sorted distinct
+    prices (skyline ⟺ size strictly above every strictly-cheaper
+    price's best AND equal to its own price group's best), then join
+    back. O(n log n) via one window, and ties (equal price+size
+    frontier twins) are all kept, matching the dominance definition.
+
+    Scale: the window runs over DISTINCT prices (bounded by the price
+    domain); the 2-D skyline at 100 TB partitions the price range,
+    computes per-range skylines, and merges — same algebra per range.
+    Higher dimensions need the block-nested-loop variants; this is the
+    2-D fast path.
+    """
+    p = load(spark, sf_dir, "part")
+    pts = p.select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        "p_size",
+    )
+    grp = pts.groupBy("price_c").agg(F.max("p_size").alias("gmax"))
+    w = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
+    strict = grp.select(
+        "price_c", "gmax", F.max("gmax").over(w).alias("m_strict")
+    )
+    return (
+        pts.join(strict, "price_c")
+        .filter(
+            (F.col("m_strict").isNull() | (F.col("p_size") > F.col("m_strict")))
+            & (F.col("p_size") == F.col("gmax"))
+        )
+        .select("p_partkey", "price_c", F.col("p_size").cast("long").alias("p_size"))
+        .orderBy("price_c", "p_partkey")
     )

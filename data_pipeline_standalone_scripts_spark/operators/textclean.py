@@ -347,3 +347,97 @@ def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "q_url_dedup",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, source,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'https://' || upper(source)
+                             || '.EXAMPLE.com:443/' || lang || '/doc'
+                             || doc_id || '?utm_source=feed&ref=' || source
+                        ELSE 'https://' || source || '.example.com/'
+                             || lang || '/doc' || doc_id END AS url
+            FROM documents
+        ),
+        canon AS (
+            SELECT doc_id, source,
+                   lower(regexp_extract(url, '^https?://([^/?#]+?)(:\\d+)?/',
+                                        1))
+                     || regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1)
+                     AS curl
+            FROM u
+        ),
+        dedup AS (
+            SELECT curl, COUNT(*) AS n_variants, MIN(doc_id) AS keep_doc
+            FROM canon GROUP BY curl
+        )
+        SELECT c.source,
+               CAST(COUNT(*) AS BIGINT) AS n_urls,
+               CAST(COUNT(DISTINCT c.curl) AS BIGINT) AS n_canonical,
+               CAST(SUM({o_h60('c.curl')} % {_P}) AS BIGINT) AS canon_checksum
+        FROM canon c
+        GROUP BY c.source
+        ORDER BY c.source
+    """,
+    category=CAT,
+)
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI5: URL canonicalization dedup — the crawl-frontier dedup step.
+    A third of the synthesized URLs carry the classic noise (uppercase
+    host, explicit :443 port, tracking query params); canonicalization
+    lowercases the host, strips the port and drops the query, so noisy
+    variants collapse onto their clean twins. Reports per-source raw
+    vs canonical counts and a canonical-form checksum.
+
+    Determinism: pure regex + lowercase string algebra, identical
+    Java-regex/RE2 patterns; checksum pins the exact canonical
+    strings, not just the counts.
+
+    Scale: canonicalization is scan-side; the dedup count is one
+    map-side-combined agg on the canonical key. A real frontier keeps
+    (canonical_url → min crawl date) exactly like the keep_doc pick
+    here — same shuffle, hash-partitioned on the canonical hash.
+    """
+    d = load(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.lit("https://"),
+        F.upper("source"),
+        F.lit(".EXAMPLE.com:443/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        F.col("source"),
+    )
+    clean = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/doc"),
+        F.col("doc_id").cast("string"),
+    )
+    u = d.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % 3 == 0, noisy).otherwise(clean).alias("url"),
+    )
+    curl = F.concat(
+        F.lower(
+            F.regexp_extract("url", "^https?://([^/?#]+?)(:\\d+)?/", 1)
+        ),
+        F.regexp_extract("url", "^https?://[^/?#]+([^?#]*)", 1),
+    )
+    canon = u.select("doc_id", "source", curl.alias("curl"))
+    return (
+        canon.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("curl").alias("n_canonical"),
+            F.sum(h60("curl") % _P).cast("long").alias("canon_checksum"),
+        )
+        .orderBy("source")
+    )

@@ -473,23 +473,22 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum is exact and order-free (the ``dsum`` discipline,
     operators/common.py) — only the final ÷(n−1) + round(6) is float.
 
-    Scale: the bigram stream is exploded ONCE (shuffle-before-expansion
-    repartition, then persist) and feeds the two model aggregates AND
-    the scoring join — without the persist each model subtree re-runs
-    the repartition+explode (measured: 8 exchanges → 4, three of them
-    duplicate doc shuffles; gated by test_lm_score_reuses_bigram_stream).
-    Model tables are vocabulary-bounded broadcasts; with a web-scale
-    vocab they become shuffle joins co-keyed on the gram. V crosses as
-    a 1-row broadcast crossJoin, never a collect. At 100 TB fit and
-    score are separate passes over a materialized bigram table — the
-    persist is the single-job version of exactly that.
+    Scale: two passes over the corpus — a FIT pass (explode → map-side-
+    combined bigram counts) and a SCORE pass (explode → broadcast-join
+    → per-doc rollup) — the CCNet shape. Recomputing the explode beats
+    materializing the corpus-sized bigram stream: the expansion is
+    narrow (no shuffle), while a persisted stream costs a cache write
+    + read of |tokens| rows (measured at sf0.1: dropping the persist
+    AND the pre-explode repartition cut the median 0.78 → 0.55 s; at
+    100 TB the same logic holds — you re-scan the corpus, never spill
+    a multiple of it). Model tables are vocabulary-bounded broadcasts;
+    with a web-scale vocab they become shuffle joins co-keyed on the
+    gram. V crosses as a 1-row broadcast crossJoin, never a collect.
+    Explode fan-out is ~|doc| per row — uniform here; pathologically
+    long docs would warrant a pre-explode repartition.
     """
-    from pyspark import StorageLevel
-
-    d = (
-        load(spark, sf_dir, "documents")
-        .select("doc_id", F.split("text", " ").alias("t"))
-        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
     )
     n = F.size("t")
     bg = (
@@ -508,7 +507,6 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.element_at("t", F.col("p")), F.element_at("t", F.col("p") + 1)
             ).alias("g"),
         )
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     big = bg.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
     # Prefix counts c1(w1) = Σ_w2 c2(w1,w2) roll up from the bigram

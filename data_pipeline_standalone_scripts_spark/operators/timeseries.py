@@ -959,3 +959,78 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("intercept", 6).alias("intercept"),
         )
     )
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   COUNT(*) AS y
+            FROM events GROUP BY 1
+        ),
+        tr AS (
+            SELECT day, y,
+                   SUM(y) OVER w AS t7,
+                   COUNT(*) OVER w AS w_n
+            FROM daily
+            WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING
+                         AND 3 FOLLOWING)
+        ),
+        det AS (
+            SELECT isodow(day) - 1 AS dow,
+                   7 * y - t7 AS det7
+            FROM tr WHERE w_n = 7
+        )
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               round(CAST(SUM(det7) AS DOUBLE) / 7.0 / COUNT(*), 6)
+                   AS seasonal_effect
+        FROM det
+        GROUP BY dow
+        ORDER BY dow
+    """,
+    category=CAT,
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS11: classical seasonal decomposition (additive, weekly) of
+    the daily event-volume series: trend = centered 7-day moving
+    average (full windows only), seasonal effect = mean detrended
+    value per weekday. The decomposition behind AN13's seasonal-naive
+    forecast — TS6's acf DETECTS the weekly cycle, this op MEASURES
+    each weekday's effect in events/day (Monday=0 … Sunday=6).
+
+    Determinism: detrended values are kept ×7-scaled integers
+    (7·y − Σ±3 window) — the division by 7 and the per-weekday mean
+    happen once at the end over exact long sums. Weekday numbering is
+    pinned to ISO Monday=0 on both engines (Spark's Sunday-based
+    `dayofweek` is shifted; DuckDB uses `isodow`).
+
+    Scale: the fact collapses to the daily frame in one pass; the MA
+    window and weekday rollup run over ≤ |days| rows.
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day",
+        "y",
+        F.sum("y").over(w).alias("t7"),
+        F.count(F.lit(1)).over(w).alias("w_n"),
+    )
+    det = tr.filter(F.col("w_n") == 7).select(
+        ((F.dayofweek("day") + 5) % 7).alias("dow"),
+        (7 * F.col("y") - F.col("t7")).alias("det7"),
+    )
+    return (
+        det.groupBy(F.col("dow").cast("long").alias("dow"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum("det7").cast("double") / 7.0 / F.count(F.lit(1)), 6
+            ).alias("seasonal_effect"),
+        )
+        .orderBy("dow")
+    )

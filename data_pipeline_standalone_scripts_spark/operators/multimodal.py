@@ -473,3 +473,103 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "px_mean"
         ),
     )
+
+
+@register(
+    "q_bmp_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 16 + n_chars % 32 AS w, 12 + doc_id % 24 AS h
+            FROM documents
+        ), xs AS (
+            SELECT doc_id, w, h, unnest(range(w)) AS x FROM dims
+        ), px AS (
+            SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs
+        )
+        SELECT doc_id AS media_id,
+               CAST(w AS BIGINT) AS width,
+               CAST(h AS BIGINT) AS height,
+               CAST(w * h AS BIGINT) AS n_pixels,
+               CAST(SUM((x + 3 * y + doc_id) % 256) AS BIGINT) AS b_sum,
+               CAST(SUM((2 * x + 5 * y + doc_id) % 256) AS BIGINT) AS g_sum,
+               CAST(SUM((x + 7 * y + 3 * doc_id) % 256) AS BIGINT) AS r_sum,
+               CAST(SUM((y * w + x) * ((x + 3 * y + doc_id) % 256))
+                    AS BIGINT) AS b_pos_checksum
+        FROM px
+        GROUP BY doc_id, w, h
+    """,
+    category=CAT,
+)
+def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL 24-bit BMPs — little-endian struct headers, BGR
+    channel order, 4-byte row padding, and the BOTTOM-UP row storage
+    every naive raster reader gets wrong. The decoder validates the
+    magic/offset/bpp/compression fields, strips per-row padding,
+    flips rows back to logical top-down order, and reduces to exact
+    per-channel sums plus a POSITION-WEIGHTED checksum
+    Σ(y·w+x)·B(x,y) — channel sums alone are row-order-invariant, so
+    only the weighted checksum proves the flip was undone.
+
+    Scale: stateless Arrow-batched narrow stage, per-record reduce in
+    the Python worker, no shuffle.
+    """
+    import struct
+
+    import numpy as np
+
+    from ..sources.multimodal import bmp_table
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "b_sum",
+                    "g_sum",
+                    "r_sum",
+                    "b_pos_checksum",
+                )
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                magic, fsize, _, _, offset = struct.unpack_from("<2sIHHI", p, 0)
+                if magic != b"BM":
+                    raise ValueError(f"not a BMP for media_id={mid}")
+                (hsz, w, h, planes, bpp, comp) = struct.unpack_from(
+                    "<IiiHHI", p, 14
+                )[:6]
+                if hsz != 40 or planes != 1 or bpp != 24 or comp != 0:
+                    raise ValueError(f"unsupported BMP variant for {mid}")
+                row_bytes = w * 3
+                stride = row_bytes + ((-row_bytes) % 4)
+                img = np.zeros((h, w, 3), dtype=np.uint8)
+                for stored in range(h):
+                    logical = h - 1 - stored  # undo bottom-up storage
+                    start = offset + stored * stride
+                    img[logical] = np.frombuffer(
+                        p, dtype=np.uint8, count=row_bytes, offset=start
+                    ).reshape(w, 3)
+                b = img[:, :, 0].astype(np.int64)
+                weights = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                )
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["b_sum"].append(int(b.sum()))
+                rows["g_sum"].append(int(img[:, :, 1].astype(np.int64).sum()))
+                rows["r_sum"].append(int(img[:, :, 2].astype(np.int64).sum()))
+                rows["b_pos_checksum"].append(int((weights * b).sum()))
+            yield pd.DataFrame(rows)
+
+    return bmp_table(spark, sf_dir).mapInPandas(
+        decode,
+        schema="media_id bigint, width bigint, height bigint, "
+        "n_pixels bigint, b_sum bigint, g_sum bigint, r_sum bigint, "
+        "b_pos_checksum bigint",
+    )

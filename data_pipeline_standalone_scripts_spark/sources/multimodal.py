@@ -369,3 +369,57 @@ def png_decode_pixels(payload: bytes) -> "object":
         img[y] = cur
         prev = cur
     return img
+
+
+def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL 24-bit BMP (BITMAPINFOHEADER) images,
+    one per doc. Complete, standards-compliant bitmaps: 14-byte file
+    header + 40-byte info header, then BGR pixel rows stored
+    BOTTOM-UP, each row padded to a 4-byte boundary — the three
+    format quirks (little-endian struct fields, channel order, row
+    direction/padding) that make BMP a genuinely different parse from
+    PGM's text header or PNG's chunk walk.
+
+    Channels are arithmetic in (x, y, doc_id) —
+    B=(x+3y+d)%256, G=(2x+5y+d)%256, R=(x+7y+3d)%256 with y the
+    LOGICAL (top-down) row — so the oracle verifies decoded channel
+    sums and a position-weighted checksum without a codec. A decoder
+    that forgets the bottom-up flip reproduces the channel sums but
+    NOT the weighted checksum.
+    """
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                d = int(doc_id)
+                w = 16 + int(n_chars) % 32
+                h = 12 + d % 24
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                b = (xs + 3 * ys + d) % 256
+                g = (2 * xs + 5 * ys + d) % 256
+                r = (xs + 7 * ys + 3 * d) % 256
+                px = np.stack([b, g, r], axis=2).astype(np.uint8)  # h,w,3 BGR
+                row_bytes = w * 3
+                pad = (-row_bytes) % 4
+                body = b"".join(
+                    px[y].tobytes() + b"\x00" * pad
+                    for y in range(h - 1, -1, -1)  # bottom-up storage
+                )
+                img_size = (row_bytes + pad) * h
+                info = struct.pack(
+                    "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+                )
+                file_hdr = struct.pack(
+                    "<2sIHHI", b"BM", 14 + 40 + img_size, 0, 0, 54
+                )
+                payloads.append(file_hdr + info + body)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")

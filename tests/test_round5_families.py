@@ -283,3 +283,26 @@ def test_fim_split_is_lossless_everywhere(spark, sf_small):
     r = _run("q_fim_split", spark, sf_small).toPandas()
     assert (r.n_lossless == r.n_docs).all()
     assert r.mid_fraction.between(0, 1).all()
+
+
+def test_bmp_decode_dimensions_and_weighted_checksum(spark, sf_small):
+    """Decoded dims match the generator's formulas; the weighted
+    checksum differs from what a row-flip-forgetting decoder would
+    produce (verified arithmetically for one record)."""
+    r = _run("q_bmp_decode", spark, sf_small).toPandas()
+    assert (r.width - 16 >= 0).all() and (r.width - 16 < 32).all()
+    assert (r.height - 12 >= 0).all() and (r.height - 12 < 24).all()
+    row = r[r.media_id == 1].iloc[0]
+    w, h, d = int(row.width), int(row.height), 1
+    good = sum(
+        (y * w + x) * ((x + 3 * y + d) % 256)
+        for y in range(h)
+        for x in range(w)
+    )
+    flipped = sum(
+        (y * w + x) * ((x + 3 * (h - 1 - y) + d) % 256)
+        for y in range(h)
+        for x in range(w)
+    )
+    assert int(row.b_pos_checksum) == good
+    assert good != flipped, "checksum must be sensitive to row order"

@@ -1351,3 +1351,188 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "q_skew_kurtosis",
+    oracle="""
+        WITH v AS (
+            SELECT o_orderpriority AS prio,
+                   CAST(round(o_totalprice) AS BIGINT) AS x
+            FROM orders
+        ),
+        m AS (
+            SELECT prio, COUNT(*) AS n,
+                   SUM(CAST(x AS HUGEINT)) AS s1,
+                   SUM(CAST(x AS HUGEINT) * x) AS s2,
+                   SUM(CAST(x AS HUGEINT) * x * x) AS s3,
+                   SUM(CAST(x AS HUGEINT) * x * x * x) AS s4
+            FROM v GROUP BY prio
+        ),
+        f AS (
+            SELECT prio, n,
+                   CAST(s1 AS DOUBLE) / n AS mu,
+                   CAST(s2 AS DOUBLE) / n AS r2,
+                   CAST(s3 AS DOUBLE) / n AS r3,
+                   CAST(s4 AS DOUBLE) / n AS r4
+            FROM m
+        )
+        SELECT prio, CAST(n AS BIGINT) AS n,
+               round(mu, 6) AS mean_usd,
+               round((r3 - 3 * mu * r2 + 2 * mu * mu * mu)
+                     / pow(r2 - mu * mu, 1.5), 6) AS skewness,
+               round((r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                      - 3 * mu * mu * mu * mu)
+                     / pow(r2 - mu * mu, 2) - 3.0, 6) AS excess_kurtosis
+        FROM f
+        ORDER BY prio
+    """,
+    category=CAT,
+)
+def q_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN18: exact skewness and excess kurtosis of order values per
+    priority — the shape diagnostics beyond A9's mean/stddev (skew
+    flags asymmetric revenue mix; kurtosis flags heavy tails that
+    invalidate z-score screens, pointing to AN6's MAD instead).
+
+    Determinism: NO streaming-moment path (Spark's `skewness`/
+    `kurtosis` and DuckDB's accumulate floats in engine-specific
+    order). Instead the four raw power sums accumulate EXACTLY —
+    DECIMAL(38,0) in Spark, HUGEINT in DuckDB (x⁴ ≈ 6e22 per row, far
+    under either's range) — and the classic central-moment formulas
+    run once on identical doubles.
+
+    Scale: one map-side-combined aggregate; four wide sums per group
+    on the wire. This is the q_linreg_fit sufficient-statistics
+    recipe applied to distribution shape.
+    """
+    o = load(spark, sf_dir, "orders")
+    v = o.select(
+        F.col("o_orderpriority").alias("prio"),
+        F.round("o_totalprice").cast("long").alias("x"),
+    )
+    m = v.groupBy("prio").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(x as decimal(38,0))")).alias("s1"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x")).alias("s2"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x * x")).alias("s3"),
+        F.sum(F.expr("cast(x as decimal(38,0)) * x * x * x")).alias("s4"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    r2 = F.col("s2").cast("double") / F.col("n")
+    r3 = F.col("s3").cast("double") / F.col("n")
+    r4 = F.col("s4").cast("double") / F.col("n")
+    var = r2 - mu * mu
+    skew = (r3 - 3 * mu * r2 + 2 * mu * mu * mu) / F.pow(var, 1.5)
+    kurt = (
+        r4 - 4 * mu * r3 + 6 * mu * mu * r2 - 3 * mu * mu * mu * mu
+    ) / F.pow(var, 2) - 3.0
+    return m.select(
+        "prio",
+        F.col("n").cast("long").alias("n"),
+        F.round(mu, 6).alias("mean_usd"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
+    ).orderBy("prio")
+
+
+@register(
+    "q_woe_iv",
+    oracle="""
+        WITH b AS (
+            SELECT CAST(LEAST(floor(o_totalprice / 60000), 9) AS BIGINT)
+                       AS bucket,
+                   CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END
+                       AS hit
+            FROM orders
+        ),
+        c AS (
+            SELECT bucket, SUM(hit) AS g, COUNT(*) - SUM(hit) AS bd
+            FROM b GROUP BY bucket
+        ),
+        t AS (SELECT SUM(g) AS gt, SUM(bd) AS bt FROM c),
+        w AS (
+            SELECT c.bucket, c.g, c.bd,
+                   (CAST(c.g AS DOUBLE) + 0.5) / (t.gt + 0.5)
+                     AS pg,
+                   (CAST(c.bd AS DOUBLE) + 0.5) / (t.bt + 0.5)
+                     AS pb
+            FROM c CROSS JOIN t
+        ),
+        scored AS (
+            SELECT bucket, g, bd,
+                   round(ln(pg / pb), 6) AS woe,
+                   CAST(round((pg - pb) * ln(pg / pb) * 1000000000)
+                        AS BIGINT) AS iv_n
+            FROM w
+        )
+        SELECT bucket, CAST(g AS BIGINT) AS n_events,
+               CAST(bd AS BIGINT) AS n_nonevents, woe,
+               round(CAST(SUM(iv_n) OVER () AS DOUBLE) / 1000000000.0, 6)
+                   AS iv_total
+        FROM scored
+        ORDER BY bucket
+    """,
+    category=CAT,
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN19: Weight-of-Evidence + Information Value — the classic
+    credit-scoring feature screen: bucket a candidate feature (order
+    value), compute per-bucket WOE = ln(P(bucket|event)/P(bucket|non-
+    event)) with 0.5 smoothing, and the feature's total IV (rule of
+    thumb: IV < 0.02 useless, > 0.3 strong). Complements AN16's χ²
+    (significance) with the effect-size view model builders bin by.
+
+    Determinism: bucket counts are exact; each WOE is one double
+    expression over exact counts; the IV sum accumulates in
+    nano-scaled longs via the OVER () window (10 rows).
+
+    Scale: scan-side bucketing, one ≤10-group aggregate, then algebra
+    on the bucket frame. Screening 1,000 features at 100 TB is 1,000
+    such passes over one shared scan (GROUPING SETS or a melt).
+    """
+    o = load(spark, sf_dir, "orders")
+    b = o.select(
+        F.least(F.floor(F.col("o_totalprice") / 60000), F.lit(9))
+        .cast("long")
+        .alias("bucket"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias(
+            "hit"
+        ),
+    )
+    c = b.groupBy("bucket").agg(
+        F.sum("hit").alias("g"),
+        (F.count(F.lit(1)) - F.sum("hit")).alias("bd"),
+    )
+    t = c.agg(F.sum("g").alias("gt"), F.sum("bd").alias("bt"))
+    w = c.crossJoin(F.broadcast(t))
+    pg = (F.col("g").cast("double") + 0.5) / (F.col("gt") + 0.5)
+    pb = (F.col("bd").cast("double") + 0.5) / (F.col("bt") + 0.5)
+    woe = F.log(pg / pb)
+    iv_n = (
+        (pg - pb) * woe * 1_000_000_000
+        + F.when((pg - pb) * woe >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    ).cast("long")
+    scored = w.select(
+        "bucket",
+        F.col("g").cast("long").alias("n_events"),
+        F.col("bd").cast("long").alias("n_nonevents"),
+        F.round(woe, 6).alias("woe"),
+        iv_n.alias("iv_n"),
+    )
+    from pyspark.sql.window import Window as _W
+
+    return (
+        scored.withColumn(
+            "iv_total",
+            F.round(
+                F.sum("iv_n").over(
+                    _W.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+                ).cast("double")
+                / 1e9,
+                6,
+            ),
+        )
+        .drop("iv_n")
+        .orderBy("bucket")
+    )

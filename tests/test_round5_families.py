@@ -306,3 +306,31 @@ def test_bmp_decode_dimensions_and_weighted_checksum(spark, sf_small):
     )
     assert int(row.b_pos_checksum) == good
     assert good != flipped, "checksum must be sensitive to row order"
+
+
+def test_skew_kurtosis_match_numpy(spark, sf_small):
+    """The exact-moment formulas must agree with scipy-free numpy
+    reference computation to float precision."""
+    import numpy as np
+
+    r = _run("q_skew_kurtosis", spark, sf_small).toPandas()
+    o = load(spark, sf_small, "orders").toPandas()
+    o["x"] = o.o_totalprice.round().astype("int64")
+    for _, row in r.iterrows():
+        x = o.loc[o.o_orderpriority == row.prio, "x"].to_numpy(dtype=float)
+        mu, m2 = x.mean(), ((x - x.mean()) ** 2).mean()
+        m3 = ((x - mu) ** 3).mean()
+        m4 = ((x - mu) ** 4).mean()
+        assert abs(row.skewness - m3 / m2**1.5) < 1e-4
+        assert abs(row.excess_kurtosis - (m4 / m2**2 - 3)) < 1e-4
+
+
+def test_woe_iv_consistency(spark, sf_small):
+    """IV is nonnegative and equals the sum of per-bucket terms; event
+    counts conserve the global URGENT count."""
+    r = _run("q_woe_iv", spark, sf_small).toPandas()
+    assert (r.iv_total >= 0).all()
+    assert r.iv_total.nunique() == 1
+    o = load(spark, sf_small, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert int(r.n_events.sum()) == urgent

@@ -306,3 +306,72 @@ def running_counter_tws_stream(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def run_foreachbatch_upsert(
+    stream_df: DataFrame, state_dir: str, checkpoint_dir: str
+) -> None:
+    """The foreachBatch keyed-upsert sink: each micro-batch collapses
+    to one row per user (latest ts + running value sum partials) and
+    MERGEs into a parquet state table — read current state, outer-join
+    the batch partials, write back. This is the idiomatic Structured
+    Streaming path to any sink without native streaming support
+    (JDBC, plain parquet) while keeping per-key upsert semantics.
+
+    Exactly-once: foreachBatch can be re-invoked with the same
+    batch_id on recovery, so the state table records the last applied
+    batch_id and the merge SKIPS batches it has already absorbed —
+    the standard idempotent-sink recipe.
+
+    Scale: state read+rewrite per batch is the simple form; a real
+    100 TB deployment partitions state by key range and rewrites only
+    partitions the batch touches (dynamic partition overwrite —
+    q_dynamic_overwrite is exactly that move).
+    """
+    import os
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        part = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max("ts").alias("last_ts"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .withColumn("last_batch", F.lit(batch_id))
+        )
+        if os.path.exists(state_dir):
+            cur = spark.read.parquet(state_dir)
+            if cur.agg(F.max("last_batch")).collect()[0][0] >= batch_id:
+                return  # already applied — idempotent replay
+            merged = (
+                cur.select("user_id", "last_ts", "n_events")
+                .withColumnRenamed("last_ts", "c_ts")
+                .withColumnRenamed("n_events", "c_n")
+                .join(part.drop("last_batch"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    F.greatest(
+                        F.coalesce("last_ts", "c_ts"),
+                        F.coalesce("c_ts", "last_ts"),
+                    ).alias("last_ts"),
+                    (
+                        F.coalesce("c_n", F.lit(0))
+                        + F.coalesce("n_events", F.lit(0))
+                    ).alias("n_events"),
+                    F.lit(batch_id).alias("last_batch"),
+                )
+            )
+        else:
+            merged = part
+        merged.cache().count()  # materialize BEFORE overwriting the input
+        merged.write.mode("overwrite").parquet(state_dir)
+        merged.unpersist()
+
+    (
+        stream_df.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )

@@ -359,3 +359,29 @@ def test_stream_stream_outer_join_matches_batch(spark, sf_small, staged):
     must_release = {p for p in want_unmatched if p[1] < frontier}
     assert must_release <= set(got_nulls), "watermark failed to release"
     assert got_nulls, "null-extended rows must appear"
+
+
+def test_foreachbatch_upsert_state_matches_batch(spark, sf_small, staged, tmp_path):
+    """The foreachBatch MERGE sink must converge to the batch answer:
+    after the replay drains, the state table holds exactly one row per
+    user with the true latest ts and total event count."""
+    state = str(tmp_path / "state.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    stream = jobs.read_event_stream(spark, staged)
+    jobs.run_foreachbatch_upsert(stream, state, ckpt)
+
+    got = (
+        spark.read.parquet(state)
+        .select("user_id", "last_ts", "n_events")
+        .collect()
+    )
+    e = load(spark, sf_small, "events")
+    want = (
+        e.groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    # one state row per user, batch log monotone
+    users = [r[0] for r in got]
+    assert len(users) == len(set(users))

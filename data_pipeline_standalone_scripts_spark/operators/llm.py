@@ -809,3 +809,151 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("msum").cast("double") / 1_000_000.0, 6).alias("bm25"),
         )
     )
+
+
+_PHRASE = "table value part"  # 3-token query phrase (common corpus words)
+
+
+@register(
+    "q_phrase_search",
+    oracle=f"""
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN position('{_PHRASE}'
+                             IN ' ' || text || ' ') > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(COALESCE(MIN(CASE WHEN position('{_PHRASE}'
+                             IN ' ' || text || ' ') > 0
+                        THEN doc_id END), -1) AS BIGINT) AS first_match
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    category=CAT,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L14: exact phrase search through a POSITIONAL INVERTED INDEX —
+    the IR-engine way: explode (doc, position, token), keep postings
+    for the phrase's terms only, and self-join consecutive positions
+    (token_i at p, token_{i+1} at p+1) so only docs with the terms in
+    adjacent order survive. The oracle is the scan-and-substring
+    answer — the two strategies MUST agree, which is exactly the
+    index-correctness property a search engine tests.
+
+    Scale: this is why positional indexes exist — the postings for a
+    3-term phrase are ~3 rows per occurrence, joined on (doc, pos)
+    co-partitioning, vs re-scanning every document's full text. At
+    100 TB the posting table is the materialized artifact and each
+    phrase query touches only its terms' lists.
+    """
+    terms = _PHRASE.split(" ")
+    d = load(spark, sf_dir, "documents")
+    post = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(F.split("text", " ")).alias("p", "token"),
+    ).filter(F.col("token").isin(terms))
+    t0 = post.filter(F.col("token") == terms[0]).select(
+        "doc_id", "lang", F.col("p").alias("p0")
+    )
+    t1 = post.filter(F.col("token") == terms[1]).select(
+        F.col("doc_id").alias("d1"), F.col("p").alias("p1")
+    )
+    t2 = post.filter(F.col("token") == terms[2]).select(
+        F.col("doc_id").alias("d2"), F.col("p").alias("p2")
+    )
+    hits = (
+        t0.join(
+            t1,
+            (F.col("doc_id") == F.col("d1")) & (F.col("p1") == F.col("p0") + 1),
+        )
+        .join(
+            t2,
+            (F.col("doc_id") == F.col("d2")) & (F.col("p2") == F.col("p0") + 2),
+        )
+        .select("doc_id", "lang")
+        .distinct()
+    )
+    per_doc = d.select("doc_id", "lang").join(
+        hits.select("doc_id", F.lit(1).alias("m")), "doc_id", "left"
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("m"), F.lit(0)))
+            .cast("long")
+            .alias("n_matches"),
+            F.coalesce(
+                F.min(F.when(F.col("m") == 1, F.col("doc_id"))), F.lit(-1)
+            )
+            .cast("long")
+            .alias("first_match"),
+        )
+        .orderBy("lang")
+    )
+
+
+_NEEDLE = "stream merge"  # substring needle for the trigram-index search
+
+
+@register(
+    "q_trigram_search",
+    oracle=f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN position('{_NEEDLE}' IN text) > 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_matches,
+               CAST(COALESCE(MIN(CASE WHEN position('{_NEEDLE}' IN text) > 0
+                                 THEN doc_id END), -1) AS BIGINT)
+                   AS first_match
+        FROM documents
+    """,
+    category=CAT,
+)
+def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L15: substring search through a TRIGRAM INDEX (the pg_trgm /
+    code-search pattern): decompose documents into character
+    trigrams, keep docs containing EVERY trigram of the needle
+    (candidate generation — provably a superset), then verify with a
+    real substring check on candidates only. Oracle = the full-scan
+    substring answer; index pruning must not change it.
+
+    Scale: LIKE '%needle%' cannot use ordinary indexes/pruning — the
+    trigram posting table turns it into |needle|-3 posting-list
+    intersections plus verification on the (tiny) candidate set. The
+    intersection is a grouped count-matching-trigrams == n_needed,
+    one shuffle on doc_id.
+    """
+    needle = _NEEDLE
+    grams = sorted({needle[i : i + 3] for i in range(len(needle) - 2)})
+    d = load(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 2),"
+                " i -> substring(text, i, 3))"
+            )
+        ).alias("g"),
+    ).filter(F.col("g").isin(grams))
+    cand = (
+        tri.groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("ng"))
+        .filter(F.col("ng") == len(grams))
+        .select("doc_id")
+    )
+    verified = (
+        d.join(cand, "doc_id")
+        .filter(F.instr("text", needle) > 0)
+        .select("doc_id")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    stats = verified.agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.coalesce(F.min("doc_id"), F.lit(-1)).alias("first_match"),
+    )
+    return n_docs.crossJoin(stats).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_matches").cast("long").alias("n_matches"),
+        F.col("first_match").cast("long").alias("first_match"),
+    )

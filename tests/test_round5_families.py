@@ -334,3 +334,26 @@ def test_woe_iv_consistency(spark, sf_small):
     o = load(spark, sf_small, "orders")
     urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert int(r.n_events.sum()) == urgent
+
+
+def test_phrase_index_equals_scan(spark, sf_small):
+    """The positional-index phrase match must equal a brute instr scan
+    (recomputed here independently), and find at least one hit corpus-
+    wide at sf0.01."""
+    r = _run("q_phrase_search", spark, sf_small).toPandas()
+    d = load(spark, sf_small, "documents")
+    brute = d.filter(
+        F.instr(F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                "table value part") > 0
+    ).count()
+    assert int(r.n_matches.sum()) == brute
+
+
+def test_trigram_candidates_are_superset(spark, sf_small):
+    """Every true substring match must survive trigram pruning —
+    n_matches equals the brute scan count."""
+    r = _run("q_trigram_search", spark, sf_small).toPandas().iloc[0]
+    d = load(spark, sf_small, "documents")
+    brute = d.filter(F.instr("text", "stream merge") > 0).count()
+    assert int(r.n_matches) == brute
+    assert int(r.n_matches) > 0

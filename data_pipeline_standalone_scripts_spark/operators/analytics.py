@@ -1536,3 +1536,271 @@ def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("iv_n")
         .orderBy("bucket")
     )
+
+
+@register(
+    "q_funnel_time_percentiles",
+    oracle="""
+        WITH v AS (
+            SELECT user_id, MIN(ts) AS t0 FROM events
+            WHERE event_type = 'view' GROUP BY 1
+        ),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS t1
+            FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t0
+            WHERE e.event_type = 'purchase' GROUP BY 1
+        ),
+        d AS (
+            SELECT date_diff('second', v.t0, p.t1) AS dt
+            FROM v JOIN p ON v.user_id = p.user_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_converters,
+               round(quantile_cont(CAST(dt AS DOUBLE), 0.5), 6) AS p50_sec,
+               round(quantile_cont(CAST(dt AS DOUBLE), 0.9), 6) AS p90_sec,
+               round(CAST(SUM(dt) AS DOUBLE) / COUNT(*), 6) AS mean_sec
+        FROM d
+    """,
+    category=CAT,
+)
+def q_funnel_time_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN20: time-to-convert distribution — seconds from a user's
+    first view to their first subsequent purchase, summarized as
+    median / p90 / mean. AN4 counts WHO converts; this measures HOW
+    LONG conversion takes (the metric latency dashboards and SLA
+    discussions actually use).
+
+    Determinism: deltas are exact integer seconds; percentiles use
+    the A10-proven interpolated pairing; the mean is an exact-long
+    ratio.
+
+    Scale: two type-filtered per-user MINs on one user_id
+    partitioning; the percentile runs over the converters frame
+    (≤ |users| rows).
+    """
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    d = v.join(p, "user_id").select(
+        (F.unix_timestamp("t1") - F.unix_timestamp("t0")).alias("dt")
+    )
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converters"),
+        F.round(F.percentile(F.col("dt").cast("double"), F.lit(0.5)), 6).alias(
+            "p50_sec"
+        ),
+        F.round(F.percentile(F.col("dt").cast("double"), F.lit(0.9)), 6).alias(
+            "p90_sec"
+        ),
+        F.round(F.sum("dt").cast("double") / F.count(F.lit(1)), 6).alias(
+            "mean_sec"
+        ),
+    )
+
+
+@register(
+    "q_cohort_ltv",
+    oracle="""
+        WITH first AS (
+            SELECT o_custkey,
+                   MIN(CAST(year(o_orderdate) * 12 + month(o_orderdate)
+                            AS BIGINT)) AS m0
+            FROM orders GROUP BY 1
+        ),
+        sized AS (
+            SELECT m0, COUNT(*) AS cohort_size FROM first GROUP BY 1
+        ),
+        rev AS (
+            SELECT f.m0,
+                   CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate)
+                        AS BIGINT) - f.m0 AS offs,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+            GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT m0, offs,
+                   SUM(cents) OVER (PARTITION BY m0 ORDER BY offs
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS cum_cents
+            FROM rev
+        )
+        SELECT CAST(c.m0 // 12 AS BIGINT) AS cohort_year,
+               CAST(c.m0 % 12 AS BIGINT) AS cohort_month0,
+               c.offs AS month_offset,
+               CAST(s.cohort_size AS BIGINT) AS cohort_size,
+               round(CAST(c.cum_cents AS DOUBLE) / s.cohort_size / 100.0, 6)
+                   AS ltv_per_customer
+        FROM cum c JOIN sized s ON c.m0 = s.m0
+        WHERE c.offs <= 6
+        ORDER BY c.m0, c.offs
+    """,
+    category=CAT,
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN21: cohort LTV curve — customers cohorted by first-order
+    month; each (cohort, month-offset) cell reports cumulative revenue
+    per cohort member (the lifetime-value triangle finance teams
+    project payback from; first 6 offsets). AN1 counts retained USERS;
+    LTV accumulates their MONEY.
+
+    Determinism: month indexes are exact ints (year·12+month — no
+    months_between float); revenue accumulates in exact cents; the
+    single division rounds at 6.
+
+    Scale: first-touch MIN + per-(cohort, offset) cents rollup, both
+    map-side combined; the cumulative window runs over the bounded
+    cohort×offset frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    mcol = (
+        F.year("o_orderdate") * 12 + F.month("o_orderdate")
+    ).cast("long")
+    first = o.groupBy("o_custkey").agg(F.min(mcol).alias("m0"))
+    sized = first.groupBy("m0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    rev = (
+        o.join(first, "o_custkey")
+        .groupBy("m0", (mcol - F.col("m0")).alias("offs"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = (
+        Window.partitionBy("m0")
+        .orderBy("offs")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        cum.join(F.broadcast(sized), "m0")
+        .filter(F.col("offs") <= 6)
+        .select(
+            F.expr("m0 div 12").cast("long").alias("cohort_year"),
+            (F.col("m0") % 12).cast("long").alias("cohort_month0"),
+            F.col("offs").alias("month_offset"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(
+                F.col("cum_cents").cast("double")
+                / F.col("cohort_size")
+                / 100.0,
+                6,
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_year", "cohort_month0", "month_offset")
+    )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+        WITH hz AS (SELECT MAX(date_trunc('day', o_orderdate)) AS h
+                    FROM orders),
+        rfm AS (
+            SELECT o_custkey,
+                   date_diff('day', MAX(date_trunc('day', o_orderdate)),
+                             (SELECT h FROM hz)) AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS monetary_cents
+            FROM orders GROUP BY 1
+        ),
+        scored AS (
+            SELECT o_custkey, monetary_cents,
+                   NTILE(5) OVER (ORDER BY recency_days DESC, o_custkey)
+                       AS r_score,
+                   NTILE(5) OVER (ORDER BY frequency ASC, o_custkey)
+                       AS f_score,
+                   NTILE(5) OVER (ORDER BY monetary_cents ASC, o_custkey)
+                       AS m_score
+            FROM rfm
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               round(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0,
+                     6) AS avg_monetary,
+               round(CAST(AVG(CAST(m_score AS DOUBLE)) AS DOUBLE), 6)
+                   AS avg_m_score
+        FROM scored
+        GROUP BY r_score, f_score
+        ORDER BY r_score, f_score
+    """,
+    category=CAT,
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN22: RFM segmentation — score every customer 1–5 on Recency,
+    Frequency, Monetary via quintiles (5 = best: most recent, most
+    orders, most revenue), then profile the R×F grid with sizes and
+    monetary averages — the marketing-ops segmentation behind
+    "champions / at-risk / hibernating" playbooks.
+
+    Determinism: quintile assignment is `ntile(5)` over a TOTAL order
+    (metric + unique custkey tie-break) — identical rank semantics in
+    both engines; monetary stays in exact cents until the final
+    divisions.
+
+    Scale: one customer-grain rollup (map-side combined), then three
+    ntile windows over the |customers| frame — at 100 TB swap exact
+    ntile for approx-quantile bucket edges broadcast back (the
+    q_histogram_equidepth recipe); the grid profile is a ≤25-group
+    agg.
+    """
+    o = load(spark, sf_dir, "orders")
+    hz = o.agg(F.max(F.date_trunc("day", "o_orderdate")).alias("h"))
+    rfm = (
+        o.crossJoin(F.broadcast(hz))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.first("h"), F.max(F.date_trunc("day", "o_orderdate"))
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    scored = rfm.select(
+        "o_custkey",
+        "monetary_cents",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("recency_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("frequency"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.asc("monetary_cents"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy(
+            F.col("r_score").cast("long").alias("r_score"),
+            F.col("f_score").cast("long").alias("f_score"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(
+                F.sum("monetary_cents").cast("double")
+                / F.count(F.lit(1))
+                / 100.0,
+                6,
+            ).alias("avg_monetary"),
+            F.round(F.avg(F.col("m_score").cast("double")), 6).alias(
+                "avg_m_score"
+            ),
+        )
+        .orderBy("r_score", "f_score")
+    )

@@ -357,3 +357,33 @@ def test_trigram_candidates_are_superset(spark, sf_small):
     brute = d.filter(F.instr("text", "stream merge") > 0).count()
     assert int(r.n_matches) == brute
     assert int(r.n_matches) > 0
+
+
+def test_funnel_time_percentiles_ordered(spark, sf_small):
+    r = _run("q_funnel_time_percentiles", spark, sf_small).toPandas().iloc[0]
+    assert r.n_converters > 0
+    assert 0 < r.p50_sec <= r.p90_sec
+    assert r.mean_sec > 0
+
+
+def test_cohort_ltv_is_monotone_in_offset(spark, sf_small):
+    """Cumulative LTV never decreases along a cohort's offsets, and
+    offset-0 is positive (cohort members order in their first month
+    by construction)."""
+    r = _run("q_cohort_ltv", spark, sf_small).toPandas()
+    for (_, _), grp in r.groupby(["cohort_year", "cohort_month0"]):
+        g = grp.sort_values("month_offset")
+        assert g.ltv_per_customer.is_monotonic_increasing
+        assert g.iloc[0].month_offset == 0
+        assert g.iloc[0].ltv_per_customer > 0
+
+
+def test_rfm_grid_partitions_customers(spark, sf_small):
+    """The 5x5 R-F grid covers every customer exactly once and scores
+    span 1..5 on both axes."""
+    r = _run("q_rfm_segmentation", spark, sf_small).toPandas()
+    o = load(spark, sf_small, "orders")
+    n_cust = o.select("o_custkey").distinct().count()
+    assert int(r.n_customers.sum()) == n_cust
+    assert set(r.r_score) <= set(range(1, 6))
+    assert set(r.f_score) <= set(range(1, 6))

@@ -957,3 +957,85 @@ def q_trigram_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_matches").cast("long").alias("n_matches"),
         F.col("first_match").cast("long").alias("first_match"),
     )
+
+
+_KNN_PRED_CTE = """
+    WITH q AS (
+        SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < 20
+    ), sims AS (
+        SELECT query_id, e.vec_id, e.label,
+               ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv),
+                     6) AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id <> query_id
+    ), knn AS (
+        SELECT query_id, vec_id, label FROM sims
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, vec_id ASC) <= 10
+    ), votes AS (
+        SELECT query_id, label, COUNT(*) AS n_votes FROM knn
+        GROUP BY query_id, label
+    ), pred AS (
+        SELECT query_id, label AS pred_label FROM votes
+        QUALIFY row_number() OVER (PARTITION BY query_id
+                                   ORDER BY n_votes DESC, label ASC) = 1
+    )
+"""
+
+
+@register(
+    "q_knn_accuracy",
+    oracle=f"""
+        {_KNN_PRED_CTE}
+        SELECT CAST(t.label AS BIGINT) AS true_label,
+               CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CAST(SUM(CASE WHEN p.pred_label = t.label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_correct,
+               round(CAST(SUM(CASE WHEN p.pred_label = t.label
+                              THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+                   AS accuracy
+        FROM pred p JOIN embeddings t ON p.query_id = t.vec_id
+        GROUP BY t.label
+        ORDER BY true_label
+    """,
+    category=CAT,
+)
+def q_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L16: leave-one-out k-NN classification accuracy per true label —
+    the standard embedding-quality eval (a good embedding space puts
+    same-label points together, so the kNN vote should recover the
+    label). Composes L10's predictor with the true labels into the
+    per-class accuracy table a model card reports.
+
+    Scale: inherits L10's broadcast query batch; the eval join adds
+    one |queries|-row lookup.
+    """
+    pred = q_knn_label_vote(spark, sf_dir).select("query_id", "pred_label")
+    e = load(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    j = pred.join(e, "query_id")
+    return (
+        j.groupBy(F.col("true_label").cast("long").alias("true_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            F.sum(
+                F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("pred_label") == F.col("true_label"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("true_label")
+    )

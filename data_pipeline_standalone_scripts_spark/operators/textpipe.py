@@ -1131,3 +1131,58 @@ def q_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_lang_confusion",
+    oracle=f"""
+        WITH markers(m_lang, m_token) AS (
+            VALUES {", ".join(
+                f"('{lang}', '{tok}')"
+                for lang, toks in sorted(LANG_MARKERS.items())
+                for tok in toks
+            )}
+        ), tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), hits AS (
+            SELECT doc_id, lang, m_lang, COUNT(*) AS n_hits
+            FROM tok JOIN markers ON token = m_token
+            GROUP BY doc_id, lang, m_lang
+        ), best AS (
+            SELECT doc_id, lang, m_lang AS pred_lang
+            FROM hits
+            QUALIFY row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n_hits DESC, m_lang ASC) = 1
+        ), labeled AS (
+            SELECT d.lang AS true_lang,
+                   coalesce(b.pred_lang, 'und') AS pred_lang
+            FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
+        )
+        SELECT true_lang, pred_lang,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM labeled
+        GROUP BY true_lang, pred_lang
+        ORDER BY true_lang, pred_lang
+    """,
+    category=CAT,
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: language-ID confusion matrix — the evaluation table for
+    q_lang_id's predictor: counts per (true language, predicted
+    language) cell, the diagnostic every classifier ships with (on
+    this shared-vocabulary synthetic corpus most mass lands in the
+    'en' column — the matrix QUANTIFIES that known bias rather than
+    hiding it).
+
+    Scale: inherits the predictor's broadcast-lexicon shape; the
+    matrix is a ≤|langs|² aggregate.
+    """
+    pred = q_lang_id(spark, sf_dir).select(
+        F.col("lang").alias("true_lang"), "pred_lang"
+    )
+    return (
+        pred.groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("true_lang", "pred_lang")
+    )

@@ -387,3 +387,16 @@ def test_rfm_grid_partitions_customers(spark, sf_small):
     assert int(r.n_customers.sum()) == n_cust
     assert set(r.r_score) <= set(range(1, 6))
     assert set(r.f_score) <= set(range(1, 6))
+
+
+def test_knn_accuracy_conserves_queries(spark, sf_small):
+    r = _run("q_knn_accuracy", spark, sf_small).toPandas()
+    assert int(r.n_queries.sum()) == 20
+    assert (r.n_correct <= r.n_queries).all()
+    assert r.accuracy.between(0, 1).all()
+
+
+def test_lang_confusion_conserves_docs(spark, sf_small):
+    r = _run("q_lang_confusion", spark, sf_small).toPandas()
+    d = load(spark, sf_small, "documents")
+    assert int(r.n.sum()) == d.count()

@@ -1804,3 +1804,82 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score")
     )
+
+
+@register(
+    "q_feature_snapshot",
+    oracle="""
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_view,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_click,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_purchase,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_error,
+               strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_seen,
+               round(CAST(SUM(CAST(round(value * 1000000) AS BIGINT))
+                          AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+                   AS mean_value,
+               round(MAX(value), 6) AS max_value,
+               CAST(COUNT(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                   AS active_days
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    category=CAT,
+)
+def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN23: feature-store snapshot materialization — the per-entity
+    wide feature vector (event counts by type, recency, value stats,
+    active days) every ML platform refreshes on a schedule and joins
+    into training sets. One pass over the fact produces the whole
+    table; the oracle pins every feature column's exact value.
+
+    Determinism: counts and active-days are exact; the value mean
+    uses micro-unit scaled longs; the timestamp crosses as the
+    canonical string form (`ts_str` discipline).
+
+    Scale: ONE map-side-combined aggregate per entity — this is why
+    feature snapshots beat per-feature queries (1 scan vs F scans).
+    The distinct-days count rides the same shuffle as a (user, day)
+    pre-dedup; at extreme cardinality swap for approx_count_distinct.
+    """
+    e = load(spark, sf_dir, "events")
+    micro_v = (
+        F.col("value") * 1_000_000
+        + F.when(F.col("value") >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))
+    ).cast("long")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            .cast("long")
+            .alias("n_view"),
+            F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+            .cast("long")
+            .alias("n_click"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchase"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_error"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_seen"
+            ),
+            F.round(
+                F.sum(micro_v).cast("double") / 1_000_000.0 / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+            F.countDistinct(F.date_trunc("day", "ts"))
+            .cast("long")
+            .alias("active_days"),
+        )
+        .orderBy("user_id")
+    )

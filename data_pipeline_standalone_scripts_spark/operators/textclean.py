@@ -441,3 +441,153 @@ def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "q_gdpr_erasure",
+    oracle="""
+        WITH del AS (
+            SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+        ),
+        cust_after AS (
+            SELECT c.* FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM del d
+                              WHERE d.c_custkey = c.c_custkey)
+        ),
+        ord_after AS (
+            SELECT o.* FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM del d
+                              WHERE d.c_custkey = o.o_custkey)
+        ),
+        li_after AS (
+            SELECT l.* FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM ord_after o
+                          WHERE o.o_orderkey = l.l_orderkey)
+        ),
+        orphans AS (
+            SELECT COUNT(*) AS n FROM ord_after o
+            WHERE NOT EXISTS (SELECT 1 FROM cust_after c
+                              WHERE c.c_custkey = o.o_custkey)
+        )
+        SELECT CAST((SELECT COUNT(*) FROM del) AS BIGINT) AS n_subjects,
+               CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS cust_before,
+               CAST((SELECT COUNT(*) FROM cust_after) AS BIGINT) AS cust_after,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS orders_before,
+               CAST((SELECT COUNT(*) FROM ord_after) AS BIGINT) AS orders_after,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS lines_before,
+               CAST((SELECT COUNT(*) FROM li_after) AS BIGINT) AS lines_after,
+               CAST((SELECT n FROM orphans) AS BIGINT) AS n_orphans
+    """,
+    category=CAT,
+)
+def q_gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI6: right-to-be-forgotten propagation — given a deletion list
+    of data subjects, erase them from the entity table and CASCADE
+    through every fact referencing them (orders by custkey, line items
+    by orderkey), then PROVE referential cleanliness: zero surviving
+    facts reference a deleted subject (n_orphans must be 0). The
+    before/after census per table is the audit artifact a DPO files.
+
+    Scale: each cascade level is one LEFT ANTI (or LEFT SEMI) join —
+    the deletion list is tiny and broadcasts; the facts never shuffle.
+    Deeper reference chains are just more semi-join levels. In a
+    lakehouse the anti-join feeds a partition rewrite of only the
+    touched partitions (q_dynamic_overwrite's move).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    dele = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    cust_after = c.join(F.broadcast(dele), "c_custkey", "left_anti")
+    ord_after = o.join(
+        F.broadcast(dele),
+        o.o_custkey == dele.c_custkey,
+        "left_anti",
+    )
+    li_after = li.join(
+        ord_after.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_semi",
+    )
+    orphans = ord_after.join(
+        cust_after.select("c_custkey"),
+        ord_after.o_custkey == F.col("c_custkey"),
+        "left_anti",
+    )
+    counts = [
+        dele.agg(F.count(F.lit(1)).alias("n_subjects")),
+        c.agg(F.count(F.lit(1)).alias("cust_before")),
+        cust_after.agg(F.count(F.lit(1)).alias("cust_after")),
+        o.agg(F.count(F.lit(1)).alias("orders_before")),
+        ord_after.agg(F.count(F.lit(1)).alias("orders_after")),
+        li.agg(F.count(F.lit(1)).alias("lines_before")),
+        li_after.agg(F.count(F.lit(1)).alias("lines_after")),
+        orphans.agg(F.count(F.lit(1)).alias("n_orphans")),
+    ]
+    out = counts[0]
+    for x in counts[1:]:
+        out = out.crossJoin(x)
+    return out
+
+
+@register(
+    "q_k_anonymity",
+    oracle="""
+        WITH qi AS (
+            SELECT c_mktsegment,
+                   CAST(c_nationkey // 5 AS BIGINT) AS region_bucket,
+                   CAST(LEAST(floor((c_acctbal + 1000) / 2000), 5) AS BIGINT)
+                       AS balance_band,
+                   COUNT(*) AS grp_n
+            FROM customer
+            GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS groups_below_k,
+               CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               CAST(MIN(grp_n) AS BIGINT) AS min_group,
+               round(CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                          AS DOUBLE) / SUM(grp_n), 6) AS risk_fraction
+        FROM qi
+    """,
+    category=CAT,
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI7: k-anonymity audit (k=5) over the quasi-identifier tuple
+    (segment, region bucket, balance band) — counts equivalence
+    classes smaller than k and the rows they expose. The release gate
+    for any dataset with indirect identifiers: rows_at_risk > 0 means
+    generalize the bands further or suppress those rows before
+    publishing (Sweeney 2002).
+
+    Scale: one map-side-combined group-by on the quasi-identifier
+    tuple, then algebra on the bounded class frame. The audit of a
+    100 TB table costs one scan regardless of k or the QI arity.
+    """
+    c = load(spark, sf_dir, "customer")
+    qi = c.groupBy(
+        "c_mktsegment",
+        F.expr("c_nationkey div 5").cast("long").alias("region_bucket"),
+        F.least(F.floor((F.col("c_acctbal") + 1000) / 2000), F.lit(5))
+        .cast("long")
+        .alias("balance_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    return qi.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0))
+        .cast("long")
+        .alias("groups_below_k"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.min("grp_n").cast("long").alias("min_group"),
+        F.round(
+            F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("grp_n"),
+            6,
+        ).alias("risk_fraction"),
+    )

@@ -400,3 +400,20 @@ def test_lang_confusion_conserves_docs(spark, sf_small):
     r = _run("q_lang_confusion", spark, sf_small).toPandas()
     d = load(spark, sf_small, "documents")
     assert int(r.n.sum()) == d.count()
+
+
+def test_gdpr_erasure_is_referentially_clean(spark, sf_small):
+    """Zero orphans after the cascade; every count shrinks or holds."""
+    r = _run("q_gdpr_erasure", spark, sf_small).toPandas().iloc[0]
+    assert r.n_orphans == 0
+    assert r.cust_after == r.cust_before - r.n_subjects
+    assert r.orders_after <= r.orders_before
+    assert r.lines_after <= r.lines_before
+    assert r.n_subjects > 0
+
+
+def test_k_anonymity_accounting(spark, sf_small):
+    r = _run("q_k_anonymity", spark, sf_small).toPandas().iloc[0]
+    assert 0 <= r.risk_fraction <= 1
+    assert r.groups_below_k <= r.n_groups
+    assert r.min_group >= 1

@@ -306,3 +306,70 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "price_c", F.col("p_size").cast("long").alias("p_size"))
         .orderBy("price_c", "p_partkey")
     )
+
+
+@register(
+    "q_yoy_growth",
+    oracle="""
+        WITH yearly AS (
+            SELECT n.n_name,
+                   CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+                   CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1, 2
+        )
+        SELECT n_name, yr,
+               round(cents / 100.0, 6) AS revenue,
+               round(CASE WHEN lag(cents) OVER w IS NULL THEN NULL
+                     ELSE (cents - lag(cents) OVER w)
+                          / (CAST(lag(cents) OVER w AS DOUBLE)) END, 6)
+                   AS yoy_growth
+        FROM yearly
+        WINDOW w AS (PARTITION BY n_name ORDER BY yr)
+        ORDER BY n_name, yr
+    """,
+    category=CAT,
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OL21: year-over-year revenue growth per nation — the reporting
+    staple behind every finance dashboard (TPC-DS's YoY comparison
+    shapes, e.g. Q74, reduce to this lag-over-yearly-aggregate
+    pattern). First year of each series reports NULL growth.
+
+    Determinism: yearly revenue is exact cents; growth is one double
+    division of exact longs (lag over a pinned (nation, year) order).
+
+    Scale: the fact collapses to |nations|×|years| in one map-side-
+    combined pass (dims broadcast); the lag window runs on that
+    bounded frame.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    yearly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").cast("long").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+            .cast("long")
+            .alias("cents")
+        )
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    prev = F.lag("cents").over(w)
+    return yearly.select(
+        "n_name",
+        "yr",
+        F.round(F.col("cents") / 100.0, 6).alias("revenue"),
+        F.round(
+            F.when(
+                prev.isNotNull(),
+                (F.col("cents") - prev) / prev.cast("double"),
+            ),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("n_name", "yr")

@@ -591,3 +591,93 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("risk_fraction"),
     )
+
+
+@register(
+    "q_cidr_lookup",
+    oracle="""
+        WITH ips AS (
+            SELECT c_custkey,
+                   CAST(10 * 16777216 + (c_nationkey % 25) * 65536
+                        + (c_custkey % 256) * 256 + 7 AS BIGINT) AS ip_int,
+                   c_nationkey % 25 AS nat
+            FROM customer
+        ),
+        blocks AS (
+            SELECT 'block_' || r AS block,
+                   CAST(10 * 16777216 + (5 * r) * 65536 AS BIGINT) AS lo,
+                   CAST(10 * 16777216
+                        + (5 * r + CASE WHEN r = 4 THEN 4 ELSE 5 END) * 65536
+                        - 1 AS BIGINT) AS hi
+            FROM (SELECT unnest(generate_series(0, 4)) AS r)
+        )
+        SELECT COALESCE(b.block, 'unallocated') AS block,
+               CAST(COUNT(*) AS BIGINT) AS n_ips,
+               CAST(COUNT(DISTINCT i.nat) AS BIGINT) AS n_nations,
+               CAST(MIN(i.ip_int) AS BIGINT) AS min_ip,
+               CAST(MAX(i.ip_int) AS BIGINT) AS max_ip
+        FROM ips i LEFT JOIN blocks b
+          ON i.ip_int BETWEEN b.lo AND b.hi
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    category=CAT,
+)
+def q_cidr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI8: CIDR-block enrichment — the IP-geolocation join: numeric
+    IPs matched into address blocks by RANGE containment (ip BETWEEN
+    block start AND end), left-outer so unallocated space surfaces
+    explicitly (the last block is deliberately one /16 short, so
+    nation-24 IPs land in 'unallocated'). The enrichment-join shape
+    behind every geo/ASN/threat-intel lookup.
+
+    Scale: the block table is small and broadcasts — the range
+    predicate rides a broadcast nested-loop that never shuffles the
+    fact. Million-block tables (full GeoIP) get bucketed by high
+    octets first (equi-join on the bucket + range refine) — the
+    standard interval-bucketing trick, same one q_join_interval
+    documents.
+    """
+    c = load(spark, sf_dir, "customer")
+    ips = c.select(
+        "c_custkey",
+        (
+            F.lit(10 * 16777216)
+            + (F.col("c_nationkey") % 25) * 65536
+            + (F.col("c_custkey") % 256) * 256
+            + 7
+        )
+        .cast("long")
+        .alias("ip_int"),
+        (F.col("c_nationkey") % 25).alias("nat"),
+    )
+    r = spark.range(5).select(F.col("id").cast("int").alias("r"))
+    blocks = r.select(
+        F.concat(F.lit("block_"), F.col("r").cast("string")).alias("block"),
+        (F.lit(10 * 16777216) + (5 * F.col("r")) * 65536)
+        .cast("long")
+        .alias("lo"),
+        (
+            F.lit(10 * 16777216)
+            + (5 * F.col("r") + F.when(F.col("r") == 4, 4).otherwise(5))
+            * 65536
+            - 1
+        )
+        .cast("long")
+        .alias("hi"),
+    )
+    j = ips.join(
+        F.broadcast(blocks),
+        (F.col("ip_int") >= F.col("lo")) & (F.col("ip_int") <= F.col("hi")),
+        "left",
+    )
+    return (
+        j.groupBy(F.coalesce("block", F.lit("unallocated")).alias("block"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ips"),
+            F.countDistinct("nat").alias("n_nations"),
+            F.min("ip_int").cast("long").alias("min_ip"),
+            F.max("ip_int").cast("long").alias("max_ip"),
+        )
+        .orderBy("block")
+    )

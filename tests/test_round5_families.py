@@ -417,3 +417,14 @@ def test_k_anonymity_accounting(spark, sf_small):
     assert 0 <= r.risk_fraction <= 1
     assert r.groups_below_k <= r.n_groups
     assert r.min_group >= 1
+
+
+def test_cidr_lookup_partitions_ips(spark, sf_small):
+    """Every IP lands in exactly one block (or unallocated); nation 24
+    is the deliberately unallocated one."""
+    r = _run("q_cidr_lookup", spark, sf_small).toPandas()
+    c = load(spark, sf_small, "customer")
+    assert int(r.n_ips.sum()) == c.count()
+    un = r[r.block == "unallocated"]
+    if len(un):
+        assert int(un.iloc[0].n_nations) == 1

@@ -45,6 +45,8 @@ from .registry import REGISTRY  # noqa: F401
 # 26 more never-checked ops to that later pool: PI1–PI5 textclean,
 # TS7–TS11, SK3, AN15–AN17, KM3, G4, MT5, ML3, ST1–ST3, F14, OL20,
 # S10/S11, X39 (all local-parity green at sf0.01+sf0.001 on arrival).
+# Round 6 added 8 more: FIN1–FIN4 (finance.py), GEO1–GEO2 (geo.py),
+# C7 q_bpe_merge, KM4 q_quantile_normalize (same arrival criteria).
 #
 #   never = [n for n in REGISTRY
 #            if n not in set(json.load(open("CORRECTNESS_r01.json")))
@@ -126,6 +128,8 @@ def load_all_operators() -> None:
         dedup_ext,
         events,
         filters,
+        finance,
+        geo,
         graph,
         joins,
         llm,

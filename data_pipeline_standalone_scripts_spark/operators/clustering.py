@@ -524,3 +524,78 @@ def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("norm_ratio"),
         )
     )
+
+
+@register(
+    "q_quantile_normalize",
+    oracle="""
+        WITH vals AS (
+            SELECT vec_id, label,
+                   unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), ranked AS (
+            SELECT label, pos,
+                   row_number() OVER (PARTITION BY pos ORDER BY v, vec_id)
+                       - 1 AS rn,
+                   COUNT(*) OVER (PARTITION BY pos) AS n_dim
+            FROM vals
+        )
+        SELECT CAST(label AS BIGINT) AS label,
+               CAST(pos - 1 AS BIGINT) AS dim,
+               CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               CAST(SUM(rn) AS DOUBLE)
+                   / COUNT(*) / (MAX(n_dim) - 1) AS mean_qnorm
+        FROM ranked
+        GROUP BY label, pos
+    """,
+    category=CAT,
+)
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM4: per-dimension rank (quantile) normalization of the
+    embedding matrix, reported as the mean normalized rank per
+    (label, dimension) — the batch-effect-correction transform
+    (quantile normalization) from bioinformatics applied to
+    embedding columns, and a label-vs-dimension bias diagnostic: a
+    label whose mean normalized rank in some dimension sits far from
+    0.5 concentrates mass there.
+
+    Determinism: ranks are integers (ties on the float value break
+    on vec_id identically in both engines), the normalizer (N-1) is
+    an integer, and the mean divides two exact longs — one double
+    division per output row, no accumulated float state.
+
+    Scale: one shuffle keyed by dimension (64 partitions' worth of
+    window sort — each holds |vectors| rows, the classic
+    rank-per-feature layout), then a hash aggregate on (label, pos)
+    that map-side combines. At 100 TB the per-dimension sort is the
+    cost; a 1% sampled rank sketch (interpolated CDF) is the
+    documented approximation path when exact ranks stop paying.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    vals = e.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "v"),
+    )
+    w_rank = Window.partitionBy("pos0").orderBy("v", "vec_id")
+    w_dim = Window.partitionBy("pos0")
+    ranked = vals.select(
+        "label",
+        "pos0",
+        (F.row_number().over(w_rank) - 1).alias("rn"),
+        F.count(F.lit(1)).over(w_dim).alias("n_dim"),
+    )
+    return ranked.groupBy("label", "pos0").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum("rn").cast("double")
+            / F.count(F.lit(1))
+            / (F.max("n_dim") - 1)
+        ).alias("mean_qnorm"),
+    ).select(
+        F.col("label").cast("long").alias("label"),
+        F.col("pos0").cast("long").alias("dim"),
+        "n_vecs",
+        "mean_qnorm",
+    )

@@ -791,3 +791,115 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("zipf_slope"),
         F.round(intercept, 6).alias("zipf_intercept"),
     )
+
+
+@register(
+    "q_bpe_merge",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ), stream AS (
+            SELECT doc_id,
+                   unnest(toks) AS tok,
+                   unnest(generate_series(1, len(toks))) AS pos
+            FROM t
+        ), paired AS (
+            SELECT doc_id, pos, tok,
+                   LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+            FROM stream
+        ), top_pair AS (
+            SELECT tok AS w1, nxt AS w2
+            FROM paired
+            WHERE nxt IS NOT NULL AND tok <> nxt
+            GROUP BY tok, nxt
+            ORDER BY COUNT(*) DESC, tok ASC, nxt ASC
+            LIMIT 1
+        ), flagged AS (
+            SELECT doc_id, pos, tok, nxt,
+                   CASE WHEN tok = (SELECT w1 FROM top_pair)
+                         AND nxt = (SELECT w2 FROM top_pair)
+                        THEN 1 ELSE 0 END AS hit
+            FROM paired
+        ), merged AS (
+            SELECT CASE WHEN hit = 1
+                        THEN tok || ' ' || nxt
+                        ELSE tok END AS out_tok,
+                   COALESCE(LAG(hit) OVER (PARTITION BY doc_id ORDER BY pos),
+                            0) AS prev_hit
+            FROM flagged
+        )
+        SELECT out_tok AS token, cnt, rk AS rank
+        FROM (
+            SELECT out_tok,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   CAST(row_number() OVER (ORDER BY COUNT(*) DESC,
+                                           out_tok ASC) AS BIGINT) AS rk
+            FROM merged
+            WHERE prev_hit = 0
+            GROUP BY out_tok
+        )
+        WHERE rk <= 30
+    """,
+    category=CAT,
+)
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7: one byte-pair-encoding merge step at word granularity —
+    the inner loop of BPE/WordPiece vocabulary induction, run
+    corpus-wide as relational algebra instead of a single-node
+    counter loop.
+
+    Step 1 counts all adjacent token pairs (lead over a per-doc
+    position window) and picks the most frequent pair with w1 ≠ w2
+    (ties break lexicographically). Step 2 re-emits every token
+    stream with that pair fused ('w1 w2' becomes one symbol;
+    a position is dropped when its PREDECESSOR was fused) and
+    returns the new top-30 symbol frequencies. The w1 ≠ w2
+    constraint makes greedy fusion unambiguous: overlapping hits
+    would require w1 = w2, so independent per-position merging is
+    exactly the sequential left-to-right result.
+
+    Scale: two explode+window passes keyed doc_id (one shuffle each)
+    + a global pair count with map-side combine. The 1-row top pair
+    broadcasts; full BPE training iterates this operator — each
+    merge is one more pass, embarrassingly scalable, which is how
+    distributed tokenizer training actually counts pairs. The final
+    top-30 is TakeOrderedAndProject-shaped (rank filter over a
+    global window on pre-aggregated symbol counts).
+    """
+    d = load(spark, sf_dir, "documents")
+    stream = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    paired = stream.withColumn("nxt", F.lead("tok").over(w_doc))
+    top_pair = (
+        paired.filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
+        .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("pc"))
+        .orderBy(F.col("pc").desc(), "w1", "w2")
+        .limit(1)
+        .select("w1", "w2")
+    )
+    flagged = paired.join(F.broadcast(top_pair)).withColumn(
+        "hit",
+        F.when(
+            (F.col("tok") == F.col("w1")) & (F.col("nxt") == F.col("w2")), 1
+        ).otherwise(0),
+    )
+    merged = flagged.select(
+        F.when(F.col("hit") == 1, F.concat_ws(" ", "tok", "nxt"))
+        .otherwise(F.col("tok"))
+        .alias("out_tok"),
+        F.coalesce(F.lag("hit").over(w_doc), F.lit(0)).alias("prev_hit"),
+    )
+    counts = (
+        merged.filter(F.col("prev_hit") == 0)
+        .groupBy("out_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("out_tok").asc())
+    return (
+        counts.withColumn("rank", F.row_number().over(w_rank).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select(F.col("out_tok").alias("token"), "cnt", "rank")
+    )

@@ -1,0 +1,109 @@
+"""Invariant tests for the round-6 families (market-data bars, time-
+weighted metering, interval coverage, geospatial bucketing, BPE merge,
+quantile normalization) — semantic properties parity alone doesn't
+state (SURVEY.md §5.2).
+"""
+
+import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.tables import load
+
+engine.load_all_operators()
+
+
+def _run(name, spark, sf):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_ohlc_bars_are_consistent(spark, sf_small):
+    """high/low bound open/close in every bar, and tick counts are
+    positive — the defining candlestick invariants."""
+    r = _run("q_ohlc_bars", spark, sf_small).toPandas()
+    assert (r.high >= r.low).all()
+    assert (r.high >= r.open).all() and (r.high >= r.close).all()
+    assert (r.low <= r.open).all() and (r.low <= r.close).all()
+    assert (r.n_ticks > 0).all()
+
+
+def test_vwap_matches_its_own_components(spark, sf_small):
+    """vwap must equal turnover/volume recomputed from the emitted
+    exact integer components (the division is the only float op)."""
+    r = _run("q_vwap_daily", spark, sf_small).toPandas()
+    assert (r.volume >= 0).all()
+    has_vol = r[r.volume > 0]
+    recomputed = has_vol.turnover_centi / 100.0 / has_vol.volume
+    assert (abs(recomputed - has_vol.vwap) < 1e-12).all()
+    assert r[r.volume == 0].vwap.isna().all()
+
+
+def test_twa_interval_count_matches_events(spark, sf_small):
+    """Each user contributes exactly (n_events - 1) closed holding
+    intervals — the open-ended last interval is excluded."""
+    r = _run("q_time_weighted_avg", spark, sf_small).toPandas()
+    per_user = (
+        load(spark, sf_small, "events").groupBy("user_id").count().toPandas()
+    )
+    merged = r.merge(per_user, on="user_id")
+    assert (merged.n_intervals == merged["count"] - 1).all()
+    assert (merged.held_seconds >= 0).all()
+
+
+def test_interval_coverage_bounds(spark, sf_small):
+    """Union length dominates the longest island, every user has at
+    least one island, and coverage is at least one interval's minimum
+    width (10 min)."""
+    r = _run("q_interval_coverage", spark, sf_small).toPandas()
+    assert (r.n_islands >= 1).all()
+    assert (r.covered_seconds >= r.longest_island).all()
+    assert (r.covered_seconds >= 600).all()
+
+
+def test_nearest_hub_covers_every_customer(spark, sf_small):
+    """One row per customer; squared planar distance is bounded by
+    the synthetic coordinate domain's diagonal."""
+    r = _run("q_geo_nearest_hub", spark, sf_small).toPandas()
+    n_cust = load(spark, sf_small, "customer").count()
+    assert len(r) == n_cust
+    assert (r.nearest_d2 >= 0).all()
+    assert (r.nearest_d2 <= 180.0**2 + 360.0**2).all()
+
+
+def test_grid_join_cell_invariants(spark, sf_small):
+    """Close pairs never exceed candidates; cell ids stay inside the
+    18x36 ten-degree grid; same-cell distance is bounded by the cell
+    diagonal of the scaled coordinate space."""
+    r = _run("q_geo_grid_join", spark, sf_small).toPandas()
+    assert (r.n_close_pairs <= r.n_cand_pairs).all()
+    assert r.cell_lat.between(0, 17).all()
+    assert r.cell_lon.between(0, 35).all()
+    assert (r.min_d2 >= 0).all()
+    # same 10-degree cell => components differ by < 10 degrees
+    assert (r.min_d2 <= 2 * 10.0**2).all()
+
+
+def test_bpe_merge_ranking_is_well_formed(spark, sf_small):
+    """Ranks are 1..30 without gaps and counts are non-increasing in
+    rank (the tie-break sorts equal counts lexicographically)."""
+    r = (
+        _run("q_bpe_merge", spark, sf_small)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(r["rank"]) == list(range(1, len(r) + 1))
+    assert (r.cnt.diff().dropna() <= 0).all()
+    # the fused symbol (contains a space) should appear in the new
+    # vocabulary iff it won; it must never outrank its own count
+    assert (r.cnt > 0).all()
+
+
+def test_quantile_normalize_dimension_mean_is_half(spark, sf_small):
+    """Within each dimension the n_vecs-weighted mean of mean_qnorm
+    is exactly 0.5 — ranks 0..N-1 always average to (N-1)/2."""
+    r = _run("q_quantile_normalize", spark, sf_small).toPandas()
+    assert r.mean_qnorm.between(0.0, 1.0).all()
+    per_dim = r.groupby("dim").apply(
+        lambda g: (g.mean_qnorm * g.n_vecs).sum() / g.n_vecs.sum(),
+        include_groups=False,
+    )
+    assert (abs(per_dim - 0.5) < 1e-9).all()

@@ -26,17 +26,27 @@ from .registry import REGISTRY  # noqa: F401
 #
 # THIS round's composition: the 4 r01-RED queries keep their front slots
 # (their last *hard* signal is still the r01 FAIL; flipping those rows
-# green outranks everything), and the remaining 46 slots go to operators
-# that had appeared in NO round's front window when this list was built.
+# green outranks everything), and the remaining 46 slots go to the
+# classic categories VERDICT r01 "Next round #3" explicitly named as the
+# never-checked coverage gap: W1–W8, F1–F10, D1–D6, J6–J12, U1–U4,
+# O1–O3, S1–S6, X1/X3.
 #
-# NEXT-ROUND QUEUE (recompute with the snippet below; 104 ops have never
-# held a front-window slot as of end of this round). Fill the next window
-# with the VERDICT-r01-flagged classic categories FIRST — they have now
-# missed two windows: W1–W8 windows, F1–F12 scalar/json/variant functions,
-# D1–D6 UDF surface, J6–J12+J16+J17 joins, U1–U4 set ops, S1–S8
-# scans/sinks, O1–O3 ordering, q_lang_id, q_fingerprint_winnow — that's
-# ~48; top up with q_connected_clean and q_autocorr_daily. The round
-# after: the OL4–OL19 TPC-H completion set, clustering (KM1/KM2),
+# NEXT-ROUND QUEUE (recompute with the snippet below). Fill round 3's
+# window with the round-2-addition families that were bumped for the
+# classics: q_skew_salted_join q_corr_subquery q_cdc_upsert q_unpivot
+# q_string_agg q_map_funcs q_histogram q_zscore_outliers q_token_count
+# q_contamination_check q_repetition_filter q_ngram_lm_score
+# q_quality_score_model q_domain_quota q_mixture_sample q_doc_chunk
+# q_pack_sequences q_token_entropy q_train_test_split q_rare_bucket
+# q_bm25_rank q_dedup_clusters q_pagerank_dups q_embed_quantize
+# q_fuzzy_name_match q_bloom_prefilter q_cms_frequency q_gap_fill_daily
+# q_scd2_intervals q_rollup_multires q_rolling_corr q_decay_score
+# q_morton_cluster q_table_checksum q_snapshot_diff q_linreg_fit
+# q_linreg_per_group q_multimodal_decode q_pgm_decode q_wav_decode
+# q_png_decode q_frame_sample q_media_resize q_tailcut_clean
+# q_array_moments (45) + F12 VARIANT / S7 XML / S8 binaryFile / F14
+# try_* / J16 LATERAL (50). The round after: the OL4–OL19 TPC-H
+# completion set, clustering (KM1/KM2),
 # C6/X38 dedup additions, analytics/corpus/maintenance/graph round-3
 # families, q_haar_denoise and q_fft_lowpass (both upgraded to full T2 in
 # round 4 — retest), q_param_sweep (full T2, deferred by choice), and
@@ -57,61 +67,62 @@ DRIVER_PRIORITY: list[str] = [
     "q_session_window",
     "q_agg_collect",
     "q_centroid_per_label",
-    # joins / relational odds and ends
+    # VERDICT r01 "Next round #3" named these classic categories as the
+    # operative coverage gap — they fill the remaining 46 slots.
+    # W1–W8 window functions
+    "q_win_rank",
+    "q_win_topk_group",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving_avg",
+    "q_win_range_frame",
+    "q_win_ntile_pct",
+    "q_win_first_last",
+    # F1–F10 scalar functions
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_null_funcs",
+    "q_array_funcs",
+    "q_array_hof",
+    "q_explode",
+    "q_json_extract",
+    "q_cast_types",
+    # D1–D6 UDF surface
+    "q_python_udf",
+    "q_pandas_udf_scalar",
+    "q_pandas_udaf",
+    "q_apply_in_pandas",
+    "q_python_udtf",
+    "q_map_in_arrow",
+    # J6–J12 joins (incl. the VERDICT-flagged asof/interval)
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
     "q_join_cross",
-    "q_skew_salted_join",
-    "q_corr_subquery",
-    "q_cdc_upsert",
-    "q_unpivot",
-    "q_string_agg",
-    "q_map_funcs",
-    "q_histogram",
-    "q_zscore_outliers",
-    # text / LLM-data pipeline
-    "q_token_count",
-    "q_contamination_check",
-    "q_repetition_filter",
-    "q_ngram_lm_score",
-    "q_quality_score_model",
-    "q_domain_quota",
-    "q_mixture_sample",
-    "q_doc_chunk",
-    "q_pack_sequences",
-    "q_token_entropy",
-    "q_train_test_split",
-    "q_rare_bucket",
-    "q_bm25_rank",
-    # dedup / similarity extensions
-    "q_dedup_clusters",
-    "q_pagerank_dups",
-    "q_embed_quantize",
-    "q_fuzzy_name_match",
-    # sketches
-    "q_bloom_prefilter",
-    "q_cms_frequency",
-    # time series
-    "q_gap_fill_daily",
-    "q_scd2_intervals",
-    "q_rollup_multires",
-    "q_rolling_corr",
-    "q_decay_score",
-    "q_morton_cluster",
-    # reconciliation
-    "q_table_checksum",
-    "q_snapshot_diff",
-    # in-engine model fits
-    "q_linreg_fit",
-    "q_linreg_per_group",
-    # multimodal codecs + plumbing
-    "q_multimodal_decode",
-    "q_pgm_decode",
-    "q_wav_decode",
-    "q_png_decode",
-    "q_frame_sample",
-    "q_media_resize",
-    # reference analogs (full-oracle members)
-    "q_tailcut_clean",
-    "q_array_moments",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_join_interval",
+    # U1–U4 set ops
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    # O1–O3 ordering / sampling
+    "q_order_multi",
+    "q_topk_global",
+    "q_sample_deterministic",
+    # S1–S6 scans / sinks
+    "q_scan_project",
+    "q_scan_count",
+    "q_sink_roundtrip",
+    "q_csv_json_io",
+    "q_partitioned_prune",
+    "q_orc_io",
+    # X1/X3 textpipe classics from the original inventory
+    "q_lang_id",
+    "q_fingerprint_winnow",
 ]
 
 

@@ -1115,3 +1115,148 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+K_MMR = 10  # MMR picks
+MMR_CANDS = 50  # relevance-ranked candidate pool
+# λ = 0.7 re-rank weights as exact integers: score = 7·rel − 3·max_sim
+_MMR_REL_W = 7
+_MMR_DIV_W = 3
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=f"""
+        WITH RECURSIVE
+        ev AS (SELECT vec_id, generate_subscripts(embedding,1) AS pos,
+                CAST(round(CAST(unnest(embedding) AS DOUBLE)*1000000)
+                     AS BIGINT) AS v
+               FROM embeddings),
+        qv AS (SELECT pos, v FROM ev WHERE vec_id = 0),
+        cand AS (SELECT ev.vec_id AS id, SUM(ev.v * qv.v) AS rel
+                 FROM ev JOIN qv USING (pos) WHERE ev.vec_id <> 0
+                 GROUP BY ev.vec_id
+                 ORDER BY rel DESC, id ASC LIMIT {MMR_CANDS}),
+        ps AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.v * y.v) AS sim
+               FROM ev x JOIN ev y USING (pos)
+               WHERE x.vec_id IN (SELECT id FROM cand)
+                 AND y.vec_id IN (SELECT id FROM cand)
+                 AND x.vec_id <> y.vec_id
+               GROUP BY x.vec_id, y.vec_id),
+        sel AS (
+          SELECT 1 AS step, [r.id] AS picked, r.id AS pick_id,
+                 {_MMR_REL_W} * r.rel AS mmr_score
+          FROM (SELECT id, rel FROM cand
+                ORDER BY rel DESC, id ASC LIMIT 1) r
+          UNION ALL
+          SELECT s.step + 1, list_append(s.picked, w.id), w.id, w.score
+          FROM sel s, LATERAL (
+               SELECT c.id,
+                      {_MMR_REL_W}*c.rel
+                      - {_MMR_DIV_W}*(SELECT MAX(p.sim) FROM ps p
+                                      WHERE p.a = c.id
+                                        AND list_contains(s.picked, p.b))
+                          AS score
+               FROM cand c
+               WHERE NOT list_contains(s.picked, c.id)
+               ORDER BY score DESC, c.id ASC
+               LIMIT 1) w
+          WHERE s.step < {K_MMR}
+        )
+        SELECT CAST(step AS BIGINT) AS rank,
+               CAST(pick_id AS BIGINT) AS vec_id,
+               CAST(mmr_score AS BIGINT) AS mmr_score
+        FROM sel
+    """,
+    category=CAT,
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: Maximal Marginal Relevance diversified re-ranking
+    (Carbonell & Goldstein, SIGIR'98) — the retrieval step between
+    ANN candidate generation and context assembly: from the top-50
+    relevance candidates, greedily pick 10 maximizing
+    λ·relevance − (1−λ)·max-similarity-to-already-picked (λ=0.7).
+
+    Fully value-checked despite being greedy-iterative: relevance and
+    pairwise similarity are EXACT integer dot products over
+    micro-quantized vectors, and λ is the integer weight pair (7,3) —
+    so every candidate score is a BIGINT and each argmax (ties on
+    vec_id) is engine-independent. The oracle replays the identical
+    greedy loop as a recursive CTE carrying the picked set as a list.
+
+    Scale: candidate generation is the brute-force top-k (L9's shape
+    — ANN-bucketed at 100 TB); everything after operates on the
+    candidate pool only (50 rows, 2,450 pair sims), so the greedy
+    loop's cost is independent of corpus size. Each of the 9
+    iterations is a tiny distributed job over the broadcast pair-sim
+    frame; `localCheckpoint` pins the selected set per step to keep
+    the lazy plan linear (the data never reaches the driver).
+    """
+    from .clustering import _quantize_micro
+    from .llm import _vec_double
+
+    def dot(a: str, b: str):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda s, t: s + t,
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    vec = e.select("vec_id", _quantize_micro(_vec_double()).alias("xq"))
+    qv = vec.filter(F.col("vec_id") == 0).select(F.col("xq").alias("qx"))
+    cand = (
+        vec.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qv))
+        .select(F.col("vec_id").alias("id"), dot("xq", "qx").alias("rel"), "xq")
+        .orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(MMR_CANDS)
+        .localCheckpoint(eager=True)
+    )
+    a = cand.select(F.col("id").alias("a"), F.col("xq").alias("xa"))
+    b = cand.select(F.col("id").alias("b"), F.col("xq").alias("xb"))
+    ps = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", dot("xa", "xb").alias("sim"))
+        .localCheckpoint(eager=True)
+    )
+    rel = cand.select("id", "rel")
+    selected = (
+        rel.orderBy(F.col("rel").desc(), F.col("id").asc())
+        .limit(1)
+        .select(
+            F.lit(1).cast("long").alias("rank"),
+            F.col("id").alias("vec_id"),
+            (F.lit(_MMR_REL_W) * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for step in range(2, K_MMR + 1):
+        selected = selected.localCheckpoint(eager=True)
+        sel_ids = selected.select(F.col("vec_id").alias("b"))
+        maxsim = (
+            ps.join(F.broadcast(sel_ids), "b")
+            .groupBy("a")
+            .agg(F.max("sim").alias("msim"))
+        )
+        pick = (
+            rel.join(
+                selected.select(F.col("vec_id").alias("id")), "id", "left_anti"
+            )
+            .join(maxsim, F.col("id") == F.col("a"))
+            .select(
+                "id",
+                (
+                    F.lit(_MMR_REL_W) * F.col("rel")
+                    - F.lit(_MMR_DIV_W) * F.col("msim")
+                ).alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(1)
+            .select(
+                F.lit(step).cast("long").alias("rank"),
+                F.col("id").alias("vec_id"),
+                F.col("score").alias("mmr_score"),
+            )
+        )
+        selected = selected.union(pick)
+    return selected

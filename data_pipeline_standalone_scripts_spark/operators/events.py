@@ -416,3 +416,71 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(F.col("z")) > ZSCORE_CUT)
         .select("event_id", "event_type", "value", F.round("z", 6).alias("zscore"))
     )
+
+
+@register(
+    "q_session_window_native",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                                >= 1800000000
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        ), numbered AS (
+            SELECT *,
+                   CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS BIGINT) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+               strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                        '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM numbered
+        GROUP BY user_id, session_id
+    """,
+    category=CAT,
+)
+def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: sessionization through Spark's BUILT-IN session_window
+    aggregate — the native operator T3's gaps-and-islands formulation
+    emulates. One groupBy(session_window(ts, '30 minutes'), user_id),
+    no explicit window functions at all; Catalyst plans the
+    session-merge itself (UpdatingSessionsExec + MergingSessionsExec).
+
+    Semantics note the oracle mirrors exactly: Spark sessions are
+    HALF-OPEN [start, last_event + gap) — an event arriving at
+    exactly last + 30 min starts a NEW session, so the oracle's
+    island break is `gap >= 30 min`, one ulp stricter than T3's
+    `>` convention. session_end is last_event + gap (the native
+    window's `end` field), not last_event.
+
+    Scale: the native operator sorts within user partitions and
+    merges adjacent sessions in one pass — the same single-shuffle
+    cost as T3 but with the merge loop in Tungsten-generated code
+    instead of two window passes; it is also the exact operator the
+    streaming twin (streaming/jobs.py session_window_stream) runs
+    with state eviction, so batch and stream share semantics.
+    """
+    e = load(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        e.groupBy(sw, "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )

@@ -107,3 +107,34 @@ def test_quantile_normalize_dimension_mean_is_half(spark, sf_small):
         include_groups=False,
     )
     assert (abs(per_dim - 0.5) < 1e-9).all()
+
+
+def test_session_window_native_matches_gaps_and_islands(spark, sf_small):
+    """The built-in session_window operator must produce the same
+    session count and total event mass as the T3 gaps-and-islands
+    formulation (the test data has no exact-30-min gap, so the two
+    boundary conventions coincide)."""
+    native = _run("q_session_window_native", spark, sf_small).toPandas()
+    manual = _run("q_session_window", spark, sf_small).toPandas()
+    assert len(native) == len(manual)
+    assert native.n_events.sum() == manual.n_events.sum()
+    n_events = load(spark, sf_small, "events").count()
+    assert native.n_events.sum() == n_events
+    assert (native.session_end > native.session_start).all()
+
+
+def test_mmr_rerank_greedy_invariants(spark, sf_small):
+    """Greedy MMR guarantees: 10 distinct picks, the first pick is
+    the relevance argmax (score = 7·max_rel), and pick scores are
+    non-increasing (adding to the picked set can only raise the
+    diversity penalty of the remaining pool)."""
+    r = (
+        _run("q_mmr_rerank", spark, sf_small)
+        .toPandas()
+        .sort_values("rank")
+        .reset_index(drop=True)
+    )
+    assert list(r["rank"]) == list(range(1, 11))
+    assert r.vec_id.nunique() == 10
+    assert (r.mmr_score.diff().dropna() <= 0).all()
+    assert 0 not in set(r.vec_id)  # the query vector never picks itself

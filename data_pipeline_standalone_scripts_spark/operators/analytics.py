@@ -1883,3 +1883,218 @@ def q_feature_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "q_wau_mau",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+            FROM events
+        ), spine AS (
+            SELECT DISTINCT day FROM pairs
+        ), contrib7 AS (
+            SELECT p.user_id,
+                   p.day + to_days(CAST(o.o AS INTEGER)) AS day
+            FROM pairs p
+            CROSS JOIN (SELECT unnest(range(0, 7)) AS o) o
+        ), contrib28 AS (
+            SELECT p.user_id,
+                   p.day + to_days(CAST(o.o AS INTEGER)) AS day
+            FROM pairs p
+            CROSS JOIN (SELECT unnest(range(0, 28)) AS o) o
+        ), wau AS (
+            SELECT c.day, COUNT(DISTINCT c.user_id) AS wau
+            FROM contrib7 c JOIN spine s ON c.day = s.day
+            GROUP BY c.day
+        ), mau AS (
+            SELECT c.day, COUNT(DISTINCT c.user_id) AS mau
+            FROM contrib28 c JOIN spine s ON c.day = s.day
+            GROUP BY c.day
+        ), dau AS (
+            SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day
+        )
+        SELECT strftime(d.day, '%Y-%m-%d') AS day,
+               CAST(d.dau AS BIGINT) AS dau,
+               CAST(w.wau AS BIGINT) AS wau,
+               CAST(m.mau AS BIGINT) AS mau,
+               round(CAST(d.dau AS DOUBLE) / w.wau, 6) AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.day JOIN mau m ON d.day = m.day
+    """,
+    category=CAT,
+)
+def q_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN24: trailing-window distinct actives — DAU, 7-day WAU,
+    28-day MAU and the DAU/WAU stickiness ratio per day. The product
+    health dashboard's defining metrics, and the canonical
+    rolling-COUNT-DISTINCT problem (a distinct can't be windowed
+    directly — naive solutions re-scan 7/28 days of raw events per
+    day).
+
+    Formulation: the (day, user) distinct grid EXPLODES each
+    activity day forward into every trailing window it contributes
+    to (+0..6, +0..27), then one exact COUNT DISTINCT per anchor
+    day. Linear ×7/×28 blowup of the per-day-grain grid (not raw
+    events), no self-join, no re-scan.
+
+    Scale: the grid is |users|×|days| at worst — orders of magnitude
+    under the event count; both distinct aggregates shuffle on
+    (day, user) with map-side dedup. At 100 TB the exact form still
+    holds (the grid is what it is); were users×days itself huge, the
+    documented approximation is per-day HLL sketches merged across
+    the window (sketch union replaces the explode).
+    """
+    e = load(spark, sf_dir, "events")
+    pairs = e.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    spine = pairs.select("day").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+
+    def trailing(n: int, alias: str) -> DataFrame:
+        contrib = pairs.select(
+            "user_id",
+            F.explode(
+                F.expr(f"sequence(day, day + interval {n - 1} days, interval 1 day)")
+            ).alias("day"),
+        )
+        return (
+            contrib.join(spine, "day")
+            .groupBy("day")
+            .agg(F.countDistinct("user_id").alias(alias))
+        )
+
+    out = (
+        dau.join(trailing(7, "wau"), "day")
+        .join(trailing(28, "mau"), "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("dau").cast("long").alias("dau"),
+            F.col("wau").cast("long").alias("wau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau").cast("double") / F.col("wau"), 6).alias(
+                "stickiness"
+            ),
+        )
+    )
+    return out
+
+
+# Position-based (U-shaped) multi-touch credit in exact nano-units:
+# 40% first touch, 40% last touch, 20% split across middles by
+# INTEGER division (both engines floor identically; the ≤(n-3)-nano
+# per-purchase remainder is deliberately dropped on both sides).
+_POS_FIRST_NANO = 400_000_000
+_POS_LAST_NANO = 400_000_000
+_POS_MID_POOL_NANO = 200_000_000
+
+
+@register(
+    "q_attribution_position",
+    oracle=f"""
+        WITH purchases AS (
+            SELECT user_id, ts AS p_ts, event_id AS p_id
+            FROM events WHERE event_type = 'purchase'
+        ), touches AS (
+            SELECT p.p_id, e.event_type, e.ts, e.event_id
+            FROM purchases p
+            JOIN events e
+              ON e.user_id = p.user_id
+             AND e.event_type <> 'purchase'
+             AND e.ts < p.p_ts
+             AND e.ts >= p.p_ts - INTERVAL 30 MINUTE
+        ), ranked AS (
+            SELECT p_id, event_type,
+                   row_number() OVER (PARTITION BY p_id
+                                      ORDER BY ts ASC, event_id ASC) AS rn,
+                   COUNT(*) OVER (PARTITION BY p_id) AS n
+            FROM touches
+        ), credited AS (
+            SELECT event_type,
+                   CASE
+                     WHEN n = 1 THEN 1000000000
+                     WHEN rn = 1 THEN
+                       CASE WHEN n = 2 THEN 500000000
+                            ELSE {_POS_FIRST_NANO} END
+                     WHEN rn = n THEN
+                       CASE WHEN n = 2 THEN 500000000
+                            ELSE {_POS_LAST_NANO} END
+                     ELSE {_POS_MID_POOL_NANO} // (n - 2)
+                   END AS credit_nano
+            FROM ranked
+        )
+        SELECT event_type AS channel,
+               CAST(COUNT(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_nano) AS BIGINT) AS credit_nano,
+               CAST(SUM(credit_nano) AS DOUBLE) / 1000000000.0
+                   AS credited_conversions
+        FROM credited
+        GROUP BY event_type
+    """,
+    category=CAT,
+)
+def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN25: position-based (U-shaped) multi-touch attribution — each
+    purchase's 30-minute touch path credits 40% to the first touch,
+    40% to the last, 20% split across the middles (single touch
+    100%, two touches 50/50). Complements AN10's last-touch model
+    with the standard multi-touch alternative.
+
+    Exactness: credit is integer nano-units; the middle share uses
+    integer division (both engines floor identically), deliberately
+    dropping the ≤(n-3)-nano remainder on BOTH sides rather than
+    spreading float residue. Path order ties on (ts, event_id).
+
+    Scale: the touch join shuffles on user_id only (equality key
+    narrows the time-range predicate, J10/J11 discipline); the
+    per-purchase window runs on the already-joined touch rows, and
+    the channel rollup map-side combines to |channels| rows.
+    """
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches = e.filter(F.col("event_type") != "purchase").alias("t").join(
+        purchases.alias("p"),
+        (F.col("t.user_id") == F.col("p.user_id"))
+        & (F.col("t.ts") < F.col("p.p_ts"))
+        & (F.col("t.ts") >= F.col("p.p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    w_path = Window.partitionBy("p_id").orderBy(
+        F.col("t.ts").asc(), F.col("t.event_id").asc()
+    )
+    w_n = Window.partitionBy("p_id")
+    ranked = touches.select(
+        "p_id",
+        F.col("t.event_type").alias("event_type"),
+        F.row_number().over(w_path).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1_000_000_000))
+        .when(
+            F.col("rn") == 1,
+            F.when(F.col("n") == 2, F.lit(500_000_000)).otherwise(
+                F.lit(_POS_FIRST_NANO)
+            ),
+        )
+        .when(
+            F.col("rn") == F.col("n"),
+            F.when(F.col("n") == 2, F.lit(500_000_000)).otherwise(
+                F.lit(_POS_LAST_NANO)
+            ),
+        )
+        .otherwise(F.expr(f"{_POS_MID_POOL_NANO} div (n - 2)"))
+        .cast("long")
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit_nano"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit_nano").alias("credit_nano"),
+            (F.sum("credit_nano").cast("double") / 1_000_000_000.0).alias(
+                "credited_conversions"
+            ),
+        )
+    )

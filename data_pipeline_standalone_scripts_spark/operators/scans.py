@@ -532,3 +532,84 @@ def q_dynamic_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "q_csv_corrupt_records",
+    oracle="""
+        SELECT 'corrupt' AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM orders WHERE o_orderkey % 37 = 0
+        UNION ALL
+        SELECT 'good' AS status,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(o_orderkey) AS BIGINT) AS key_checksum
+        FROM orders WHERE o_orderkey % 37 <> 0
+    """,
+    category=CAT,
+)
+def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: malformed-input accounting through PERMISSIVE CSV parsing
+    — the ingest-robustness surface every production loader needs.
+    A CSV export of `orders` is deterministically vandalized (every
+    o_orderkey divisible by 37 gets a non-numeric totalprice field);
+    the read-back uses an explicit schema plus a corrupt-record
+    column, and the query reports row counts and key checksums per
+    parse status. The oracle derives the same ledger arithmetically
+    from the vandalism rule — so the CSV writer, the PERMISSIVE
+    parser, and the corrupt-row capture are all value-checked.
+
+    Corrupt rows keep their raw line in `_corrupt_record`; their key
+    is recovered from the raw text (split on the delimiter), proving
+    quarantined rows stay re-processable — the badRecordsPath
+    contract. Scale: both passes are narrow scans; PERMISSIVE parse
+    state is per-row, so a corrupted shard never fails a 100 TB load.
+    """
+    out_dir = _scratch_dir("corrupt_csv")
+    o = load(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",",
+        F.col("o_orderkey"),
+        F.col("o_custkey"),
+        F.when(
+            F.col("o_orderkey") % 37 == 0,
+            F.concat(F.lit("BAD_"), F.col("o_totalprice").cast("string")),
+        ).otherwise(F.col("o_totalprice").cast("string")),
+        F.col("o_orderpriority"),
+    )
+    o.select(line.alias("value")).write.mode("overwrite").text(out_dir)
+    schema = (
+        "o_orderkey long, o_custkey long, o_totalprice double, "
+        "o_orderpriority string, _corrupt_record string"
+    )
+    # The documented _corrupt_record gotcha: CSV column pruning parses
+    # only referenced columns, so a query touching just the corrupt
+    # column sees a clean pruned parse and NULLs everywhere. cache()
+    # is the idiom Spark's docs prescribe — the materialization parses
+    # the full schema once. Belt-and-braces, status also keys off the
+    # vandalized field being unparseable (NULL), which this
+    # construction guarantees iff the row was corrupted.
+    back = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out_dir)
+        .cache()
+    )
+    status = F.when(
+        F.col("_corrupt_record").isNotNull() | F.col("o_totalprice").isNull(),
+        "corrupt",
+    ).otherwise("good")
+    key = F.coalesce(
+        F.col("o_orderkey"),
+        F.split(F.col("_corrupt_record"), ",").getItem(0).cast("long"),
+    )
+    return (
+        back.select(status.alias("status"), key.alias("k"))
+        .groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("key_checksum"),
+        )
+    )

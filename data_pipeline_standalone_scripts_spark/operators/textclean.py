@@ -681,3 +681,76 @@ def q_cidr_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block")
     )
+
+
+@register(
+    "q_l_diversity",
+    oracle="""
+        WITH qi AS (
+            SELECT o.o_orderkey, o.o_orderpriority,
+                   c.c_mktsegment,
+                   CAST(c.c_nationkey // 5 AS BIGINT) AS region_bucket,
+                   CAST(LEAST(floor((c.c_acctbal + 1000) / 2000), 5) AS BIGINT)
+                       AS balance_band
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), classes AS (
+            SELECT c_mktsegment, region_bucket, balance_band,
+                   COUNT(*) AS class_rows,
+                   COUNT(DISTINCT o_orderpriority) AS l
+            FROM qi GROUP BY 1, 2, 3
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(l) AS BIGINT) AS min_l,
+               CAST(SUM(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS classes_below_l,
+               CAST(SUM(CASE WHEN l < 3 THEN class_rows ELSE 0 END) AS BIGINT)
+                   AS rows_at_risk,
+               round(CAST(SUM(l * class_rows) AS DOUBLE) / SUM(class_rows), 6)
+                   AS weighted_mean_l
+        FROM classes
+    """,
+    category=CAT,
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI9: l-diversity audit (l=3) — the companion gate to PI7's
+    k-anonymity (Machanavajjhala 2007): a class can be k-anonymous
+    yet leak its sensitive value when every member shares it. Using
+    PI7's quasi-identifier tuple and order priority as the sensitive
+    attribute, count equivalence classes whose sensitive-value
+    diversity falls below l and the fact rows they expose.
+
+    Scale: one fact⋈dimension join (customer broadcasts or co-keys
+    on custkey), then a two-level aggregate — class grain first
+    (COUNT DISTINCT shuffles on class+value with map-side dedup),
+    then algebra on the bounded class frame. Same one-scan audit
+    cost shape as PI7 regardless of table size.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    qi = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        "o_orderpriority",
+        "c_mktsegment",
+        F.expr("c_nationkey div 5").cast("long").alias("region_bucket"),
+        F.least(F.floor((F.col("c_acctbal") + 1000) / 2000), F.lit(5))
+        .cast("long")
+        .alias("balance_band"),
+    )
+    classes = qi.groupBy("c_mktsegment", "region_bucket", "balance_band").agg(
+        F.count(F.lit(1)).alias("class_rows"),
+        F.countDistinct("o_orderpriority").alias("l"),
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.min("l").cast("long").alias("min_l"),
+        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
+        .cast("long")
+        .alias("classes_below_l"),
+        F.sum(F.when(F.col("l") < 3, F.col("class_rows")).otherwise(0))
+        .cast("long")
+        .alias("rows_at_risk"),
+        F.round(
+            F.sum(F.col("l") * F.col("class_rows")).cast("double")
+            / F.sum("class_rows"),
+            6,
+        ).alias("weighted_mean_l"),
+    )

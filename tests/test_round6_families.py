@@ -138,3 +138,58 @@ def test_mmr_rerank_greedy_invariants(spark, sf_small):
     assert r.vec_id.nunique() == 10
     assert (r.mmr_score.diff().dropna() <= 0).all()
     assert 0 not in set(r.vec_id)  # the query vector never picks itself
+
+
+def test_csv_corrupt_accounting_matches_vandalism_rule(spark, sf_small):
+    """good + corrupt row counts and key checksums must partition the
+    source table exactly per the deterministic vandalism rule."""
+    r = _run("q_csv_corrupt_records", spark, sf_small).toPandas()
+    r = r.set_index("status")
+    o = load(spark, sf_small, "orders").toPandas()
+    bad = o[o.o_orderkey % 37 == 0]
+    assert r.loc["corrupt", "n"] == len(bad)
+    assert r.loc["good", "n"] == len(o) - len(bad)
+    assert r.loc["corrupt", "key_checksum"] == bad.o_orderkey.sum()
+    assert r.n.sum() == len(o)
+
+
+def test_wau_mau_windows_nest(spark, sf_small):
+    """DAU <= WAU <= MAU per day (trailing windows nest), and
+    stickiness = DAU/WAU stays in (0, 1]."""
+    r = _run("q_wau_mau", spark, sf_small).toPandas()
+    assert (r.dau <= r.wau).all()
+    assert (r.wau <= r.mau).all()
+    assert (r.stickiness > 0).all() and (r.stickiness <= 1.0).all()
+
+
+def test_position_attribution_credit_conserves(spark, sf_small):
+    """Total credit equals one conversion per attributed purchase,
+    minus only the deliberately-dropped integer-division remainders
+    (< 1e-6 of a conversion each)."""
+    import pyspark.sql.functions as F
+
+    r = _run("q_attribution_position", spark, sf_small).toPandas()
+    e = load(spark, sf_small, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    )
+    touches = e.filter(F.col("event_type") != "purchase").alias("t").join(
+        purchases.alias("p"),
+        (F.col("t.user_id") == F.col("p.user_id"))
+        & (F.col("t.ts") < F.col("p.p_ts"))
+        & (F.col("t.ts") >= F.col("p.p_ts") - F.expr("INTERVAL 30 MINUTES")),
+    )
+    n_attributed = touches.select("p_id").distinct().count()
+    total = r.credit_nano.sum()
+    assert total <= n_attributed * 1_000_000_000
+    # each purchase drops at most (n-3) nanos to integer division
+    assert total >= n_attributed * 1_000_000_000 - r.n_touches.sum()
+
+
+def test_l_diversity_bounds(spark, sf_small):
+    """l is at least 1 everywhere, the weighted mean dominates the
+    minimum, and at-risk classes never exceed the class count."""
+    r = _run("q_l_diversity", spark, sf_small).toPandas().iloc[0]
+    assert r.min_l >= 1
+    assert r.weighted_mean_l >= r.min_l
+    assert r.classes_below_l <= r.n_classes

@@ -128,6 +128,23 @@ def dedup_stream(events: DataFrame) -> DataFrame:
     return events.dropDuplicates(["user_id", "event_type"])
 
 
+def dedup_within_watermark_stream(
+    events: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """T4b twin: BOUNDED-state streaming dedup via
+    dropDuplicatesWithinWatermark — the production form for unbounded
+    key spaces. State for a key lives only until the watermark passes
+    its event time; a duplicate arriving within the horizon is
+    dropped, one arriving after state eviction RE-EMITS (the
+    documented at-least-once-per-horizon contract, traded for O(1)
+    state). The PT test pins both halves of that contract across
+    checkpointed restarts; the unbounded exact form stays
+    dedup_stream above."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def late_data_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """T5: watermarked tumbling agg in APPEND mode — rows later than
     the watermark are dropped from their (closed) windows; the test

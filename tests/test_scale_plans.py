@@ -472,3 +472,63 @@ def test_label_propagation_reuses_edge_partitioning(spark, sf_med):
     # per-iteration joins add no exchange on the edge side
     assert "hashpartitioning(u" in plan
     spark.catalog.clearCache()
+
+
+def test_ohlc_is_single_agg_no_window(spark, sf_med):
+    """FIN1: the struct-MIN/MAX open/close pick must keep OHLC a pure
+    two-phase hash aggregate — no window operator, exactly one
+    exchange carrying per-(type,hour) partials."""
+    plan = plan_of(REGISTRY["q_ohlc_bars"].fn(spark, sf_med))
+    assert "Window" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_twa_window_and_agg_share_user_partitioning(spark, sf_med):
+    """FIN3: the lead window and the per-user aggregate must reuse ONE
+    user_id hash partitioning — a second exchange would shuffle the
+    fact twice at 100 TB."""
+    plan = plan_of(REGISTRY["q_time_weighted_avg"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_interval_coverage_single_shuffle(spark, sf_med):
+    """FIN4: both sweep windows and both aggregates key on user_id —
+    one exchange total."""
+    plan = plan_of(REGISTRY["q_interval_coverage"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+
+
+def test_nearest_hub_broadcasts_and_preaggregates(spark, sf_med):
+    """GEO1: the hub fan-out must be a broadcast nested loop with a
+    map-side partial MIN — the point table itself is never exchanged
+    with the x25 blowup."""
+    plan = plan_of(REGISTRY["q_geo_nearest_hub"].fn(spark, sf_med))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_min" in plan
+
+
+def test_grid_join_agg_reuses_cell_partitioning(spark, sf_med):
+    """GEO2: the cell equi-join and the per-cell rollup share the
+    (cell_lat, cell_lon) partitioning — two scan-side exchanges (one
+    per side), none after the join."""
+    plan = plan_of(REGISTRY["q_geo_grid_join"].fn(spark, sf_med))
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchange <= 2, plan
+
+
+def test_wau_mau_has_no_cartesian(spark, sf_med):
+    """AN24: trailing windows come from explode-forward, never from a
+    day-range theta join (which plans as BroadcastNestedLoop)."""
+    plan = plan_of(REGISTRY["q_wau_mau"].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan  # the explode
+
+
+def test_l_diversity_broadcasts_dimension(spark, sf_med):
+    """PI9: the customer dimension broadcasts into the fact scan."""
+    plan = plan_of(REGISTRY["q_l_diversity"].fn(spark, sf_med))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -385,3 +385,56 @@ def test_foreachbatch_upsert_state_matches_batch(spark, sf_small, staged, tmp_pa
     # one state row per user, batch log monotone
     users = [r[0] for r in got]
     assert len(users) == len(set(users))
+
+
+def test_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark contract, both halves: a
+    duplicate inside the watermark horizon is dropped, and the same
+    key RE-EMITS once the watermark has evicted its state — the
+    bounded-state trade the exact dropDuplicates form doesn't make.
+    Modeled as checkpointed restarts so the persisted watermark is
+    operative at each batch start (same harness as the late-row test)."""
+    import json
+
+    d = tmp_path / "ddw_src"
+    ck = str(tmp_path / "ddw_ck")
+    d.mkdir()
+    collected = []
+
+    def run_once():
+        stream = jobs.dedup_within_watermark_stream(
+            jobs.read_event_stream(spark, str(d))
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, eid: collected.extend(df.collect()))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def row(eid, ts, uid, etype):
+        return {"event_id": eid, "ts": ts, "user_id": uid,
+                "event_type": etype, "value": 1.0, "props": "{}"}
+
+    # batch 0: duplicate within the 10-min horizon -> dropped
+    (d / "chunk-0.json").write_text(
+        "\n".join(json.dumps(r) for r in [
+            row(1, "2024-01-01 00:00:00", 1, "click"),
+            row(2, "2024-01-01 00:05:00", 1, "click"),
+        ])
+    )
+    run_once()
+    key_rows = [r for r in collected if (r["user_id"], r["event_type"]) == (1, "click")]
+    assert len(key_rows) == 1, "in-horizon duplicate must be dropped"
+
+    # batch 1: unrelated key advances the watermark to 01:20
+    (d / "chunk-1.json").write_text(json.dumps(row(3, "2024-01-01 01:30:00", 9, "view")))
+    run_once()
+
+    # batch 2: same key far beyond the horizon -> state evicted, re-emits
+    (d / "chunk-2.json").write_text(json.dumps(row(4, "2024-01-01 02:00:00", 1, "click")))
+    run_once()
+    key_rows = [r for r in collected if (r["user_id"], r["event_type"]) == (1, "click")]
+    assert len(key_rows) == 2, "post-eviction duplicate must re-emit"

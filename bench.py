@@ -57,6 +57,11 @@ HEADLINE = {
     "emb_kmeans": "q_kmeans_embed",
     "emb_power_iteration_pc": "q_power_iteration_pc",
     "docs_curation_funnel": "q_curation_funnel",
+    # round-6 rows (BASELINE.md "pipeline ops")
+    "events_ohlc_bars": "q_ohlc_bars",
+    "events_wau_mau": "q_wau_mau",
+    "events_interval_coverage": "q_interval_coverage",
+    "docs_bpe_merge": "q_bpe_merge",
 }
 
 N_RUNS = 5

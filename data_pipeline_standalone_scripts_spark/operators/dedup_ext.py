@@ -1137,11 +1137,11 @@ _MMR_DIV_W = 3
                  FROM ev JOIN qv USING (pos) WHERE ev.vec_id <> 0
                  GROUP BY ev.vec_id
                  ORDER BY rel DESC, id ASC LIMIT {MMR_CANDS}),
+        cev AS (SELECT vec_id, pos, v FROM ev
+                WHERE vec_id IN (SELECT id FROM cand)),
         ps AS (SELECT x.vec_id AS a, y.vec_id AS b, SUM(x.v * y.v) AS sim
-               FROM ev x JOIN ev y USING (pos)
-               WHERE x.vec_id IN (SELECT id FROM cand)
-                 AND y.vec_id IN (SELECT id FROM cand)
-                 AND x.vec_id <> y.vec_id
+               FROM cev x JOIN cev y USING (pos)
+               WHERE x.vec_id <> y.vec_id
                GROUP BY x.vec_id, y.vec_id),
         sel AS (
           SELECT 1 AS step, [r.id] AS picked, r.id AS pick_id,

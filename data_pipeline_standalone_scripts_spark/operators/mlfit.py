@@ -246,3 +246,205 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("z_bin")
     )
+
+
+# DCG position discounts round(1e9/log2(i+1)) for i=1..10 as exact
+# nano-unit literals — libm never runs at query time, so both engines
+# use the SAME integers and NDCG is an exact-long ratio.
+_DCG_NANO = (
+    1000000000, 630929754, 500000000, 430676558, 386852807,
+    356207187, 333333333, 315464877, 301029996, 289064826,
+)
+_IDCG10_NANO = sum(_DCG_NANO)
+_NDCG_QUERIES = 5
+_NDCG_K = 10
+
+
+def _dcg_case(rk_col: str) -> str:
+    whens = " ".join(
+        f"WHEN {i + 1} THEN {c}" for i, c in enumerate(_DCG_NANO)
+    )
+    return f"CASE {rk_col} {whens} END"
+
+
+@register(
+    "q_ndcg_eval",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM embeddings
+        ), qv AS (
+            SELECT vec_id AS qid, label AS qlabel, pos, v
+            FROM ev WHERE vec_id < {_NDCG_QUERIES}
+        ), scored AS (
+            SELECT q.qid, q.qlabel, e.vec_id, e.label,
+                   SUM(e.v * q.v) AS dot
+            FROM ev e JOIN qv q USING (pos)
+            WHERE e.vec_id <> q.qid
+            GROUP BY q.qid, q.qlabel, e.vec_id, e.label
+        ), ranked AS (
+            SELECT qid, qlabel, label,
+                   row_number() OVER (PARTITION BY qid
+                                      ORDER BY dot DESC, vec_id ASC) AS rk
+            FROM scored
+            QUALIFY rk <= {_NDCG_K}
+        )
+        SELECT CAST(qid AS BIGINT) AS query_id,
+               CAST(SUM(CASE WHEN label = qlabel THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relevant_at10,
+               CAST(SUM(CASE WHEN label = qlabel
+                             THEN {_dcg_case('rk')} ELSE 0 END)
+                    AS BIGINT) AS dcg_nano,
+               round(CAST(SUM(CASE WHEN label = qlabel
+                                   THEN {_dcg_case('rk')} ELSE 0 END)
+                          AS DOUBLE) / {_IDCG10_NANO}, 6) AS ndcg
+        FROM ranked
+        GROUP BY qid
+    """,
+    category=CAT,
+)
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4: NDCG@10 retrieval evaluation — for each of 5 query
+    vectors, rank the corpus by exact integer dot product and score
+    the ranking against same-label relevance with the standard
+    log2-discounted cumulative gain. The metric that grades L9/X42
+    style retrieval end to end.
+
+    Exactness: the position discounts 1/log2(i+1) are PRE-ROUNDED
+    nano-unit literals baked into both engines' queries, so no libm
+    call happens at query time; DCG is an exact BIGINT and NDCG one
+    final division. IDCG truncates at k=10 with all-relevant ideal —
+    valid because every label has ≥ k corpus members at both test
+    scales (50-ish per label; documented assumption).
+
+    Scale: query vectors broadcast (5×64 longs); scoring is one
+    corpus scan with map-side partial sums per (query, doc); the
+    per-query window ranks |queries|×|corpus| rows — at 100 TB the
+    ranking comes from the ANN path (X6/X17) instead, and this
+    operator evaluates its output unchanged.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .clustering import _quantize_micro
+    from .llm import _vec_double
+
+    e = load(spark, sf_dir, "embeddings")
+    vec = e.select("vec_id", "label", _quantize_micro(_vec_double()).alias("xq"))
+    qv = vec.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("xq").alias("qx"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xq", "qx", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, t: s + t,
+    )
+    scored = (
+        vec.join(F.broadcast(qv), F.col("vec_id") != F.col("qid"))
+        .select("qid", "qlabel", "vec_id", "label", dot.alias("dot"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dot").desc(), F.col("vec_id").asc())
+    ranked = scored.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _NDCG_K
+    )
+    gain = F.when(
+        F.col("label") == F.col("qlabel"), F.expr(_dcg_case("rk"))
+    ).otherwise(F.lit(0))
+    rel = F.when(F.col("label") == F.col("qlabel"), 1).otherwise(0)
+    return ranked.groupBy(F.col("qid").cast("long").alias("query_id")).agg(
+        F.sum(rel).cast("long").alias("n_relevant_at10"),
+        F.sum(gain).cast("long").alias("dcg_nano"),
+        F.round(
+            F.sum(gain).cast("double") / float(_IDCG10_NANO), 6
+        ).alias("ndcg"),
+    )
+
+
+@register(
+    "q_auc_score",
+    oracle="""
+        WITH sc AS (
+            SELECT doc_id,
+                   CAST(lang = 'en' AS INTEGER) AS y,
+                   n_chars * 1000 + doc_id % 1000 AS score
+            FROM documents
+        ), ranked AS (
+            SELECT y,
+                   rank() OVER (ORDER BY score ASC) AS rk_lo,
+                   COUNT(*) OVER (PARTITION BY score) AS ties
+            FROM sc
+        )
+        SELECT CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_neg,
+               CAST(SUM(CASE WHEN y = 1
+                             THEN 2 * rk_lo + ties - 1 ELSE 0 END)
+                    AS BIGINT) AS rank_sum_x2,
+               round((CAST(SUM(CASE WHEN y = 1
+                                    THEN 2 * rk_lo + ties - 1
+                                    ELSE 0 END) AS DOUBLE) / 2.0
+                      - CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                        * (SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) + 1)
+                        / 2.0)
+                     / (CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)
+                             AS DOUBLE)
+                        * SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END)),
+                     6) AS auc
+        FROM ranked
+    """,
+    category=CAT,
+)
+def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5: ROC AUC via the rank-sum (Mann–Whitney) identity —
+    AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) where R₁ is the positive
+    class's tie-averaged rank sum. Scores a deterministic classifier
+    (length-based score with a doc_id jitter term making most scores
+    unique) against the lang=='en' label; the standard
+    threshold-free eval for the quality models (q_quality_score_model,
+    q_calibration_bins).
+
+    Exactness: tie-averaged ranks are carried DOUBLED
+    (2·rank_lo + ties − 1 — the same exact-long trick as ST2
+    q_mannwhitney_u), so the rank sum is an exact BIGINT and AUC is
+    one final rational expression of longs. Integer scores mean tie
+    structure is engine-identical by construction.
+
+    Scale: one global rank over the score column — the sort every
+    AUC computation needs; at extreme scale the documented swap is
+    binned AUC over an equi-depth histogram (trapezoidal on ~1e4
+    bins), same downstream algebra.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sc = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") * 1000 + F.col("doc_id") % 1000).alias("score"),
+    )
+    ranked = sc.select(
+        "y",
+        F.rank().over(Window.orderBy(F.col("score").asc())).alias("rk_lo"),
+        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("ties"),
+    )
+    pos = F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
+    neg = F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
+    r2 = F.sum(
+        F.when(F.col("y") == 1, 2 * F.col("rk_lo") + F.col("ties") - 1).otherwise(0)
+    )
+    auc = (
+        r2.cast("double") / 2.0 - pos.cast("double") * (pos + 1) / 2.0
+    ) / (pos.cast("double") * neg)
+    return ranked.agg(
+        pos.cast("long").alias("n_pos"),
+        neg.cast("long").alias("n_neg"),
+        r2.cast("long").alias("rank_sum_x2"),
+        F.round(auc, 6).alias("auc"),
+    )

@@ -613,3 +613,101 @@ def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("key_checksum"),
         )
     )
+
+
+class _SyntheticSeriesSource:
+    """Spark 4 Python DataSource (S13): a deterministic synthetic
+    series generator registered as a first-class `spark.read.format`
+    source — the custom-connector surface (pyspark.sql.datasource),
+    new in Spark 4. Each of N_PARTS partitions yields ROWS_PER rows
+    (gid, part, v) by pure arithmetic, so the oracle recomputes the
+    scan's aggregate from the generation rule alone — proving the
+    reader's partition planning and row emission are lossless.
+
+    Defined lazily inside a factory because pyspark.sql.datasource
+    classes must be importable in the Python worker; the module-level
+    factory keeps the operator import-cheap."""
+
+    N_PARTS = 8
+    ROWS_PER = 10_000
+
+
+def _register_synthetic_source(spark: SparkSession) -> None:
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    n_parts = _SyntheticSeriesSource.N_PARTS
+    rows_per = _SyntheticSeriesSource.ROWS_PER
+
+    class SyntheticReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(i) for i in range(n_parts)]
+
+        def read(self, partition):
+            p = partition.value
+            base = p * rows_per
+            for i in range(rows_per):
+                gid = base + i
+                # deterministic value: a quadratic residue walk
+                yield (gid, p, (gid * gid) % 997)
+
+    class SyntheticSource(DataSource):
+        @classmethod
+        def name(cls):
+            return "synthetic_series"
+
+        def schema(self):
+            return "gid long, part int, v long"
+
+        def reader(self, schema):
+            return SyntheticReader()
+
+    spark.dataSource.register(SyntheticSource)
+
+
+@register(
+    "q_python_datasource",
+    oracle=f"""
+        WITH g AS (
+            SELECT gid,
+                   CAST(gid // {_SyntheticSeriesSource.ROWS_PER} AS INTEGER)
+                       AS part,
+                   (gid * gid) % 997 AS v
+            FROM (SELECT unnest(range(0,
+                    {_SyntheticSeriesSource.N_PARTS
+                     * _SyntheticSeriesSource.ROWS_PER})) AS gid)
+        )
+        SELECT part,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS v_sum,
+               CAST(SUM(gid) AS BIGINT) AS gid_checksum
+        FROM g GROUP BY part
+    """,
+    category=CAT,
+)
+def q_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: scan through a REGISTERED Spark 4 Python DataSource
+    (`spark.dataSource.register` + `spark.read.format(...)`) — the
+    custom-connector API every bespoke feed (internal service,
+    proprietary format) plugs into. The source plans 8 partitions of
+    10 k deterministic rows; the per-partition aggregate is checked
+    against the generation rule recomputed in SQL, so partition
+    planning, worker-side row emission, and Arrow transfer are all
+    value-verified.
+
+    Scale: partitions() is the parallelism contract — a real
+    connector returns one InputPartition per shard/file/split and
+    each executor pulls only its split (here: arithmetic, no I/O).
+    Python-source rows cross into the JVM via Arrow batches — the
+    same boundary cost profile as mapInPandas (D4/D6).
+    """
+    _register_synthetic_source(spark)
+    df = spark.read.format("synthetic_series").load()
+    return df.groupBy("part").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("v_sum"),
+        F.sum("gid").alias("gid_checksum"),
+    )

@@ -193,3 +193,33 @@ def test_l_diversity_bounds(spark, sf_small):
     assert r.min_l >= 1
     assert r.weighted_mean_l >= r.min_l
     assert r.classes_below_l <= r.n_classes
+
+
+def test_python_datasource_partition_planning(spark, sf_small):
+    """The custom source must emit exactly ROWS_PER rows per planned
+    partition with the arithmetic checksum intact."""
+    r = _run("q_python_datasource", spark, sf_small).toPandas()
+    assert len(r) == 8
+    assert (r.n == 10_000).all()
+    assert r.gid_checksum.sum() == 80_000 * 79_999 // 2
+
+
+def test_ndcg_is_normalized(spark, sf_small):
+    """NDCG in [0,1], relevance capped at k, DCG never exceeds the
+    all-relevant ideal."""
+    r = _run("q_ndcg_eval", spark, sf_small).toPandas()
+    assert len(r) == 5
+    assert r.ndcg.between(0.0, 1.0).all()
+    assert r.n_relevant_at10.between(0, 10).all()
+    assert (r.dcg_nano <= 4543559338).all()
+
+
+def test_auc_rank_sum_identity(spark, sf_small):
+    """Class counts partition the corpus; the doubled rank sum stays
+    inside its combinatorial bounds; AUC in [0,1]."""
+    r = _run("q_auc_score", spark, sf_small).toPandas().iloc[0]
+    n_docs = load(spark, sf_small, "documents").count()
+    assert r.n_pos + r.n_neg == n_docs
+    n, p = int(r.n_pos + r.n_neg), int(r.n_pos)
+    assert p * (p + 1) <= r.rank_sum_x2 <= p * (2 * n - p + 1)
+    assert 0.0 <= r.auc <= 1.0

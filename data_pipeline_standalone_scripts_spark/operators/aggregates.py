@@ -605,3 +605,45 @@ def q_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# Pipe-syntax query (Spark 4 / GoogleSQL "FROM ... |>"): the Spark
+# side runs THIS text; the oracle states the identical semantics in
+# classic SQL (DuckDB has no pipe parser), so the check covers the
+# pipe operators' desugaring, not just the arithmetic.
+_PIPE_SQL = """
+    FROM orders
+    |> WHERE o_orderstatus = 'F'
+    |> EXTEND CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+    |> AGGREGATE COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS total_cents
+       GROUP BY o_orderpriority
+    |> WHERE n >= 10
+"""
+
+_PIPE_ORACLE = """
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) >= 10
+"""
+
+
+@register("q_pipe_sql", oracle=_PIPE_ORACLE, category="aggregates")
+def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: SQL pipe syntax (`FROM t |> WHERE … |> AGGREGATE …`) —
+    Spark 4's GoogleSQL-style linear query form. The pipe text
+    exercises WHERE, EXTEND (computed column), AGGREGATE … GROUP BY,
+    and a post-aggregation WHERE (pipe's HAVING); the oracle is the
+    classic-SQL equivalent, so the desugaring itself is value-checked.
+
+    Scale: pure parser surface — the pipe form resolves to the same
+    optimized plan (pushed filter, two-phase hash aggregate) as the
+    classic text; nothing physical changes.
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "orders")
+    return spark.sql(_PIPE_SQL)

@@ -2098,3 +2098,51 @@ def q_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register("q_wau_hll", oracle=None, check="T2w", category=CAT)
+def q_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN26: approximate trailing-7-day actives via Datasketches HLL
+    union — the documented 100 TB swap for AN24's exact explode-
+    forward WAU. One HLL sketch per (day) aggregates once over the
+    per-day grain; each anchor day then UNIONS the 7 sketches in its
+    trailing window (`hll_union_agg`) and estimates. Sketch bytes
+    replace the user-id explode: state per day is the sketch's fixed
+    ~2^12 buckets regardless of user cardinality.
+
+    T2w (rows-only) by necessity: DuckDB has no bit-compatible HLL
+    twin. The pytest invariant pins the estimate to within the
+    sketch's error envelope of the EXACT q_wau_mau answer per day
+    (lgK=12 ⇒ ~1.6% rsd; asserted at 5σ), which is a stronger check
+    than any fixed golden value.
+
+    Scale: per-day sketches are a map-side-combinable aggregate; the
+    window union touches 7 sketch blobs per day — O(|days| × 7 ×
+    2^12 bytes) total, independent of user count.
+    """
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .groupBy("day")
+        .agg(F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    )
+    spine = daily.select(F.col("day").alias("anchor"))
+    contrib = daily.select(
+        "sk",
+        F.explode(
+            F.expr("sequence(day, day + interval 6 days, interval 1 day)")
+        ).alias("anchor"),
+    )
+    return (
+        contrib.join(spine, "anchor")
+        .groupBy("anchor")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias(
+                "wau_estimate"
+            )
+        )
+        .select(
+            F.date_format("anchor", "yyyy-MM-dd").alias("day"),
+            F.col("wau_estimate").cast("long").alias("wau_estimate"),
+        )
+    )

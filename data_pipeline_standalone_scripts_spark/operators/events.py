@@ -484,3 +484,69 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_out_of_order_report",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id,
+                   epoch_us(ts) AS t_us,
+                   MAX(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY event_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS seen_max_us
+            FROM events
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN t_us < seen_max_us THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_out_of_order,
+               CAST(COALESCE(MAX(CASE WHEN t_us < seen_max_us
+                                      THEN seen_max_us - t_us END), 0)
+                    AS BIGINT) AS max_regression_us,
+               CAST(COUNT(DISTINCT CASE WHEN t_us < seen_max_us
+                                        THEN user_id END)
+                    AS BIGINT) AS affected_users
+        FROM seq
+    """,
+    category=CAT,
+)
+def q_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: event-time disorder diagnostic — treating arrival order as
+    event_id order (the generator's append sequence), count events
+    whose timestamp regresses behind the per-user running maximum,
+    and the worst regression. THE report that picks a streaming
+    watermark delay: max_regression bounds the lateness a watermark
+    must tolerate before T5-style drops begin (here the generator is
+    order-preserving, so the report proves in-orderness — equally
+    load-bearing as a data-quality gate).
+
+    Scale: one user-keyed window with O(1) running-max state, then a
+    global single-row rollup; the COUNT DISTINCT collapses to the
+    affected-user set only.
+    """
+    e = load(spark, sf_dir, "events")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = e.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t_us"),
+    ).withColumn("seen_max_us", F.max("t_us").over(w_prev))
+    late = F.col("t_us") < F.col("seen_max_us")
+    return seq.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("long").alias("n_out_of_order"),
+        F.coalesce(
+            F.max(F.when(late, F.col("seen_max_us") - F.col("t_us"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("max_regression_us"),
+        F.countDistinct(F.when(late, F.col("user_id")))
+        .cast("long")
+        .alias("affected_users"),
+    )

@@ -223,3 +223,26 @@ def test_auc_rank_sum_identity(spark, sf_small):
     n, p = int(r.n_pos + r.n_neg), int(r.n_pos)
     assert p * (p + 1) <= r.rank_sum_x2 <= p * (2 * n - p + 1)
     assert 0.0 <= r.auc <= 1.0
+
+
+def test_wau_hll_tracks_exact_within_error(spark, sf_small):
+    """AN26's sketch estimate must stay within 5 sigma of the exact
+    AN24 WAU per day (lgK=12 => rsd ~1.6%) — the invariant that makes
+    a rows-only sketch op trustworthy."""
+    approx = _run("q_wau_hll", spark, sf_small).toPandas()
+    exact = _run("q_wau_mau", spark, sf_small).toPandas()[["day", "wau"]]
+    m = approx.merge(exact, on="day")
+    assert len(m) == len(exact)
+    tol = 5 * 0.016 * m.wau
+    assert (abs(m.wau_estimate - m.wau) <= tol).all(), m[abs(m.wau_estimate - m.wau) > tol]
+
+
+def test_out_of_order_report_is_clean_on_generated_data(spark, sf_small):
+    """The generator appends in timestamp order, so the disorder
+    report must prove in-orderness (and count every event)."""
+    r = _run("q_out_of_order_report", spark, sf_small).toPandas().iloc[0]
+    n_events = load(spark, sf_small, "events").count()
+    assert r.n_events == n_events
+    assert r.n_out_of_order == 0
+    assert r.max_regression_us == 0
+    assert r.affected_users == 0

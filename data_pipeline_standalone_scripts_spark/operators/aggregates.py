@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
@@ -647,3 +648,90 @@ def q_pipe_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, "orders")
     return spark.sql(_PIPE_SQL)
+
+
+_MEDIAN_BINS = 1024
+
+
+@register(
+    "q_exact_median_twopass",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+            FROM lineitem
+        ), n AS (SELECT COUNT(*) AS n FROM c)
+        SELECT (SELECT n FROM n) AS n,
+               (SELECT cents FROM c ORDER BY cents
+                LIMIT 1 OFFSET ((SELECT n FROM n) + 1) // 2 - 1)
+                   AS median_cents,
+               CAST((SELECT cents FROM c ORDER BY cents
+                     LIMIT 1 OFFSET ((SELECT n FROM n) + 1) // 2 - 1)
+                    AS DOUBLE) / 100.0 AS median
+    """,
+    category="aggregates",
+)
+def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: EXACT global median without a global sort — the two-phase
+    bin-refine algorithm that makes exact order statistics feasible
+    at 100 TB. Phase 1: one scan builds a 1024-bin histogram over the
+    observed cent range (map-side combined; 1024-row result). The
+    target bin and the median's offset within it come from a running
+    sum OVER the tiny histogram. Phase 2: a second scan keeps ONLY
+    the target bin's rows (~N/1024 of the data, filter pushed to the
+    scan) and row_number picks the exact offset. No driver collect —
+    the 1-row bin descriptor broadcasts.
+
+    The oracle states the definition directly (k-th order statistic,
+    lower-middle for even N, k = (N+1)//2): any binning or offset
+    error shifts the value and fails the hash. Values are exact
+    cents, so bin edges are integer arithmetic.
+
+    Scale: a global sort of 100 TB shuffles everything; this shuffles
+    a 1024-row histogram plus one bin's rows. More refinement rounds
+    (bin-of-bin) extend the same recurrence to arbitrarily tight
+    bins; one round suffices at any N where N/1024 rows fit a
+    partition.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
+    )
+    bounds = li.agg(
+        F.min("cents").alias("lo"),
+        F.max("cents").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = li.join(F.broadcast(bounds)).select(
+        "cents",
+        "n",
+        F.expr(
+            f"least(cast(((cents - lo) * {_MEDIAN_BINS}) div (hi - lo + 1) as int),"
+            f" {_MEDIAN_BINS - 1})"
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin", "n").agg(F.count(F.lit(1)).alias("bn"))
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    target = (
+        hist.withColumn("below", F.coalesce(F.sum("bn").over(w_cum), F.lit(0)))
+        .withColumn("k", F.expr("(n + 1) div 2"))
+        .filter(
+            (F.col("below") < F.col("k"))
+            & (F.col("below") + F.col("bn") >= F.col("k"))
+        )
+        .select(
+            F.col("bin").alias("tbin"),
+            (F.col("k") - F.col("below")).alias("off"),
+            F.col("n").alias("n_total"),
+        )
+    )
+    in_bin = binned.drop("n").join(
+        F.broadcast(target), F.col("bin") == F.col("tbin"), "inner"
+    ).select("cents", "off", "n_total")
+    w_rank = Window.orderBy("cents")
+    picked = in_bin.withColumn("rn", F.row_number().over(w_rank)).filter(
+        F.col("rn") == F.col("off")
+    )
+    return picked.select(
+        F.col("n_total").alias("n"),
+        F.col("cents").alias("median_cents"),
+        (F.col("cents").cast("double") / 100.0).alias("median"),
+    )

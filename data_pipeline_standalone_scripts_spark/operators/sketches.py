@@ -390,3 +390,66 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag")
     )
+
+
+_MG_K = 50  # Misra–Gries counter budget per partition
+_MG_TOP = 50  # emitted candidates (= k; see guarantee below)
+
+
+@register("q_heavy_hitters_mg", oracle=None, check="T2w", category=CAT)
+def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK4: distributed Misra–Gries heavy hitters over the token
+    stream — the deterministic frequent-items sketch that completes
+    the family (Bloom SK-, CMS, KMV, HLL): each partition keeps at
+    most k=50 decrementing counters (classic MG), partition summaries
+    merge by summing per-token lower bounds, and the top k merged
+    candidates emit.
+
+    Guarantee (pytest-pinned): per-partition MG undercounts a token
+    by at most n_p/k, so the merged bound satisfies
+    freq − N/k ≤ merged ≤ freq. Emitting the top k=50 merged
+    candidates then PROVABLY retains every token with freq > 2N/k:
+    such a token's merged bound exceeds N/k, which outranks every
+    token with freq ≤ N/k, and fewer than k tokens can exceed N/k. T2w (rows-only): the lower
+    bounds depend on the (deterministic) partition layout, which SQL
+    cannot replay; the invariant test asserts the superset guarantee
+    and both bound inequalities against exact counts instead.
+
+    Scale: THE point of MG — the shuffle carries ≤ k rows per
+    partition (the summaries), never the |vocabulary| rows an exact
+    count shuffles. At 100 TB that's the difference between a
+    kilobyte per task and a vocabulary-sized exchange; the exact
+    top-k over the merged candidates runs on ≤ k×partitions rows.
+    """
+    import pandas as pd
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["tok"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < _MG_K:
+                    counters[tok] = 1
+                else:
+                    dead = [t for t in counters if counters[t] == 1]
+                    for t in dead:
+                        del counters[t]
+                    for t in counters:
+                        counters[t] -= 1
+        if counters:
+            yield pd.DataFrame(
+                {"tok": list(counters), "lower": list(counters.values())}
+            )
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    summaries = toks.mapInPandas(mg_partition, "tok string, lower long")
+    merged = summaries.groupBy("tok").agg(F.sum("lower").alias("merged_lower"))
+    return (
+        merged.orderBy(F.col("merged_lower").desc(), F.col("tok").asc())
+        .limit(_MG_TOP)
+        .select("tok", "merged_lower")
+    )

@@ -246,3 +246,45 @@ def test_out_of_order_report_is_clean_on_generated_data(spark, sf_small):
     assert r.n_out_of_order == 0
     assert r.max_regression_us == 0
     assert r.affected_users == 0
+
+
+def test_mg_heavy_hitters_superset_and_bounds(spark, sf_small):
+    """Misra-Gries guarantees: merged lower bounds never exceed exact
+    frequencies, and every token with freq > N/k survives into the
+    merged candidate set."""
+    import pyspark.sql.functions as F
+
+    cand = _run("q_heavy_hitters_mg", spark, sf_small).toPandas()
+    toks = load(spark, sf_small, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    exact = toks.groupBy("tok").count().toPandas().set_index("tok")["count"]
+    n_total = int(exact.sum())
+    k = 50
+    m = cand.set_index("tok")
+    assert (m.merged_lower <= exact.reindex(m.index)).all()
+    # provable guarantee: every token with freq > 2N/k is in the top-k
+    # merged candidates (merged >= freq - N/k > N/k outranks every
+    # token with freq <= N/k, and fewer than k tokens exceed N/k)
+    heavy = exact[exact > 2 * n_total / k]
+    missing = set(heavy.index) - set(m.index)
+    assert not missing, f"guaranteed heavy hitters lost: {missing}"
+    assert (m.merged_lower >= exact.reindex(m.index) - n_total / k).all()
+
+
+def test_exact_median_matches_definition(spark, sf_small):
+    """The two-pass bin-refine median equals the k-th order statistic
+    (k = (N+1)//2) computed directly."""
+    r = _run("q_exact_median_twopass", spark, sf_small).toPandas().iloc[0]
+    import pyspark.sql.functions as F
+
+    cents = (
+        load(spark, sf_small, "lineitem")
+        .select(F.round(F.col("l_extendedprice") * 100).cast("long").alias("c"))
+        .toPandas()["c"]
+        .sort_values()
+        .reset_index(drop=True)
+    )
+    k = (len(cents) + 1) // 2
+    assert r.n == len(cents)
+    assert r.median_cents == cents.iloc[k - 1]

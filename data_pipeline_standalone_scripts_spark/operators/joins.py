@@ -773,3 +773,106 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("nationkey", "seg", "n_cust", "n_orders")
     )
+
+
+_OVL_BIN_SEC = 1800  # 30-min bins; interval width < 60 min => <= 3 bins
+
+
+@register(
+    "q_join_overlap_binned",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, event_id AS a_id,
+                   epoch_us(ts) // 1000000 AS a_s,
+                   epoch_us(ts) // 1000000
+                   + (10 + (CAST(props ->> '$.k' AS BIGINT) % 50)) * 60 AS a_e
+            FROM events WHERE event_type = 'click'
+        ), b AS (
+            SELECT user_id, event_id AS b_id,
+                   epoch_us(ts) // 1000000 AS b_s,
+                   epoch_us(ts) // 1000000
+                   + (10 + (CAST(props ->> '$.k' AS BIGINT) % 50)) * 60 AS b_e
+            FROM events WHERE event_type = 'purchase'
+        ), pairs AS (
+            SELECT a.user_id,
+                   GREATEST(a_s, b_s) AS ov_s, LEAST(a_e, b_e) AS ov_e
+            FROM a JOIN b USING (user_id)
+            WHERE a_s < b_e AND b_s < a_e
+        )
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_overlaps,
+               CAST(SUM(ov_e - ov_s) AS BIGINT) AS overlap_seconds,
+               CAST(MAX(ov_e - ov_s) AS BIGINT) AS longest_overlap
+        FROM pairs
+        GROUP BY user_id
+    """,
+    category=CAT,
+)
+def q_join_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J18: interval OVERLAP join (click validity × purchase validity
+    per user) executed as a BINNED equi-join — the 100 TB answer to
+    arbitrary-interval overlap, which has no single equi-key.
+
+    The oracle states the naive form (user equi + two range
+    predicates); the engine explodes each interval into the 30-min
+    bins it touches (≤3 bins for <60-min intervals) and equi-joins on
+    (user, bin). Dedup without a distinct(): a pair is emitted only
+    from the bin containing GREATEST(a_s, b_s) — the first instant
+    both intervals cover, which both sides' bin sets necessarily
+    include — the same lowest-witness-emission trick as
+    q_simhash_neardup's bands.
+
+    Scale: the theta form degenerates to a per-user nested loop (fine
+    here, fatal when one user holds millions of intervals). The
+    binned form shuffles each side once on (user, bin), bounds
+    per-task pair work by bin occupancy, and the bin width is the
+    skew knob — exactly the 1-D case of the GEO2 grid join.
+    """
+    e = load(spark, sf_dir, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    width = (
+        F.lit(10) + F.get_json_object("props", "$.k").cast("long") % 50
+    ) * 60
+
+    def side(evt: str, pre: str) -> DataFrame:
+        return e.filter(F.col("event_type") == evt).select(
+            "user_id",
+            F.col("event_id").alias(f"{pre}_id"),
+            sec.alias(f"{pre}_s"),
+            (sec + width).alias(f"{pre}_e"),
+        )
+
+    bsz = _OVL_BIN_SEC
+
+    def binned(df: DataFrame, pre: str) -> DataFrame:
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{pre}_s div {bsz}"),
+                    # end is exclusive: the last covered instant is e-1
+                    F.expr(f"({pre}_e - 1) div {bsz}"),
+                )
+            ).alias("bin"),
+        )
+
+    a = binned(side("click", "a"), "a")
+    b = binned(side("purchase", "b"), "b")
+    witness_bin = F.expr(f"greatest(a_s, b_s) div {bsz}")
+    pairs = (
+        a.join(b, ["user_id", "bin"])
+        .filter(
+            (F.col("a_s") < F.col("b_e"))
+            & (F.col("b_s") < F.col("a_e"))
+            & (F.col("bin") == witness_bin)
+        )
+        .select(
+            "user_id",
+            (F.least("a_e", "b_e") - F.greatest("a_s", "b_s")).alias("ov"),
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_overlaps"),
+        F.sum("ov").alias("overlap_seconds"),
+        F.max("ov").alias("longest_overlap"),
+    )

@@ -288,3 +288,25 @@ def test_exact_median_matches_definition(spark, sf_small):
     k = (len(cents) + 1) // 2
     assert r.n == len(cents)
     assert r.median_cents == cents.iloc[k - 1]
+
+
+def test_overlap_binned_matches_naive_theta(spark, sf_small):
+    """J18's binned plan must produce exactly the naive theta-join
+    answer (witness-bin emission neither drops nor duplicates pairs)."""
+    import pyspark.sql.functions as F
+
+    r = _run("q_join_overlap_binned", spark, sf_small).toPandas()
+    e = load(spark, sf_small, "events")
+    sec = F.expr("unix_micros(ts) div 1000000")
+    width = (F.lit(10) + F.get_json_object("props", "$.k").cast("long") % 50) * 60
+    a = e.filter(F.col("event_type") == "click").select(
+        "user_id", sec.alias("a_s"), (sec + width).alias("a_e"))
+    b = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("u2"), sec.alias("b_s"), (sec + width).alias("b_e"))
+    naive = (
+        a.join(b, (F.col("user_id") == F.col("u2"))
+               & (F.col("a_s") < F.col("b_e")) & (F.col("b_s") < F.col("a_e")))
+        .groupBy("user_id").count().toPandas()
+    )
+    m = r.merge(naive, on="user_id", how="outer")
+    assert (m.n_overlaps == m["count"]).all()

@@ -532,3 +532,14 @@ def test_l_diversity_broadcasts_dimension(spark, sf_med):
     plan = plan_of(REGISTRY["q_l_diversity"].fn(spark, sf_med))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_overlap_join_is_binned_equi(spark, sf_med):
+    """J18: the interval overlap join must plan as a bin equi-join —
+    no nested loop, no cartesian; the explode (Generate) does the
+    fan-out and one exchange per side feeds the join."""
+    plan = plan_of(REGISTRY["q_join_overlap_binned"].fn(spark, sf_med))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan

@@ -607,3 +607,67 @@ def q_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# SQL scripting (Spark 4 BEGIN…END): a doubling search for the price
+# threshold that isolates at most MAX_TAIL orders. The WHILE loop's
+# fixpoint has a closed form the classic-SQL oracle states directly, so
+# the scripting surface (DECLARE, SET from scalar subqueries, WHILE) is
+# value-checked, not just smoke-tested.
+_SCRIPT_START = 1000
+_SCRIPT_MAX_TAIL = 100
+
+_SCRIPTING_SQL = f"""
+BEGIN
+  DECLARE threshold BIGINT DEFAULT {_SCRIPT_START};
+  DECLARE tail_n BIGINT DEFAULT 0;
+  SET tail_n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > threshold);
+  WHILE tail_n > {_SCRIPT_MAX_TAIL} DO
+    SET threshold = threshold * 2;
+    SET tail_n = (SELECT COUNT(*) FROM orders WHERE o_totalprice > threshold);
+  END WHILE;
+  SELECT threshold, tail_n;
+END
+"""
+
+
+@register(
+    "q_sql_scripting",
+    oracle=f"""
+        WITH cand AS (
+            SELECT {_SCRIPT_START} * (1 << m.m) AS threshold
+            FROM (SELECT unnest(range(0, 40)) AS m) m
+        ), scored AS (
+            SELECT c.threshold,
+                   (SELECT COUNT(*) FROM orders
+                    WHERE o_totalprice > c.threshold) AS tail_n
+            FROM cand c
+        )
+        SELECT CAST(threshold AS BIGINT) AS threshold,
+               CAST(tail_n AS BIGINT) AS tail_n
+        FROM scored
+        WHERE tail_n <= {_SCRIPT_MAX_TAIL}
+        ORDER BY threshold ASC
+        LIMIT 1
+    """,
+    category=CAT,
+)
+def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: SQL scripting (Spark 4 `BEGIN…END` procedural blocks) —
+    DECLARE'd variables, SET from correlated scalar subqueries, and a
+    WHILE loop doubling a price threshold until at most 100 orders
+    exceed it. The oracle computes the loop's fixpoint in closed form
+    (first power-of-two multiple whose tail count fits), so control
+    flow, variable scoping, and loop termination are all
+    value-checked against classic SQL.
+
+    Scale: each loop iteration is one pushed-down count scan — the
+    doubling search runs O(log range) scans total, each a
+    footer-metadata-light aggregate; procedural state (two BIGINTs)
+    lives on the driver, never the data path.
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "orders")
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(_SCRIPTING_SQL)

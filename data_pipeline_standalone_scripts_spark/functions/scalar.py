@@ -732,3 +732,61 @@ def q_collation_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("k")
     )
+
+
+# event_type -> bit position for the presence bitmask
+_TYPE_BITS = "CASE event_type WHEN 'signup' THEN 1 WHEN 'click' THEN 2 " \
+             "WHEN 'view' THEN 4 WHEN 'error' THEN 8 WHEN 'purchase' THEN 16 " \
+             "ELSE 0 END"
+
+
+@register(
+    "q_bitmask_rollup",
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id,
+                   CAST(bit_or({_TYPE_BITS}) AS BIGINT) AS type_mask,
+                   CAST(bit_xor({_TYPE_BITS}) AS BIGINT) AS xor_mask,
+                   bool_and(value >= 0) AS all_nonneg,
+                   bool_or(event_type = 'error') AS any_error
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, type_mask,
+               CAST(bit_count(type_mask) AS BIGINT) AS n_types,
+               xor_mask, all_nonneg, any_error
+        FROM m
+    """,
+    category=CAT,
+)
+def q_bitmask_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: bitwise + boolean aggregate surface — per-user presence
+    bitmask via `bit_or` (one bit per event type), `bit_count` as the
+    distinct-type cardinality (a COUNT DISTINCT for free when the
+    domain is enumerable), `bit_xor` parity, and the `bool_and`/
+    `bool_or` predicates every data-quality rollup uses. The
+    bitmask-instead-of-distinct trick is THE cheap set-membership
+    encoding for small domains: O(1) state per group vs a dedup
+    hash table.
+
+    Scale: all four are map-side-combinable single-value accumulators
+    — the cheapest aggregate class there is; the bitmask trick
+    specifically replaces an expand+distinct two-phase plan with a
+    plain OR fold.
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "events")
+    return spark.sql(f"""
+        SELECT user_id,
+               type_mask,
+               CAST(bit_count(type_mask) AS BIGINT) AS n_types,
+               xor_mask, all_nonneg, any_error
+        FROM (
+            SELECT user_id,
+                   CAST(bit_or({_TYPE_BITS}) AS BIGINT) AS type_mask,
+                   CAST(bit_xor({_TYPE_BITS}) AS BIGINT) AS xor_mask,
+                   bool_and(value >= 0) AS all_nonneg,
+                   bool_or(event_type = 'error') AS any_error
+            FROM events GROUP BY user_id
+        )
+    """)

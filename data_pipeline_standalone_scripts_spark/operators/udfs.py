@@ -228,3 +228,77 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         dsum("value_sq", "sum_sq"),
     )
+
+
+@register(
+    "q_cogroup_pandas",
+    oracle="""
+        WITH c AS (
+            SELECT c_nationkey AS k, COUNT(*) AS n_cust,
+                   CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS cust_cents
+            FROM customer GROUP BY 1
+        ), s AS (
+            SELECT s_nationkey AS k, COUNT(*) AS n_supp,
+                   CAST(SUM(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS supp_cents
+            FROM supplier GROUP BY 1
+        )
+        SELECT COALESCE(c.k, s.k) AS nationkey,
+               CAST(COALESCE(n_cust, 0) AS BIGINT) AS n_cust,
+               CAST(COALESCE(cust_cents, 0) AS BIGINT) AS cust_cents,
+               CAST(COALESCE(n_supp, 0) AS BIGINT) AS n_supp,
+               CAST(COALESCE(supp_cents, 0) AS BIGINT) AS supp_cents
+        FROM c FULL OUTER JOIN s ON c.k = s.k
+    """,
+    category=CAT,
+)
+def q_cogroup_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7: cogrouped-map applyInPandas — the two-sided grouped Python
+    surface (`groupBy(k).cogroup(other.groupBy(k)).applyInPandas`):
+    for each nation key, BOTH tables' groups arrive as two pandas
+    frames in one function call. Here each call emits the per-nation
+    reconciliation row (counts + exact cent sums per side — one side
+    possibly empty, the cogroup analog of a full outer join); the
+    oracle is that outer join of two aggregates, so the cogroup
+    pairing and empty-side semantics are value-checked.
+
+    Scale: both sides shuffle once on the key, groups pair
+    executor-side, each call sees one key's rows (Arrow-batched) —
+    the escape hatch for per-key logic that needs BOTH sides in
+    one process (custom reconciliation, per-key model scoring
+    against reference data). Keep per-key group sizes bounded, same
+    rule as D4.
+    """
+    import pandas as pd
+
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("k"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("k"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def reconcile(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        key = left["k"].iloc[0] if len(left) else right["k"].iloc[0]
+        return pd.DataFrame(
+            {
+                "nationkey": [int(key)],
+                "n_cust": [len(left)],
+                "cust_cents": [int(left["cents"].sum()) if len(left) else 0],
+                "n_supp": [len(right)],
+                "supp_cents": [int(right["cents"].sum()) if len(right) else 0],
+            }
+        )
+
+    return (
+        c.groupBy("k")
+        .cogroup(s.groupBy("k"))
+        .applyInPandas(
+            reconcile,
+            "nationkey long, n_cust long, cust_cents long, "
+            "n_supp long, supp_cents long",
+        )
+    )

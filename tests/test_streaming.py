@@ -438,3 +438,49 @@ def test_dedup_within_watermark_bounded_state(spark, tmp_path):
     run_once()
     key_rows = [r for r in collected if (r["user_id"], r["event_type"]) == (1, "click")]
     assert len(key_rows) == 2, "post-eviction duplicate must re-emit"
+
+
+def test_streaming_query_listener_captures_progress(spark, sf_small, staged):
+    """Operational observability: a StreamingQueryListener must see
+    start + at least one progress event with row counts for a replay,
+    and the summed input rows must equal the staged event count."""
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    events = {"started": 0, "progress_rows": []}
+
+    class Capture(StreamingQueryListener):
+        def onQueryStarted(self, e):
+            events["started"] += 1
+
+        def onQueryProgress(self, e):
+            events["progress_rows"].append(e.progress.numInputRows)
+
+        def onQueryIdle(self, e):
+            pass
+
+        def onQueryTerminated(self, e):
+            pass
+
+    listener = Capture()
+    spark.streams.addListener(listener)
+    try:
+        stream = jobs.tumbling_counts_stream(jobs.read_event_stream(spark, staged))
+        q = (
+            stream.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName("listener_out")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # listener events are delivered asynchronously
+        import time as _t
+
+        deadline = _t.time() + 30
+        n_events = load(spark, sf_small, "events").count()
+        while _t.time() < deadline and sum(events["progress_rows"]) < n_events:
+            _t.sleep(0.5)
+        assert events["started"] >= 1
+        assert sum(events["progress_rows"]) == n_events
+    finally:
+        spark.streams.removeListener(listener)

@@ -309,3 +309,49 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("mi_n").cast("double") / 1e9, 6).alias("mutual_info"),
         F.round(F.sum("h_n").cast("double") / 1e9, 6).alias("joint_entropy"),
     )
+
+
+@register(
+    "q_stat_crosstab",
+    oracle="""
+        SELECT c_mktsegment AS "c_mktsegment_region_bucket",
+               CAST(SUM(CASE WHEN c_nationkey // 5 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "0",
+               CAST(SUM(CASE WHEN c_nationkey // 5 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "1",
+               CAST(SUM(CASE WHEN c_nationkey // 5 = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "2",
+               CAST(SUM(CASE WHEN c_nationkey // 5 = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "3",
+               CAST(SUM(CASE WHEN c_nationkey // 5 = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS "4"
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    category=CAT,
+)
+def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4: the DataFrame stat-function surface — `df.stat.crosstab`
+    builds the segment × region-bucket contingency table (pair counts
+    pivoted wide, columns named by the second key's values). The
+    oracle restates it as conditional sums with the SAME value-named
+    columns, so crosstab's pairing, pivot and naming convention are
+    all value-checked. Complements AN16/ST3, which consume
+    contingency tables; this is the API that produces them.
+
+    Scale: crosstab = pair-count aggregate + driver-side pivot of the
+    DISTINCT second-key values — safe only when that domain is small
+    (here 5 buckets); a high-cardinality second key belongs in the
+    long (pair, count) form instead, which is the pre-pivot stage of
+    this very plan.
+    """
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        F.expr("c_nationkey div 5").cast("int").alias("region_bucket"),
+    )
+    ct = c.stat.crosstab("c_mktsegment", "region_bucket")
+    # crosstab emits counts as long already; enforce column order by
+    # selecting the known bucket domain explicitly
+    return ct.select(
+        "c_mktsegment_region_bucket", "0", "1", "2", "3", "4"
+    )

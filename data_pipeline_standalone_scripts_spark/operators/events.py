@@ -550,3 +550,99 @@ def q_out_of_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("affected_users"),
     )
+
+
+@register(
+    "q_engagement_report",
+    oracle=_SESSION_CTE + """
+        , sessions AS (
+            SELECT user_id, session_id,
+                   MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                       AS has_purchase
+            FROM (SELECT n.user_id, n.session_id, e.event_type
+                  FROM numbered n JOIN events e ON n.event_id = e.event_id)
+            GROUP BY user_id, session_id
+        )
+        SELECT * FROM (
+            SELECT 1 AS stage_idx, 'events' AS stage,
+                   CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n
+            UNION ALL
+            SELECT 2, 'active_users',
+                   CAST((SELECT COUNT(DISTINCT user_id) FROM events) AS BIGINT)
+            UNION ALL
+            SELECT 3, 'sessions',
+                   CAST((SELECT COUNT(*) FROM sessions) AS BIGINT)
+            UNION ALL
+            SELECT 4, 'converting_sessions',
+                   CAST((SELECT SUM(has_purchase) FROM sessions) AS BIGINT)
+            UNION ALL
+            SELECT 5, 'purchases',
+                   CAST((SELECT COUNT(*) FROM events
+                         WHERE event_type = 'purchase') AS BIGINT)
+        )
+    """,
+    category=CAT,
+)
+def q_engagement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T11: the composed engagement run report — the events-side
+    analog of q_curation_funnel's per-stage ledger: raw events →
+    distinct actives → 30-min sessions → converting sessions →
+    purchases, one row per stage. This is the operator a pipeline
+    owner actually schedules; it composes T3's sessionization and the
+    funnel semantics into one small auditable table, and its oracle
+    re-derives every stage from the same session CTE.
+
+    Scale: ONE sessionization pass (the user-keyed window sort) feeds
+    the session-grain frame; every stage number is a bounded
+    aggregate over either the raw scan or that frame. The report's
+    cost is the sessionize pass — the other stages ride it.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    numbered = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_run))
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("has_purchase")
+    )
+
+    def row(idx: int, stage: str, df_agg: DataFrame) -> DataFrame:
+        return df_agg.select(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(stage).alias("stage"),
+            F.col("n").cast("long").alias("n"),
+        )
+
+    report = (
+        row(1, "events", e.agg(F.count(F.lit(1)).alias("n")))
+        .unionByName(
+            row(2, "active_users", e.agg(F.countDistinct("user_id").alias("n")))
+        )
+        .unionByName(
+            row(3, "sessions", sessions.agg(F.count(F.lit(1)).alias("n")))
+        )
+        .unionByName(
+            row(
+                4,
+                "converting_sessions",
+                sessions.agg(F.sum("has_purchase").alias("n")),
+            )
+        )
+        .unionByName(
+            row(
+                5,
+                "purchases",
+                e.filter(F.col("event_type") == "purchase").agg(
+                    F.count(F.lit(1)).alias("n")
+                ),
+            )
+        )
+    )
+    return report

@@ -355,3 +355,85 @@ def q_stat_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ct.select(
         "c_mktsegment_region_bucket", "0", "1", "2", "3", "4"
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+        WITH w AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(round(l_quantity * 100) AS BIGINT) AS wt,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        ), cum AS (
+            SELECT l_returnflag, price_c, wt,
+                   SUM(wt) OVER (PARTITION BY l_returnflag
+                                 ORDER BY price_c, l_orderkey, l_linenumber
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW) AS cw,
+                   SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+            FROM w
+        ), picked AS (
+            SELECT l_returnflag, price_c, cw, tw,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY cw ASC) AS rn
+            FROM cum WHERE 2 * cw >= tw
+        )
+        SELECT l_returnflag,
+               CAST(price_c AS BIGINT) AS wmedian_cents,
+               CAST(price_c AS DOUBLE) / 100.0 AS wmedian,
+               CAST(tw AS BIGINT) AS total_weight
+        FROM picked WHERE rn = 1
+    """,
+    category=CAT,
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: exact weighted median per group — the smallest price whose
+    cumulative quantity-weight reaches half the group's total (the
+    lower weighted median, the robust center that a plain median
+    misses when rows carry different mass; the standard estimator in
+    price indexes and survey statistics).
+
+    Exactness: prices and weights are cent-scaled longs; the
+    cumulative walk orders by (price, orderkey, linenumber) so ties
+    are engine-identical, and the ≥-half pick is integer arithmetic
+    (2·cw ≥ tw avoids any division).
+
+    Scale: one group-keyed window sort + a rank pick — the same
+    single-shuffle shape as every windowed order statistic here; for
+    the global (ungrouped) case at extreme N, A19's two-pass
+    bin-refine recurrence applies with weights summed per bin.
+    """
+    from pyspark.sql.window import Window as W
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("price_c"),
+        F.round(F.col("l_quantity") * 100).cast("long").alias("wt"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price_c", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price_c",
+        F.sum("wt").over(w_cum).alias("cw"),
+        F.sum("wt").over(w_tot).alias("tw"),
+    ).filter(2 * F.col("cw") >= F.col("tw"))
+    w_pick = W.partitionBy("l_returnflag").orderBy("cw")
+    return (
+        cum.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("price_c").alias("wmedian_cents"),
+            (F.col("price_c").cast("double") / 100.0).alias("wmedian"),
+            F.col("tw").cast("long").alias("total_weight"),
+        )
+    )

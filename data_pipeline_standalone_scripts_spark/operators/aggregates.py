@@ -735,3 +735,36 @@ def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cents").alias("median_cents"),
         (F.col("cents").cast("double") / 100.0).alias("median"),
     )
+
+
+_GROUPING_ID_SQL = """
+    SELECT CASE WHEN GROUPING(l_returnflag) = 1 THEN '<all>'
+                ELSE l_returnflag END AS returnflag,
+           CASE WHEN GROUPING(l_linestatus) = 1 THEN '<all>'
+                ELSE l_linestatus END AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS BIGINT) AS gid,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@register("q_grouping_id", oracle=_GROUPING_ID_SQL, category=CAT)
+def q_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: the GROUPING()/GROUPING_ID() surface — ROLLUP subtotal
+    rows DISAMBIGUATED from genuine NULL keys by the grouping flags
+    (the bug every hand-rolled rollup consumer hits: a NULL group key
+    is ambiguous without them). Subtotal keys render as '<all>' and
+    the composite grouping id is emitted, so the oracle checks the
+    flag semantics themselves. One SQL text runs verbatim on both
+    engines (GROUPING() is identical in Spark and DuckDB; Spark's
+    GROUPING_ID() equals the bit-packed form computed here portably).
+
+    Scale: identical Expand + two-phase aggregate as A5's plain
+    rollup; the flags are free metadata columns of the Expand.
+    """
+    from ..tables import register_views
+
+    register_views(spark, sf_dir, "lineitem")
+    return spark.sql(_GROUPING_ID_SQL)

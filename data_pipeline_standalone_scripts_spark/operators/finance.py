@@ -301,6 +301,14 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         sec.alias("s"),
         (sec + width).alias("e"),
     )
+    return interval_coverage_core(iv)
+
+
+def interval_coverage_core(iv: DataFrame) -> DataFrame:
+    """The sweep itself over an iv(user_id, event_id, s, e) frame —
+    factored out so the hypothesis property test can drive it with
+    arbitrary interval sets against a brute-force union reference
+    (tests/test_property_scalar.py)."""
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("s", "event_id")

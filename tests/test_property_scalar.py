@@ -233,3 +233,61 @@ def test_array_dot_products_match(spark, arrays):
         )
     )
     assert got == want
+
+
+# ---- interval algebra properties (round 6) --------------------------------
+
+INTERVALS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # user
+        st.integers(min_value=0, max_value=500),     # start
+        st.integers(min_value=1, max_value=120),     # width
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _brute_union(rows):
+    """Python reference: merged-union length / island count per user."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, s, w in rows:
+        per[u].append((s, s + w))
+    out = {}
+    for u, ivs in per.items():
+        ivs.sort()
+        islands = []
+        for s, e in ivs:
+            if islands and s <= islands[-1][1]:
+                islands[-1] = (islands[-1][0], max(islands[-1][1], e))
+            else:
+                islands.append((s, e))
+        out[u] = (
+            len(islands),
+            sum(e - s for s, e in islands),
+            max(e - s for s, e in islands),
+        )
+    return out
+
+
+@SETTINGS
+@given(INTERVALS)
+def test_interval_coverage_core_matches_brute_force(spark, rows):
+    """FIN4's windowed sweep must equal the brute-force interval-union
+    reference for arbitrary interval sets — including contained,
+    touching, and duplicate intervals hypothesis will find."""
+    from data_pipeline_standalone_scripts_spark.operators.finance import (
+        interval_coverage_core,
+    )
+
+    iv = spark.createDataFrame(
+        [(u, i, s, s + w) for i, (u, s, w) in enumerate(rows)],
+        "user_id long, event_id long, s long, e long",
+    )
+    got = {
+        r["user_id"]: (r["n_islands"], r["covered_seconds"], r["longest_island"])
+        for r in interval_coverage_core(iv).collect()
+    }
+    assert got == _brute_union(rows)

@@ -842,7 +842,18 @@ def q_join_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             (sec + width).alias(f"{pre}_e"),
         )
 
-    bsz = _OVL_BIN_SEC
+    return overlap_join_core(
+        side("click", "a"), side("purchase", "b"), _OVL_BIN_SEC
+    )
+
+
+def overlap_join_core(a_iv: DataFrame, b_iv: DataFrame, bsz: int) -> DataFrame:
+    """The binned overlap join itself over a_iv(user_id, a_id, a_s,
+    a_e) × b_iv(user_id, b_id, b_s, b_e) — factored out so the
+    hypothesis property test can drive it with arbitrary interval
+    sets against a brute-force pair reference (correct for ANY
+    interval width; the ≤3-bins note in the operator is a fan-out
+    bound, not a correctness condition)."""
 
     def binned(df: DataFrame, pre: str) -> DataFrame:
         return df.select(
@@ -856,8 +867,8 @@ def q_join_overlap_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bin"),
         )
 
-    a = binned(side("click", "a"), "a")
-    b = binned(side("purchase", "b"), "b")
+    a = binned(a_iv, "a")
+    b = binned(b_iv, "b")
     witness_bin = F.expr(f"greatest(a_s, b_s) div {bsz}")
     pairs = (
         a.join(b, ["user_id", "bin"])

@@ -646,3 +646,92 @@ def q_engagement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return report
+
+
+_PATTERN = "c[ve]*p"  # click, then only views/errors, then purchase
+
+
+@register(
+    "q_session_pattern",
+    oracle=_SESSION_CTE + """
+        , strs AS (
+            SELECT n.user_id, n.session_id,
+                   string_agg(CASE e.event_type
+                                WHEN 'click' THEN 'c' WHEN 'view' THEN 'v'
+                                WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+                                ELSE 'e' END, ''
+                              ORDER BY e.ts, e.event_id) AS seq
+            FROM numbered n JOIN events e ON n.event_id = e.event_id
+            GROUP BY n.user_id, n.session_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN regexp_matches(seq, 'c[ve]*p')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_matching,
+               round(CAST(SUM(CASE WHEN regexp_matches(seq, 'c[ve]*p')
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS match_frac
+        FROM strs
+    """,
+    category=CAT,
+)
+def q_session_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T12: MATCH_RECOGNIZE-style sequence patterns over sessions —
+    each 30-min session renders as an ordered event-initial string
+    ('cvvp…') and a regex states the behavioral pattern (here:
+    click → only views/errors → purchase, the direct-conversion
+    shape). Row-pattern matching without the MATCH_RECOGNIZE clause
+    (which neither engine parses): sessionize → serialize → regex,
+    the portable encoding of sequence SQL.
+
+    Determinism: the per-session string is an ORDERED aggregation —
+    Spark sorts the collected (ts, event_id, initial) structs before
+    joining; DuckDB uses string_agg's ORDER BY. Ties break on the
+    unique event_id in both.
+
+    Scale: rides T3's single sessionize pass; the serialized string
+    per session is bounded by session length (short here; a
+    pathological never-idle user caps at the session window). The
+    regex runs once per session, inside codegen.
+    """
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    numbered = e.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+    ).withColumn("session_id", F.sum("new_session").over(w_run))
+    initial = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    strs = (
+        numbered.select(
+            "user_id",
+            "session_id",
+            F.struct(
+                F.col("ts").alias("t"),
+                F.col("event_id").alias("id"),
+                initial.alias("i"),
+            ).alias("ev"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.expr("transform(sort_array(collect_list(ev)), x -> x.i)"), ""
+            ).alias("seq")
+        )
+    )
+    hit = F.col("seq").rlike(_PATTERN)
+    return strs.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(hit.cast("int")).cast("long").alias("n_matching"),
+        F.round(
+            F.sum(hit.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("match_frac"),
+    )

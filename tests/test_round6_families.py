@@ -360,3 +360,28 @@ def test_bellman_ford_relaxation_monotone(spark, sf_small):
     assert m.loc[s, "dist"] == 0
     assert (r.dist >= 0).all()
     assert r.node.is_unique
+
+
+def test_observation_metrics_piggyback_on_action(spark, sf_small):
+    """The Observation API must deliver side-channel metrics from the
+    SAME action that produced the result — no second scan. The
+    observed row count and exact cent sum must equal independently
+    computed values."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Observation
+
+    e = load(spark, sf_small, "events")
+    obs = Observation("ingest_metrics")
+    observed = e.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    kept = observed.filter(F.col("event_type") == "click").count()
+    got = obs.get
+    assert got["n_rows"] == e.count()
+    want_cents = e.select(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("c")
+    ).collect()[0]["c"]
+    assert got["cents"] == want_cents
+    assert kept > 0

@@ -383,3 +383,92 @@ def q_zonemap_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zone")
     )
+
+
+_IVM_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q_incremental_join",
+    oracle=f"""
+        WITH j AS (
+            SELECT o.o_orderpriority,
+                   CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                              * 1000000) AS BIGINT) AS rev_micro,
+                   CASE WHEN o.o_orderdate >= TIMESTAMP '{_IVM_CUTOFF}'
+                          OR l.l_shipdate >= TIMESTAMP '{_IVM_CUTOFF}'
+                        THEN 1 ELSE 0 END AS touches_delta
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(rev_micro) AS DOUBLE) / 1000000.0 AS revenue,
+               CAST(SUM(touches_delta) AS BIGINT) AS n_delta_pairs
+        FROM j
+        GROUP BY o_orderpriority
+    """,
+    category=CAT,
+)
+def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT6: incremental view maintenance for a JOIN view — the delta
+    identity Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB, applied to the
+    orders⋈lineitem revenue-by-priority view with both inputs split
+    at the 1997 epoch. The op computes the materialized base term
+    (A_old⋈B_old) plus the three delta terms as four separate joins
+    and MERGES their per-group partials; the oracle is the full
+    recompute, so passing proves the decomposition is exactly
+    lossless — the property incremental refresh of join views rests
+    on (completes A16, which proves it for aggregates).
+    The n_delta_pairs ledger column shows the delta terms genuinely
+    carried rows (a degenerate split would zero it).
+
+    Scale: at refresh time production scans ONLY the three delta
+    terms — each is delta-sized on at least one side, and the delta
+    scans partition-prune to the new epoch; the base term is |groups|
+    materialized rows. The full recompute the oracle runs is the
+    thing IVM exists to avoid. All partials are exact micro-longs, so
+    the 4-way merge is order-free long addition.
+    """
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_shipdate",
+        F.expr(
+            "cast(round(l_extendedprice * (1 - l_discount) * 1000000)"
+            " as bigint)"
+        ).alias("rev_micro"),
+    )
+    cutoff = F.lit(_IVM_CUTOFF).cast("timestamp")
+    o_b, o_d = (
+        o.filter(F.col("o_orderdate") < cutoff),
+        o.filter(F.col("o_orderdate") >= cutoff),
+    )
+    l_b, l_d = (
+        li.filter(F.col("l_shipdate") < cutoff),
+        li.filter(F.col("l_shipdate") >= cutoff),
+    )
+
+    def term(os: DataFrame, ls: DataFrame, is_delta: int) -> DataFrame:
+        return (
+            os.join(ls, os.o_orderkey == ls.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("rev_micro").alias("rev"),
+                (F.count(F.lit(1)) * is_delta).alias("nd"),
+            )
+        )
+
+    merged = (
+        term(o_b, l_b, 0)          # the materialized base view
+        .unionByName(term(o_d, l_b, 1))  # ΔA ⋈ B_old
+        .unionByName(term(o_b, l_d, 1))  # A_old ⋈ ΔB
+        .unionByName(term(o_d, l_d, 1))  # ΔA ⋈ ΔB
+    )
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("n").cast("long").alias("n_pairs"),
+        (F.sum("rev").cast("double") / 1_000_000.0).alias("revenue"),
+        F.sum("nd").cast("long").alias("n_delta_pairs"),
+    )

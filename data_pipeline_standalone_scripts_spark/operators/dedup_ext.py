@@ -24,7 +24,7 @@ from pyspark.sql.window import Window
 from ..registry import register
 from ..tables import load
 from .common import o_h60
-from .llm import _dot, _norm_sq, _vec_double
+from .llm import _dot, _norm_sq, _vec_double, minhash_candidates
 
 CAT = "dedup_ext"
 
@@ -1260,3 +1260,99 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         selected = selected.union(pick)
     return selected
+
+
+SW_HEAD = 240  # align first N chars (head alignment)
+SW_PAIRS = 200  # deterministic candidate budget
+SW_MATCH, SW_MISMATCH, SW_GAP = 2, -1, -1
+
+
+def smith_waterman_score(a: str, b: str) -> int:
+    """Pure-Python Smith–Waterman local-alignment score (match +2,
+    mismatch −1, gap −1) — the reference implementation the pytest
+    property check uses; the operator runs the numpy-vectorized twin."""
+    n, m = len(a), len(b)
+    prev = [0] * (m + 1)
+    best = 0
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        ai = a[i - 1]
+        for j in range(1, m + 1):
+            s = prev[j - 1] + (SW_MATCH if ai == b[j - 1] else SW_MISMATCH)
+            cur[j] = max(0, s, prev[j] + SW_GAP, cur[j - 1] + SW_GAP)
+            if cur[j] > best:
+                best = cur[j]
+        prev = cur
+    return best
+
+
+@register("q_local_alignment", oracle=None, check="T2w", category=CAT)
+def q_local_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: Smith–Waterman local alignment over LSH candidate pairs —
+    the fine-grained overlap verifier that runs AFTER MinHash/SimHash
+    candidate generation when a pipeline needs the actual shared
+    region (plagiarism/citation detection, license-text spotting),
+    not just a similarity estimate. Genuinely inexpressible in SQL
+    (per-pair dynamic programming), so this is the documented
+    (b)-tier: an Arrow-batched pandas iterator with a numpy
+    row-vectorized DP — exactly the boundary SURVEY §1.2 reserves
+    for Python.
+
+    Deterministic: the candidate budget is the first 200 LSH pairs in
+    (doc_a, doc_b) order, texts truncate to a 240-char head, and the
+    DP is integer arithmetic — T2w only because SQL can't replay the
+    DP, not because the answer is approximate; the pytest check runs
+    the pure-Python reference on sampled pairs and pins equality.
+
+    Scale: cost is O(pairs × head²) and embarrassingly parallel over
+    pairs; the head cap bounds per-pair work (full-text alignment at
+    100 TB uses seeded banded alignment, same orchestration). Texts
+    reach the pairs via two broadcast joins of the id-keyed head
+    table — the fan-out ships 240-char heads, never full documents.
+    """
+    import pandas as pd
+
+    cand = (
+        minhash_candidates(spark, sf_dir)
+        .orderBy("doc_a", "doc_b")
+        .limit(SW_PAIRS)
+    )
+    heads = load(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, SW_HEAD).alias("head")
+    )
+    ha = heads.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("ta"))
+    hb = heads.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("tb"))
+    pairs = cand.join(F.broadcast(ha), "doc_a").join(F.broadcast(hb), "doc_b")
+
+    def align(batches):
+        import numpy as np
+
+        for pdf in batches:
+            scores = []
+            for ta, tb in zip(pdf["ta"], pdf["tb"]):
+                a = np.frombuffer(ta.encode("utf-8")[:SW_HEAD], dtype=np.uint8)
+                b = np.frombuffer(tb.encode("utf-8")[:SW_HEAD], dtype=np.uint8)
+                m = len(b)
+                prev = np.zeros(m + 1, dtype=np.int64)
+                best = 0
+                for i in range(len(a)):
+                    sub = np.where(b == a[i], SW_MATCH, SW_MISMATCH)
+                    diag = prev[:-1] + sub
+                    cur = np.maximum(diag, prev[1:] + SW_GAP)
+                    np.maximum(cur, 0, out=cur)
+                    # left-gap dependency is a running max along j
+                    run = np.maximum.accumulate(
+                        cur - np.arange(m) * SW_GAP
+                    ) + np.arange(m) * SW_GAP
+                    cur = np.maximum(cur, run)
+                    best = max(best, int(cur.max()))
+                    prev = np.concatenate(([0], cur))
+                scores.append(best)
+            out = pdf[["doc_a", "doc_b"]].copy()
+            out["sw_score"] = pd.Series(scores, index=pdf.index, dtype="int64")
+            out["align_frac"] = out["sw_score"] / (2.0 * SW_HEAD)
+            yield out
+
+    return pairs.mapInPandas(
+        align, "doc_a long, doc_b long, sw_score long, align_frac double"
+    )

@@ -385,3 +385,40 @@ def test_observation_metrics_piggyback_on_action(spark, sf_small):
     ).collect()[0]["c"]
     assert got["cents"] == want_cents
     assert kept > 0
+
+
+def test_local_alignment_matches_reference(spark, sf_small):
+    """The numpy-vectorized Smith-Waterman must equal the pure-Python
+    reference on every emitted pair, and identical heads must reach
+    the perfect score."""
+    import pyspark.sql.functions as F
+
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        SW_HEAD,
+        smith_waterman_score,
+    )
+
+    r = _run("q_local_alignment", spark, sf_small).toPandas()
+    assert len(r) > 0
+    heads = {
+        row["doc_id"]: row["h"]
+        for row in load(spark, sf_small, "documents")
+        .select("doc_id", F.substring("text", 1, SW_HEAD).alias("h"))
+        .collect()
+    }
+    sample = r.head(25)
+    for _, row in sample.iterrows():
+        want = smith_waterman_score(
+            heads[row.doc_a][:SW_HEAD], heads[row.doc_b][:SW_HEAD]
+        )
+        assert row.sw_score == want, (row.doc_a, row.doc_b, row.sw_score, want)
+    # a perfect pair (if any LSH candidates share identical heads)
+    perfect = r[
+        r.apply(lambda x: heads[x.doc_a] == heads[x.doc_b], axis=1)
+    ]
+    if len(perfect):
+        assert (
+            perfect.sw_score == 2 * perfect.apply(
+                lambda x: len(heads[x.doc_a].encode("utf-8")[:SW_HEAD]), axis=1
+            )
+        ).all()

@@ -903,3 +903,79 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 30)
         .select(F.col("out_tok").alias("token"), "cnt", "rank")
     )
+
+
+_LINE_DEDUP_MIN_DOCS = 10  # a line present in >= this many docs is boilerplate
+
+
+@register(
+    "q_line_dedup",
+    oracle=f"""
+        WITH lines AS (
+            SELECT doc_id,
+                   unnest(string_split(text, '. ')) AS line
+            FROM documents
+        ), freq AS (
+            SELECT line, COUNT(DISTINCT doc_id) AS n_docs
+            FROM lines GROUP BY line
+        ), flagged AS (
+            SELECT l.doc_id, l.line,
+                   CASE WHEN f.n_docs >= {_LINE_DEDUP_MIN_DOCS}
+                        THEN 1 ELSE 0 END AS is_boiler
+            FROM lines l JOIN freq f ON l.line = f.line
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               CAST(SUM(is_boiler) AS BIGINT) AS n_dropped,
+               CAST(SUM(CASE WHEN is_boiler = 0 THEN length(line)
+                             ELSE 0 END) AS BIGINT) AS chars_kept,
+               round(CAST(SUM(CASE WHEN is_boiler = 0 THEN length(line)
+                                   ELSE 0 END) AS DOUBLE)
+                     / NULLIF(SUM(length(line)), 0), 6) AS kept_frac
+        FROM flagged
+        GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C8: cross-corpus line-level deduplication — the C4/RefinedWeb
+    cleaning step that REMOVES individual lines appearing in many
+    documents (nav bars, licenses, disclaimers) while keeping the
+    document: sentences here stand in for lines, a line occurring in
+    ≥10 distinct docs is boilerplate, and the per-doc ledger reports
+    lines kept/dropped and the retained-character fraction. This is
+    the APPLICATION step for C1's mined strip-list (q_boilerplate_
+    ngrams finds candidates; this removes and accounts).
+
+    Scale: explode → distinct-doc line frequencies (map-side combined
+    on the line hash) → one join back keyed by line → per-doc rollup.
+    The frequency table is |distinct lines| — far smaller than the
+    corpus; at 100 TB it broadcasts if it fits or co-keys on the line
+    hash, and the >=k filter can prune it BEFORE the join (only
+    boilerplate lines need to flow — kept lines are the default).
+    """
+    d = load(spark, sf_dir, "documents")
+    lines = d.select(
+        "doc_id", F.explode(F.split("text", "\\. ")).alias("line")
+    )
+    freq = lines.groupBy("line").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    flagged = lines.join(freq, "line").select(
+        "doc_id",
+        F.length("line").alias("n_chars"),
+        F.when(F.col("n_docs") >= _LINE_DEDUP_MIN_DOCS, 1)
+        .otherwise(0)
+        .alias("is_boiler"),
+    )
+    kept_chars = F.sum(
+        F.when(F.col("is_boiler") == 0, F.col("n_chars")).otherwise(0)
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("is_boiler").cast("long").alias("n_dropped"),
+        kept_chars.cast("long").alias("chars_kept"),
+        F.round(
+            kept_chars.cast("double") / F.nullif(F.sum("n_chars"), F.lit(0)), 6
+        ).alias("kept_frac"),
+    )

@@ -550,3 +550,129 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(best.getField("e"), F.lit(0)).cast("long").alias("cum_events"),
         F.coalesce(best.getField("c"), F.lit(0)).cast("long").alias("cum_cents"),
     )
+
+
+_NEG_K = 3
+_N_ANCHORS = 50
+
+
+@register(
+    "q_negative_sampling",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id, label,
+                   generate_subscripts(embedding, 1) AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM embeddings
+        ), anchors AS (
+            SELECT DISTINCT vec_id AS a_id, label AS a_label
+            FROM embeddings WHERE vec_id < {_N_ANCHORS}
+        ), dots AS (
+            SELECT a.a_id, a.a_label, e.vec_id, e.label,
+                   SUM(e.v * av.v) AS dot
+            FROM anchors a
+            JOIN ev av ON av.vec_id = a.a_id
+            JOIN ev e ON e.pos = av.pos AND e.vec_id <> a.a_id
+            GROUP BY a.a_id, a.a_label, e.vec_id, e.label
+        ), positives AS (
+            SELECT a_id, vec_id AS pos_id,
+                   row_number() OVER (PARTITION BY a_id
+                                      ORDER BY dot DESC, vec_id ASC) AS rn
+            FROM dots WHERE label = a_label
+            QUALIFY rn = 1
+        ), negs AS (
+            SELECT a.a_id, e2.vec_id AS neg_id,
+                   row_number() OVER (
+                       PARTITION BY a.a_id
+                       ORDER BY CAST(('0x' || substr(md5(
+                           CAST(a.a_id AS VARCHAR) || ':' ||
+                           CAST(e2.vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                           ASC, e2.vec_id ASC) AS rn
+            FROM anchors a
+            JOIN (SELECT DISTINCT vec_id, label FROM embeddings) e2
+              ON e2.label <> a.a_label
+        )
+        SELECT p.a_id AS anchor_id, p.pos_id,
+               MAX(CASE WHEN n.rn = 1 THEN n.neg_id END) AS neg1,
+               MAX(CASE WHEN n.rn = 2 THEN n.neg_id END) AS neg2,
+               MAX(CASE WHEN n.rn = 3 THEN n.neg_id END) AS neg3
+        FROM positives p JOIN negs n ON p.a_id = n.a_id
+        WHERE n.rn <= {_NEG_K}
+        GROUP BY p.a_id, p.pos_id
+    """,
+    category=CAT,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML7: contrastive triplet mining — the input-prep step for
+    embedding-model training: for each of 50 anchors, the HARDEST
+    positive (highest exact-integer dot product among same-label
+    vectors) and 3 pseudo-random cross-label negatives drawn by the
+    portable h60 hash of (anchor, candidate) — deterministic
+    "random" negatives both engines replay exactly (the repo-wide
+    substitute for an RNG across the oracle boundary).
+
+    Scale: positives ride the broadcast-anchor dot-product scan
+    (L9's shape); negative sampling is a per-anchor hash rank over
+    the label-complement — at 100 TB you'd pre-bucket candidates by
+    hash range so each anchor touches one bucket, the standard
+    sharded negative pool. Output is one row per anchor (wide
+    triplet form, the trainer's input layout).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from .clustering import _quantize_micro
+    from .llm import _vec_double as vec_double
+
+    e = load(spark, sf_dir, "embeddings")
+    vec = e.select(
+        "vec_id", "label", _quantize_micro(vec_double()).alias("xq")
+    )
+    anchors = vec.filter(F.col("vec_id") < _N_ANCHORS).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        F.col("xq").alias("ax"),
+    )
+    dot = F.aggregate(
+        F.zip_with("xq", "ax", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda s, t: s + t,
+    )
+    dots = (
+        vec.join(F.broadcast(anchors), F.col("vec_id") != F.col("a_id"))
+        .select("a_id", "a_label", "vec_id", "label", dot.alias("dot"))
+    )
+    w_pos = Window.partitionBy("a_id").orderBy(
+        F.col("dot").desc(), F.col("vec_id").asc()
+    )
+    positives = (
+        dots.filter(F.col("label") == F.col("a_label"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("a_id", F.col("vec_id").alias("pos_id"))
+    )
+    hkey = F.expr(
+        "cast(conv(substring(md5(concat(cast(a_id as string), ':', "
+        "cast(vec_id as string))), 1, 15), 16, 10) as long)"
+    )
+    w_neg = Window.partitionBy("a_id").orderBy(
+        hkey.asc(), F.col("vec_id").asc()
+    )
+    negs = (
+        vec.select("vec_id", "label")
+        .join(
+            F.broadcast(anchors.select("a_id", "a_label")),
+            F.col("label") != F.col("a_label"),
+        )
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") <= _NEG_K)
+    )
+    wide = negs.groupBy("a_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("neg1"),
+        F.max(F.when(F.col("rn") == 2, F.col("vec_id"))).alias("neg2"),
+        F.max(F.when(F.col("rn") == 3, F.col("vec_id"))).alias("neg3"),
+    )
+    return positives.join(wide, "a_id").select(
+        F.col("a_id").alias("anchor_id"), "pos_id", "neg1", "neg2", "neg3"
+    )

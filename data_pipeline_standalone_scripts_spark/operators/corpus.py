@@ -870,12 +870,31 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    return bpe_merge_core(stream)
+
+
+def bpe_merge_core(stream: DataFrame) -> DataFrame:
+    """One BPE merge step over a (doc_id, pos, tok) stream — factored
+    out so the hypothesis property test can drive it with arbitrary
+    token streams against a Python reference (tests/
+    test_property_scalar.py proves the w1≠w2 greedy-fusion claim)."""
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
     paired = stream.withColumn("nxt", F.lead("tok").over(w_doc))
+    # The sentinel row (pc = -1, NULL pair) survives only when the
+    # stream has NO adjacent pair at all (single-token docs): the
+    # NULL winner matches nothing, so the merge degrades to plain
+    # counts — hypothesis found the empty-pair-table edge where a
+    # bare cross join would instead erase every row.
+    sentinel = paired.sparkSession.range(1).select(
+        F.lit(None).cast("string").alias("w1"),
+        F.lit(None).cast("string").alias("w2"),
+        F.lit(-1).cast("long").alias("pc"),
+    )
     top_pair = (
         paired.filter(F.col("nxt").isNotNull() & (F.col("tok") != F.col("nxt")))
         .groupBy(F.col("tok").alias("w1"), F.col("nxt").alias("w2"))
         .agg(F.count(F.lit(1)).alias("pc"))
+        .unionByName(sentinel)
         .orderBy(F.col("pc").desc(), "w1", "w2")
         .limit(1)
         .select("w1", "w2")

@@ -338,3 +338,66 @@ def test_overlap_join_core_matches_brute_force(spark, sides):
                 want[u1][0] += 1
                 want[u1][1] += ov
     assert got == {u: tuple(v) for u, v in want.items()}
+
+
+TOKEN_STREAMS = st.lists(
+    st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=1, max_size=12),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _brute_bpe(docs):
+    """Python reference for one BPE merge step (w1 != w2 pair,
+    ties (count desc, pair asc); sequential left-to-right fusion)."""
+    from collections import Counter
+
+    pairs = Counter()
+    for toks in docs:
+        for x, y in zip(toks, toks[1:]):
+            if x != y:
+                pairs[(x, y)] += 1
+    if not pairs:
+        merged_docs = docs
+    else:
+        (w1, w2), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merged_docs = []
+        for toks in docs:
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == w1 and toks[i + 1] == w2:
+                    out.append(f"{w1} {w2}")
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            merged_docs.append(out)
+    counts = Counter()
+    for toks in merged_docs:
+        counts.update(toks)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    return {(tok, cnt, i + 1) for i, (tok, cnt) in enumerate(ranked)}
+
+
+@SETTINGS
+@given(TOKEN_STREAMS)
+def test_bpe_merge_core_matches_sequential_reference(spark, docs):
+    """C7's relational one-step BPE (independent per-position fusion,
+    valid because w1 != w2) must equal the SEQUENTIAL left-to-right
+    reference on arbitrary token streams — the core correctness claim
+    of the operator."""
+    from data_pipeline_standalone_scripts_spark.operators.corpus import (
+        bpe_merge_core,
+    )
+
+    rows = [
+        (d, p + 1, tok)
+        for d, toks in enumerate(docs)
+        for p, tok in enumerate(toks)
+    ]
+    stream = spark.createDataFrame(rows, "doc_id long, pos long, tok string")
+    got = {
+        (r["token"], r["cnt"], r["rank"])
+        for r in bpe_merge_core(stream).collect()
+    }
+    assert got == _brute_bpe(docs)

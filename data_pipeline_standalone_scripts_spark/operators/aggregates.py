@@ -695,6 +695,14 @@ def q_exact_median_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents")
     )
+    return exact_median_core(li)
+
+
+def exact_median_core(li: DataFrame) -> DataFrame:
+    """The bin-refine recurrence over a single-column cents frame —
+    factored out so the hypothesis property test can drive it with
+    arbitrary integer multisets against a sorted-list reference
+    (tests/test_property_scalar.py)."""
     bounds = li.agg(
         F.min("cents").alias("lo"),
         F.max("cents").alias("hi"),

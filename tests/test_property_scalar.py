@@ -401,3 +401,28 @@ def test_bpe_merge_core_matches_sequential_reference(spark, docs):
         for r in bpe_merge_core(stream).collect()
     }
     assert got == _brute_bpe(docs)
+
+
+INT_MULTISETS = st.lists(
+    st.integers(min_value=-10_000, max_value=10_000), min_size=1, max_size=60
+)
+
+
+@SETTINGS
+@given(INT_MULTISETS)
+def test_exact_median_core_matches_sorted_reference(spark, values):
+    """A19's two-pass bin-refine must return the exact k-th order
+    statistic (k = (N+1)//2) for arbitrary integer multisets —
+    including all-equal, negative, and heavily-duplicated inputs."""
+    from data_pipeline_standalone_scripts_spark.operators.aggregates import (
+        exact_median_core,
+    )
+
+    li = spark.createDataFrame([(v,) for v in values], "cents long")
+    row = exact_median_core(li).collect()
+    assert len(row) == 1
+    got = row[0]
+    k = (len(values) + 1) // 2
+    want = sorted(values)[k - 1]
+    assert got["n"] == len(values)
+    assert got["median_cents"] == want

@@ -52,6 +52,15 @@ SHOWCASE = [
     ("q_interpolate_linear", "spine + paired IGNORE-NULLS fill windows on one key partitioning"),
     ("q_kmv_distinct", "distinct (group, h60) map-side pass; per-group rank over sketch-sized frame"),
     ("q_survival_km", "fact collapsed to lifetime histogram; windowed product in frame order"),
+    # round 6
+    ("q_ohlc_bars", "bar building as ONE two-phase struct-MIN/MAX hash agg — no window"),
+    ("q_interval_coverage", "running-max sweep + island aggs on a single user_id exchange"),
+    ("q_geo_nearest_hub", "25-row broadcast nested loop; partial MIN(struct) combines map-side"),
+    ("q_join_overlap_binned", "interval overlap via (user,bin) equi-join + witness-bin emission"),
+    ("q_wau_mau", "rolling COUNT DISTINCT as explode-forward, no theta join"),
+    ("q_exact_median_twopass", "1024-bin histogram + single-bin rank — no global sort"),
+    ("q_shortest_path_bf", "frontier⋈edges + min-combine per relaxation round (Pregel shape)"),
+    ("q_incremental_join", "four delta-term joins merged per-group (IVM delta identity)"),
 ]
 
 

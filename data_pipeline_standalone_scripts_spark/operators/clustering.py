@@ -599,3 +599,94 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "mean_qnorm",
     )
+
+
+_PQ_SUBSPACES = 8  # 64 dims -> 8 sub-vectors of 8 dims
+_PQ_CODES = 16  # codewords per subspace (vec_id < 16 slices)
+
+
+@register(
+    "q_product_quantize",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM embeddings
+        ), cb AS (
+            SELECT vec_id AS code, pos, v AS c FROM ev
+            WHERE vec_id < {_PQ_CODES}
+        ), derr AS (
+            SELECT e.vec_id, e.pos // 8 AS sub, cb.code,
+                   SUM((e.v - cb.c) * (e.v - cb.c)) AS err
+            FROM ev e JOIN cb ON e.pos = cb.pos
+            GROUP BY e.vec_id, e.pos // 8, cb.code
+        ), assigned AS (
+            SELECT vec_id, sub,
+                   struct_extract(MIN({{'e': err, 'k': code}}), 'k') AS code,
+                   struct_extract(MIN({{'e': err, 'k': code}}), 'e') AS err
+            FROM derr GROUP BY vec_id, sub
+        )
+        SELECT CAST(sub AS BIGINT) AS subspace,
+               CAST(code AS BIGINT) AS code,
+               CAST(COUNT(*) AS BIGINT) AS n_assigned,
+               CAST(SUM(err) AS BIGINT) AS total_err_micro2
+        FROM assigned
+        GROUP BY sub, code
+    """,
+    category=CAT,
+)
+def q_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM5: product quantization (Jégou et al., PAMI'11) — the
+    fine-grained vector-compression half of the ANN stack: the 64-dim
+    space splits into 8 subspaces of 8 dims, each sub-vector
+    quantizes to its nearest of 16 deterministic codewords (the
+    vec_id<16 slices, the KM1 init convention), and the op reports
+    per-(subspace, codeword) population and total quantization error.
+    With X6's IVF (coarse) and X17's sign-LSH this completes
+    IVF-PQ — the architecture behind every billion-vector index.
+
+    Exactness: distances are exact BIGINT Σ(Δ²) over micro-quantized
+    longs; argmin ties break on codeword id via lexicographic struct
+    MIN — the FIN1 idiom.
+
+    Scale: codebooks are 16×64 longs — always broadcast; assignment
+    is one scan with a ×16-per-subspace fan-out confined to the
+    pre-aggregation stage (map-side MIN partials), and the code
+    table written at 100 TB is 8 bytes/vector — the 512× compression
+    that makes exhaustive in-memory rerank possible.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.posexplode(_quantize_micro(_vec_double())).alias("pos", "v")
+    )
+    cb = ev.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"),
+        F.col("pos").alias("cpos"),
+        F.col("v").alias("c"),
+    )
+    derr = (
+        ev.join(F.broadcast(cb), F.col("pos") == F.col("cpos"))
+        .groupBy(
+            "vec_id",
+            F.expr("pos div 8").alias("sub"),
+            "code",
+        )
+        .agg(
+            F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))).alias(
+                "err"
+            )
+        )
+    )
+    pick = F.min(F.struct(F.col("err").alias("e"), F.col("code").alias("k")))
+    assigned = derr.groupBy("vec_id", "sub").agg(
+        pick.getField("k").alias("code"), pick.getField("e").alias("err")
+    )
+    return assigned.groupBy(
+        F.col("sub").cast("long").alias("subspace"),
+        F.col("code").cast("long").alias("code"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        F.sum("err").cast("long").alias("total_err_micro2"),
+    )

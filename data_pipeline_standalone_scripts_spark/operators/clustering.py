@@ -690,3 +690,116 @@ def q_product_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         F.sum("err").cast("long").alias("total_err_micro2"),
     )
+
+
+_ADC_K = 10
+
+
+@register(
+    "q_pq_adc_topk",
+    oracle=f"""
+        WITH ev AS (
+            SELECT vec_id,
+                   generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                        AS BIGINT) AS v
+            FROM embeddings
+        ), cb AS (
+            SELECT vec_id AS code, pos, v AS c FROM ev
+            WHERE vec_id < {_PQ_CODES}
+        ), derr AS (
+            SELECT e.vec_id, e.pos // 8 AS sub, cb.code,
+                   SUM((e.v - cb.c) * (e.v - cb.c)) AS err
+            FROM ev e JOIN cb ON e.pos = cb.pos
+            WHERE e.vec_id <> 0
+            GROUP BY e.vec_id, e.pos // 8, cb.code
+        ), assigned AS (
+            SELECT vec_id, sub,
+                   struct_extract(MIN({{'e': err, 'k': code}}), 'k') AS code
+            FROM derr GROUP BY vec_id, sub
+        ), qtab AS (
+            SELECT cb.pos // 8 AS sub, cb.code,
+                   SUM((q.v - cb.c) * (q.v - cb.c)) AS qd
+            FROM ev q JOIN cb ON q.pos = cb.pos
+            WHERE q.vec_id = 0
+            GROUP BY cb.pos // 8, cb.code
+        ), adc AS (
+            SELECT a.vec_id, SUM(t.qd) AS adc_dist
+            FROM assigned a JOIN qtab t
+              ON a.sub = t.sub AND a.code = t.code
+            GROUP BY a.vec_id
+        )
+        SELECT CAST(vec_id AS BIGINT) AS vec_id,
+               CAST(adc_dist AS BIGINT) AS adc_dist_micro2,
+               CAST(row_number() OVER (ORDER BY adc_dist ASC, vec_id ASC)
+                    AS BIGINT) AS rank
+        FROM adc
+        ORDER BY adc_dist ASC, vec_id ASC
+        LIMIT {_ADC_K}
+    """,
+    category=CAT,
+)
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM6: asymmetric distance computation (ADC) top-k over the PQ
+    codes — the query path of IVF-PQ: the query stays EXACT, each
+    database vector is its 8 codeword ids, and the distance is 8
+    lookups into the per-query (subspace × codeword) distance table.
+    The search touches 8 small integers per candidate instead of 64
+    floats — the memory-bandwidth win that makes billion-scale
+    rerank work.
+
+    Exactness: the lookup table and code assignments are exact
+    BIGINTs (KM5's arithmetic), so ADC distances are exact and the
+    top-10 ties on vec_id. The pytest recall check compares against
+    the exact L2 top-10 — ADC is an approximation of the TRUE
+    distance by construction, and the test pins how good.
+
+    Scale: qtab is 128 longs — broadcast; the candidate scan reads
+    only the code table (8 bytes/vector at 100 TB); the top-k is
+    TakeOrderedAndProject. Full IVF-PQ adds X6's coarse probe in
+    front — both halves now exist as operators.
+    """
+    e = load(spark, sf_dir, "embeddings")
+    ev = e.select(
+        "vec_id", F.posexplode(_quantize_micro(_vec_double())).alias("pos", "v")
+    )
+    cb = ev.filter(F.col("vec_id") < _PQ_CODES).select(
+        F.col("vec_id").alias("code"),
+        F.col("pos").alias("cpos"),
+        F.col("v").alias("c"),
+    )
+    d2 = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    derr = (
+        ev.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(cb), F.col("pos") == F.col("cpos"))
+        .groupBy("vec_id", F.expr("pos div 8").alias("sub"), "code")
+        .agg(F.sum(d2).alias("err"))
+    )
+    pick = F.min(F.struct(F.col("err").alias("e"), F.col("code").alias("k")))
+    assigned = derr.groupBy("vec_id", "sub").agg(pick.getField("k").alias("code"))
+    qtab = (
+        ev.filter(F.col("vec_id") == 0)
+        .select(F.col("pos").alias("qpos"), F.col("v").alias("qv"))
+        .join(F.broadcast(cb), F.col("qpos") == F.col("cpos"))
+        .groupBy(F.expr("cpos div 8").alias("sub"), "code")
+        .agg(
+            F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))).alias(
+                "qd"
+            )
+        )
+    )
+    adc = (
+        assigned.join(F.broadcast(qtab), ["sub", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("adc_dist"))
+    )
+    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+    return (
+        adc.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(_ADC_K)
+        .select(
+            F.col("vec_id").cast("long"),
+            F.col("adc_dist").cast("long").alias("adc_dist_micro2"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+    )

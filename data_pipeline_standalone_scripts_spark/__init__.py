@@ -55,10 +55,11 @@ from .registry import REGISTRY  # noqa: F401
 # 26 more never-checked ops to that later pool: PI1–PI5 textclean,
 # TS7–TS11, SK3, AN15–AN17, KM3, G4, MT5, ML3, ST1–ST3, F14, OL20,
 # S10/S11, X39 (all local-parity green at sf0.01+sf0.001 on arrival).
-# Round 6 added 33+ more never-checked ops (same arrival criteria —
+# Round 6 added ~40 more never-checked ops (same arrival criteria —
 # local parity green at sf0.01+sf0.001 + golden): FIN1–FIN4, GEO1–GEO2,
-# C7, KM4, T9–T11, X42, S12–S13, AN24–AN26, PI9, ML4–ML6, A18–A19,
-# F15–F17, SK4, J18, RC3, G5, D7, ST4–ST5. Queue them after the
+# C7, KM4–KM6, T9–T12, X42–X43, S12–S13, AN24–AN26, PI9, ML4–ML7,
+# A18–A20, F15–F17, SK4, J18, RC3, C8, G5, D7, MT6, ST4–ST5. Queue
+# them after the
 # round-3 window (the bumped round-2 additions listed above) and the
 # round-4 pool.
 #

@@ -426,3 +426,62 @@ def test_exact_median_core_matches_sorted_reference(spark, values):
     want = sorted(values)[k - 1]
     assert got["n"] == len(values)
     assert got["median_cents"] == want
+
+
+EVENT_TIMES = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),     # user
+        st.integers(min_value=0, max_value=2000),  # epoch second
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+_GAP_SEC = 100
+
+
+def _brute_sessions(rows):
+    """Half-open session semantics: an event at exactly last+gap starts
+    a NEW session — the boundary rule T9's oracle hardcodes."""
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, t in rows:
+        per[u].append(t)
+    out = {}
+    for u, ts in per.items():
+        ts.sort()
+        n, last = 0, None
+        for t in ts:
+            if last is None or t - last >= _GAP_SEC:
+                n += 1
+            last = t
+        out[u] = n
+    return out
+
+
+@SETTINGS
+@given(EVENT_TIMES)
+def test_native_session_window_boundary_semantics(spark, rows):
+    """Spark's built-in session_window must implement the half-open
+    [start, last+gap) rule — an event at exactly last+gap opens a new
+    session. This is the assumption T9's oracle (>= break) and the
+    streaming twin both encode; hypothesis feeds exact-boundary gaps
+    that the fixed corpus never contains."""
+    import datetime
+
+    df = spark.createDataFrame(
+        [
+            (u, datetime.datetime(2024, 1, 1) + datetime.timedelta(seconds=t))
+            for u, t in rows
+        ],
+        "user_id long, ts timestamp",
+    )
+    got = (
+        df.groupBy(F.session_window("ts", f"{_GAP_SEC} seconds"), "user_id")
+        .count()
+        .groupBy("user_id")
+        .count()
+        .collect()
+    )
+    assert {r["user_id"]: r["count"] for r in got} == _brute_sessions(rows)

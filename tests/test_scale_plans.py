@@ -569,3 +569,22 @@ def test_shortest_path_never_cartesian(spark, sf_med):
     plan = plan_of(REGISTRY["q_shortest_path_bf"].fn(spark, sf_med))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pq_codebook_broadcasts(spark, sf_med):
+    """KM5/KM6: the codebook (and ADC's query table) must broadcast —
+    a shuffled codebook join would exchange the exploded vector
+    stream twice."""
+    for name in ("q_product_quantize", "q_pq_adc_topk"):
+        plan = plan_of(REGISTRY[name].fn(spark, sf_med))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_incremental_join_prunes_delta_scans(spark, sf_med):
+    """MT6: the epoch predicates must reach the parquet scans so the
+    delta terms read delta-sized inputs."""
+    plan = plan_of(REGISTRY["q_incremental_join"].fn(spark, sf_med))
+    assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan

@@ -2146,3 +2146,82 @@ def q_wau_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("wau_estimate").cast("long").alias("wau_estimate"),
         )
     )
+
+
+@register(
+    "q_abandonment",
+    oracle="""
+        WITH clicks AS (
+            SELECT event_id, user_id, ts,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+            FROM events WHERE event_type = 'click'
+        ), abandoned AS (
+            SELECT c.event_id, c.day
+            FROM clicks c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM events p
+                WHERE p.event_type = 'purchase'
+                  AND p.user_id = c.user_id
+                  AND p.ts > c.ts
+                  AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        ), ac AS (
+            SELECT day, COUNT(*) AS n_abandoned FROM abandoned GROUP BY day
+        ), cc AS (
+            SELECT day, COUNT(*) AS n_clicks FROM clicks GROUP BY day
+        )
+        SELECT ac.day,
+               CAST(n_abandoned AS BIGINT) AS n_abandoned,
+               CAST(n_clicks AS BIGINT) AS n_clicks,
+               round(CAST(n_abandoned AS DOUBLE) / n_clicks, 6)
+                   AS abandonment_rate
+        FROM ac JOIN cc USING (day)
+    """,
+    category=CAT,
+)
+def q_abandonment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AN27: abandonment analysis — clicks NOT followed by a purchase
+    from the same user within one hour, per day with the abandonment
+    rate. The COMPLEMENT of the funnel family (AN4/T8 count
+    conversions; this counts the leak), and the one join shape the
+    inventory lacked: a RANGE-BOUNDED ANTI join (NOT EXISTS with an
+    equality key + time-window predicates).
+
+    Plan: Spark lowers the left_anti with the compound condition to a
+    user-keyed anti join whose range predicates evaluate inside each
+    key group — same J10/J11 discipline (the equality key carries the
+    shuffle, the range only filters). Daily rollup joins the per-day
+    click census to express the rate.
+
+    Scale: anti joins shuffle both sides once on user_id; per-user
+    group sizes bound the quadratic range check exactly as in the
+    positive funnel; no state beyond the group.
+    """
+    e = load(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    abandoned = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("ts"))
+        & (F.col("p_ts") <= F.col("ts") + F.expr("INTERVAL 1 HOUR")),
+        "left_anti",
+    )
+    day = F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    daily_clicks = clicks.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_clicks")
+    )
+    daily_abandoned = abandoned.groupBy(day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n_abandoned")
+    )
+    return daily_abandoned.join(daily_clicks, "day").select(
+        "day",
+        "n_abandoned",
+        "n_clicks",
+        F.round(
+            F.col("n_abandoned").cast("double") / F.col("n_clicks"), 6
+        ).alias("abandonment_rate"),
+    )

@@ -508,10 +508,20 @@ def q_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge-asof (union label and snapshot streams, one last_value
     window — q_attribution_lasttouch's carried-row shape).
     """
+    from pyspark.sql import functions as F  # noqa: F401
+
+    e = load(spark, sf_dir, "events")
+    return pit_join_core(e)
+
+
+def pit_join_core(e: DataFrame) -> DataFrame:
+    """The snapshot build + strict as-of pick over an events-shaped
+    frame — factored out so the hypothesis property test can drive it
+    with arbitrary event streams against a Python reference
+    (tests/test_property_scalar.py proves strict before-ness)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "events")
     daily = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("day")
     ).agg(

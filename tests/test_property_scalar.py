@@ -485,3 +485,75 @@ def test_native_session_window_boundary_semantics(spark, rows):
         .collect()
     )
     assert {r["user_id"]: r["count"] for r in got} == _brute_sessions(rows)
+
+
+PIT_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),    # user
+        st.integers(min_value=0, max_value=9),    # day offset
+        st.integers(min_value=0, max_value=86_399),  # second of day
+        st.sampled_from(["click", "purchase"]),
+        st.integers(min_value=0, max_value=300),  # value (whole units)
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _brute_pit(rows):
+    """Python reference: per purchase, the cumulative (events, cents)
+    through the latest FULL day strictly before the purchase's day."""
+    from collections import defaultdict
+
+    daily = defaultdict(lambda: defaultdict(lambda: [0, 0]))
+    for u, d, _sec, _ty, v in rows:
+        daily[u][d][0] += 1
+        daily[u][d][1] += v * 100
+    out = {}
+    for eid, (u, d, _sec, ty, _v) in enumerate(rows):
+        if ty != "purchase":
+            continue
+        days = sorted(x for x in daily[u] if x < d)
+        if not days:
+            out[eid] = ("none", 0, 0)
+        else:
+            snap = days[-1]
+            cum_e = sum(daily[u][x][0] for x in days)
+            cum_c = sum(daily[u][x][1] for x in days)
+            out[eid] = (f"2024-01-{snap + 1:02d}", cum_e, cum_c)
+    return out
+
+
+@SETTINGS
+@given(PIT_EVENTS)
+def test_pit_join_core_is_strictly_before(spark, rows):
+    """ML6's point-in-time pick must equal the reference on arbitrary
+    event streams — including same-day purchases (which must NOT see
+    same-day activity: the leakage case) and cold starts."""
+    import datetime
+
+    from data_pipeline_standalone_scripts_spark.operators.mlfit import (
+        pit_join_core,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (
+                eid,
+                datetime.datetime(2024, 1, 1 + d)
+                + datetime.timedelta(seconds=sec),
+                u,
+                ty,
+                float(v),
+                "{}",
+            )
+            for eid, (u, d, sec, ty, v) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    got = {
+        r["event_id"]: (r["snap_day"], r["cum_events"], r["cum_cents"])
+        for r in pit_join_core(df).collect()
+    }
+    assert got == _brute_pit(rows)

@@ -472,3 +472,93 @@ def q_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("rev").cast("double") / 1_000_000.0).alias("revenue"),
         F.sum("nd").cast("long").alias("n_delta_pairs"),
     )
+
+
+_RLE_KEYS = ("l_shipdate", "l_partkey", "l_returnflag")
+
+
+def _rle_runs_sql(key: str) -> str:
+    return f"""
+        SELECT '{key}' AS sort_key,
+               CAST(1 + SUM(CASE WHEN rf <> prev_rf THEN 1 ELSE 0 END)
+                    AS BIGINT) AS runs_returnflag,
+               CAST(1 + SUM(CASE WHEN ls <> prev_ls THEN 1 ELSE 0 END)
+                    AS BIGINT) AS runs_linestatus,
+               CAST(COUNT(*) + 1 AS BIGINT) AS n_rows_p1
+        FROM (
+            SELECT l_returnflag AS rf, l_linestatus AS ls,
+                   lag(l_returnflag) OVER w AS prev_rf,
+                   lag(l_linestatus) OVER w AS prev_ls
+            FROM lineitem
+            WINDOW w AS (ORDER BY {key}, l_returnflag, l_linestatus,
+                         l_orderkey, l_linenumber)
+        ) WHERE prev_rf IS NOT NULL
+    """
+
+
+@register(
+    "q_rle_advisor",
+    oracle=" UNION ALL ".join(_rle_runs_sql(k) for k in _RLE_KEYS),
+    category=CAT,
+)
+def q_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT7: run-length (RLE) compressibility advisor — for each
+    candidate sort key, how many value RUNS the low-cardinality
+    columns collapse to when the table is written in that order.
+    Parquet's RLE/dictionary encoding makes run count ≈ storage cost,
+    so this report picks the write-side ORDER BY (the companion to
+    MT5's read-side zone-map advisor and O4's Z-order key: sort to
+    COMPRESS vs sort to SKIP, measured on the same table).
+
+    Determinism: (orderkey, linenumber) is NOT unique in this data,
+    so the sort ties THROUGH the measured columns themselves —
+    residual tie groups then hold constant (rf, ls) and the run
+    count is well-defined under any tie order. (This also models the
+    real write: a secondary sort on the encoded columns is exactly
+    what maximizes their RLE.)
+
+    Scale: each candidate costs one global sort of the PROJECTED
+    (key, rf, ls) columns — at 100 TB you run this on a sampled
+    fraction per candidate (run DENSITY estimates rank the keys just
+    as well; the full sort is only paid once, by the actual write).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    outs = []
+    for key in _RLE_KEYS:
+        w = Window.orderBy(
+            key, "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"
+        )
+        runs = (
+            li.select(
+                F.col("l_returnflag").alias("rf"),
+                F.col("l_linestatus").alias("ls"),
+                F.lag("l_returnflag").over(w).alias("prev_rf"),
+                F.lag("l_linestatus").over(w).alias("prev_ls"),
+            )
+            .filter(F.col("prev_rf").isNotNull())
+            .agg(
+                (
+                    1
+                    + F.sum(
+                        F.when(F.col("rf") != F.col("prev_rf"), 1).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("runs_returnflag"),
+                (
+                    1
+                    + F.sum(
+                        F.when(F.col("ls") != F.col("prev_ls"), 1).otherwise(0)
+                    )
+                )
+                .cast("long")
+                .alias("runs_linestatus"),
+                (F.count(F.lit(1)) + 1).cast("long").alias("n_rows_p1"),
+            )
+            .select(F.lit(key).alias("sort_key"), "*")
+        )
+        outs.append(runs)
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

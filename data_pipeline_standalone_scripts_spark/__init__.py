@@ -57,8 +57,8 @@ from .registry import REGISTRY  # noqa: F401
 # S10/S11, X39 (all local-parity green at sf0.01+sf0.001 on arrival).
 # Round 6 added ~40 more never-checked ops (same arrival criteria —
 # local parity green at sf0.01+sf0.001 + golden): FIN1–FIN4, GEO1–GEO2,
-# C7, KM4–KM6, T9–T12, X42–X43, S12–S13, AN24–AN26, PI9, ML4–ML7,
-# A18–A20, F15–F17, SK4, J18, RC3, C8, G5, D7, MT6, ST4–ST5. Queue
+# C7–C8, KM4–KM6, T9–T12, X42–X43, S12–S13, AN24–AN27, PI9, ML4–ML7,
+# A18–A20, F15–F17, SK4, J18, RC3, G5, D7, MT6–MT7, ST4–ST5. Queue
 # them after the
 # round-3 window (the bumped round-2 additions listed above) and the
 # round-4 pool.

@@ -24,110 +24,100 @@ from .registry import REGISTRY  # noqa: F401
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
 # This list pins those 50 slots.
 #
-# THIS round's composition: the 4 r01-RED queries keep their front slots
-# (their last *hard* signal is still the r01 FAIL; flipping those rows
-# green outranks everything), and the remaining 46 slots go to the
-# classic categories VERDICT r01 "Next round #3" explicitly named as the
-# never-checked coverage gap: W1–W8, F1–F10, D1–D6, J6–J12, U1–U4,
-# O1–O3, S1–S6, X1/X3.
+# THIS round (3): per VERDICT r02 "Next round #1", the window rotates to
+# 50 never-driver-checked ops — the round-2-addition families that were
+# bumped for the classics in r02. All 50 were local-parity green at
+# sf0.01+sf0.001 on arrival and have golden hashes; cumulative driver
+# coverage after this round should be 146/294. The r01+r02 checked sets
+# were re-verified disjoint from this list before pinning (snippet below).
 #
-# NEXT-ROUND QUEUE (recompute with the snippet below). Fill round 3's
-# window with the round-2-addition families that were bumped for the
-# classics: q_skew_salted_join q_corr_subquery q_cdc_upsert q_unpivot
-# q_string_agg q_map_funcs q_histogram q_zscore_outliers q_token_count
-# q_contamination_check q_repetition_filter q_ngram_lm_score
-# q_quality_score_model q_domain_quota q_mixture_sample q_doc_chunk
-# q_pack_sequences q_token_entropy q_train_test_split q_rare_bucket
-# q_bm25_rank q_dedup_clusters q_pagerank_dups q_embed_quantize
-# q_fuzzy_name_match q_bloom_prefilter q_cms_frequency q_gap_fill_daily
-# q_scd2_intervals q_rollup_multires q_rolling_corr q_decay_score
-# q_morton_cluster q_table_checksum q_snapshot_diff q_linreg_fit
-# q_linreg_per_group q_multimodal_decode q_pgm_decode q_wav_decode
-# q_png_decode q_frame_sample q_media_resize q_tailcut_clean
-# q_array_moments (45) + F12 VARIANT / S7 XML / S8 binaryFile / F14
-# try_* / J16 LATERAL (50). The round after: the OL4–OL19 TPC-H
-# completion set, clustering (KM1/KM2),
-# C6/X38 dedup additions, analytics/corpus/maintenance/graph round-3
-# families, q_haar_denoise and q_fft_lowpass (both upgraded to full T2 in
-# round 4 — retest), q_param_sweep (full T2, deferred by choice), and
-# the one remaining rows-only sweep (q_evolutionary_sweep — hash-based
-# mutation is not portably expressible; pytest covers it). Round 5 added
-# 26 more never-checked ops to that later pool: PI1–PI5 textclean,
-# TS7–TS11, SK3, AN15–AN17, KM3, G4, MT5, ML3, ST1–ST3, F14, OL20,
-# S10/S11, X39 (all local-parity green at sf0.01+sf0.001 on arrival).
-# Round 6 added ~40 more never-checked ops (same arrival criteria —
-# local parity green at sf0.01+sf0.001 + golden): FIN1–FIN4, GEO1–GEO2,
-# C7–C8, KM4–KM6, T9–T12, X42–X43, S12–S13, AN24–AN27, PI9, ML4–ML7,
-# A18–A20, F15–F17, SK4, J18, RC3, G5, D7, MT6–MT7, ST4–ST5. Queue
-# them after the
-# round-3 window (the bumped round-2 additions listed above) and the
-# round-4 pool.
+# NEXT-ROUND QUEUE (round 4 — fill the window with the first 50 of this
+# pool, recomputed via the snippet): the OL4–OL19 TPC-H completion set
+# (q_revenue_uplift q_volume_shipping q_product_profit q_returned_items
+# q_top_supplier q_promo_revenue_share q_priority_late_ship
+# q_cust_order_distribution q_small_qty_revenue q_disjunctive_revenue
+# q_important_parts q_min_price_supplier q_parts_supplier_count
+# q_bulk_part_suppliers q_waiting_suppliers q_idle_rich_customers),
+# clustering KM1–KM2 (q_kmeans_embed q_power_iteration_pc), analytics
+# round-3 families (q_retention_cohort q_path_transitions q_dau_rolling
+# q_funnel_conversion q_benford_digits q_mad_outliers q_percentile_bands
+# q_mode_median q_ab_lift q_attribution_lasttouch q_histogram_equidepth
+# q_psi_drift), corpus (q_boilerplate_ngrams q_incremental_dedup
+# q_ttr_lexical q_weighted_sample q_ngram_novelty q_prefix_dedup
+# q_curation_funnel), maintenance (q_compaction_plan q_partition_skew
+# q_dq_report q_column_profile q_zonemap_prune), graph (q_triangle_count
+# q_recursive_bfs q_copurchase_recs), plus q_haar_denoise q_fft_lowpass
+# q_param_sweep (full T2 — retest). Round 5+ takes the remainder:
+# PI1–PI9 textclean, TS6–TS12 timeseries, SK3–SK4 sketches, AN15–AN27
+# analytics, KM3–KM6 clustering, G4–G5 graph, MT5–MT7 maintenance,
+# ML3–ML7 mlfit, ST1–ST5 stats, OL20, S10–S13 scans, X39/X42–X43,
+# FIN1–FIN4 finance, GEO1–GEO2, C7–C10 corpus, T9–T12, A18–A20, F15–F17,
+# J18, RC3, D7, and the rows-only q_evolutionary_sweep.
 #
 #   never = [n for n in REGISTRY
 #            if n not in set(json.load(open("CORRECTNESS_r01.json")))
-#            and n not in set(<every previous DRIVER_PRIORITY>)]
+#            and n not in set(json.load(open("CORRECTNESS_r02.json")))
+#            and n not in DRIVER_PRIORITY]
 DRIVER_PRIORITY: list[str] = [
-    # r01 driver-RED, fixed in round 2 — must flip to green
-    "q_lang_distribution",
-    "q_session_window",
-    "q_agg_collect",
-    "q_centroid_per_label",
-    # VERDICT r01 "Next round #3" named these classic categories as the
-    # operative coverage gap — they fill the remaining 46 slots.
-    # W1–W8 window functions
-    "q_win_rank",
-    "q_win_topk_group",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_moving_avg",
-    "q_win_range_frame",
-    "q_win_ntile_pct",
-    "q_win_first_last",
-    # F1–F10 scalar functions
-    "q_str_funcs",
-    "q_str_regex",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_null_funcs",
-    "q_array_funcs",
-    "q_array_hof",
-    "q_explode",
-    "q_json_extract",
-    "q_cast_types",
-    # D1–D6 UDF surface
-    "q_python_udf",
-    "q_pandas_udf_scalar",
-    "q_pandas_udaf",
-    "q_apply_in_pandas",
-    "q_python_udtf",
-    "q_map_in_arrow",
-    # J6–J12 joins (incl. the VERDICT-flagged asof/interval)
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_join_interval",
-    # U1–U4 set ops
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    # O1–O3 ordering / sampling
-    "q_order_multi",
-    "q_topk_global",
-    "q_sample_deterministic",
-    # S1–S6 scans / sinks
-    "q_scan_project",
-    "q_scan_count",
-    "q_sink_roundtrip",
-    "q_csv_json_io",
-    "q_partitioned_prune",
-    "q_orc_io",
-    # X1/X3 textpipe classics from the original inventory
-    "q_lang_id",
-    "q_fingerprint_winnow",
+    # joins / setops / scalar-function round-2 additions
+    "q_skew_salted_join",
+    "q_corr_subquery",
+    "q_cdc_upsert",
+    "q_unpivot",
+    "q_string_agg",
+    "q_map_funcs",
+    "q_histogram",
+    "q_zscore_outliers",
+    # X-series textpipe (training-data pipeline) family
+    "q_token_count",
+    "q_contamination_check",
+    "q_repetition_filter",
+    "q_ngram_lm_score",
+    "q_quality_score_model",
+    "q_domain_quota",
+    "q_mixture_sample",
+    "q_doc_chunk",
+    "q_pack_sequences",
+    "q_token_entropy",
+    "q_train_test_split",
+    "q_rare_bucket",
+    "q_bm25_rank",
+    # dedup_ext round-2 additions
+    "q_dedup_clusters",
+    "q_pagerank_dups",
+    "q_embed_quantize",
+    "q_fuzzy_name_match",
+    # sketches
+    "q_bloom_prefilter",
+    "q_cms_frequency",
+    # timeseries
+    "q_gap_fill_daily",
+    "q_scd2_intervals",
+    "q_rollup_multires",
+    "q_rolling_corr",
+    "q_decay_score",
+    # ordering / reconcile / mlfit
+    "q_morton_cluster",
+    "q_table_checksum",
+    "q_snapshot_diff",
+    "q_linreg_fit",
+    "q_linreg_per_group",
+    # multimodal decode family (Arrow-batched mapInPandas codecs)
+    "q_multimodal_decode",
+    "q_pgm_decode",
+    "q_wav_decode",
+    "q_png_decode",
+    "q_frame_sample",
+    "q_media_resize",
+    # reference_analogs
+    "q_tailcut_clean",
+    "q_array_moments",
+    # F12 VARIANT / S7 XML / S8 binaryFile / F14 try_* / J16 LATERAL
+    "q_variant_json",
+    "q_xml_io",
+    "q_binaryfile_scan",
+    "q_try_arithmetic",
+    "q_join_lateral",
 ]
 
 

@@ -51,7 +51,7 @@ from .registry import REGISTRY  # noqa: F401
 # PI1–PI9 textclean, TS6–TS12 timeseries, SK3–SK4 sketches, AN15–AN27
 # analytics, KM3–KM6 clustering, G4–G5 graph, MT5–MT7 maintenance,
 # ML3–ML7 mlfit, ST1–ST5 stats, OL20, S10–S13 scans, X39/X42–X43,
-# FIN1–FIN4 finance, GEO1–GEO2, C7–C10 corpus, T9–T12, A18–A20, F15–F17,
+# FIN1–FIN4 finance, GEO1–GEO2, C7–C11 corpus, T9–T12, A18–A20, F15–F17,
 # J18, RC3, D7, and the rows-only q_evolutionary_sweep.
 #
 #   never = [n for n in REGISTRY

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import davg, dsum, o_davg, o_dsum
+from .common import davg, dist_row_number, dist_running, dsum, o_davg, o_dsum
 
 CAT = "aggregates"
 
@@ -717,9 +717,10 @@ def exact_median_core(li: DataFrame) -> DataFrame:
         ).alias("bin"),
     )
     hist = binned.groupBy("bin", "n").agg(F.count(F.lit(1)).alias("bn"))
-    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     target = (
-        hist.withColumn("below", F.coalesce(F.sum("bn").over(w_cum), F.lit(0)))
+        dist_running(
+            hist, [("bin", "asc")], {"below": "bn"}, inclusive=False
+        )
         .withColumn("k", F.expr("(n + 1) div 2"))
         .filter(
             (F.col("below") < F.col("k"))
@@ -734,8 +735,9 @@ def exact_median_core(li: DataFrame) -> DataFrame:
     in_bin = binned.drop("n").join(
         F.broadcast(target), F.col("bin") == F.col("tbin"), "inner"
     ).select("cents", "off", "n_total")
-    w_rank = Window.orderBy("cents")
-    picked = in_bin.withColumn("rn", F.row_number().over(w_rank)).filter(
+    # rank the ~n/BINS in-bin rows distributed (ties on cents all
+    # carry the same value, so any tie order picks the same median)
+    picked = dist_row_number(in_bin, [("cents", "asc")], "rn").filter(
         F.col("rn") == F.col("off")
     )
     return picked.select(

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import davg, dist_ntile, h60, o_davg, o_h60
+from .common import davg, dist_ntile, dist_row_number, h60, o_davg, o_h60
 
 CAT = "analytics"
 
@@ -999,10 +999,12 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     double division at the end.
 
     Scale: the fact collapses to per-customer grain first (one
-    shuffle); the global sort ranks |customers| rows, not line items
-    — at extreme cardinality swap in the binned Gini (equi-depth
-    histogram trapezoids from AN11's machinery), documented here as
-    the approximation path.
+    shuffle); the global rank over |customers| rows (10⁸–10⁹ at
+    100 TB) runs via `dist_row_number` (common.py) — range shuffle +
+    per-partition row_number + broadcast offsets, never a
+    single-partition sort. At extreme cardinality swap in the binned
+    Gini (equi-depth histogram trapezoids from AN11's machinery),
+    documented here as the approximation path.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders")
@@ -1020,13 +1022,9 @@ def q_gini_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cents")
         )
     )
-    w_rank = Window.orderBy(F.asc("cents"), F.asc("c"))
-    w_all = Window.partitionBy()
-    ranked = rev.select(
-        "cents",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-    )
+    ranked = dist_row_number(
+        rev, [("cents", "asc"), ("c", "asc")], "i", keep_total="n"
+    ).select("cents", "i", "n")
     return ranked.agg(
         F.max("n").alias("n_customers"),
         (F.sum("cents").cast("double") / 100.0).alias("total_rev"),

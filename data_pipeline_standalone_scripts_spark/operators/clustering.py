@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import h60, o_h60
+from .common import h60, o_h60, topk_with_rank
 from .llm import _vec_double
 
 CAT = "clustering"
@@ -804,13 +804,10 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("qd").alias("adc_dist"))
     )
-    w = Window.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-    return (
-        adc.orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(_ADC_K)
-        .select(
-            F.col("vec_id").cast("long"),
-            F.col("adc_dist").cast("long").alias("adc_dist_micro2"),
-            F.row_number().over(w).cast("long").alias("rank"),
-        )
+    return topk_with_rank(
+        adc, [("adc_dist", "asc"), ("vec_id", "asc")], _ADC_K, "rank"
+    ).select(
+        F.col("vec_id").cast("long"),
+        F.col("adc_dist").cast("long").alias("adc_dist_micro2"),
+        F.col("rank").cast("long").alias("rank"),
     )

@@ -153,14 +153,51 @@ def dist_ntile(
     ``(col, "asc"|"desc")`` tuples so the same keys drive the range
     shuffle and the window sort.
     """
+    ranked = dist_row_number(df, order_by, out, parts=parts, keep_total="__n")
+    rank = F.col(out)
+    base = (F.col("__n") / n).cast("long")  # floor: __n, n ≥ 0
+    rem = F.col("__n") % n
+    fat = base + 1  # rows per bucket in the first `rem` buckets
+    cut = rem * fat  # global rank of the last row in bucket `rem`
+    bucket = (
+        F.when(rank <= cut, ((rank - 1) / fat).cast("long") + 1)
+        .otherwise(
+            rem + ((rank - cut - 1) / F.greatest(base, F.lit(1))).cast("long") + 1
+        )
+        .cast("int")
+    )
+    return ranked.withColumn(out, bucket).drop("__n")
+
+
+def dist_row_number(
+    df,
+    order_by,
+    out: str,
+    parts: int = 32,
+    keep_total: str | None = None,
+):
+    """Exact global ``row_number() OVER (ORDER BY …)`` without a
+    single-partition sort — steps 1–3 of :func:`dist_ntile`'s
+    mechanism (range shuffle → per-partition row_number → broadcast
+    prefix-sum offsets). ``order_by`` is ``(col, "asc"|"desc")``
+    tuples forming a TOTAL order. With ``keep_total`` set, the result
+    carries the global row count under that column (broadcast 1-row
+    cross join) for rank-arithmetic consumers like NTILE."""
     keys = [
         F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
     ]
     pid, rn = f"__{out}_pid", f"__{out}_rn"
     from pyspark.sql.window import Window  # local: keep module deps minimal
 
-    ranged = df.repartitionByRange(parts, *keys).withColumn(
-        pid, F.spark_partition_id()
+    # persist() is CORRECTNESS here, not caching: the pid column is
+    # spark_partition_id() evaluated at shuffle-read time, and AQE may
+    # coalesce the range exchange differently for the row branch vs
+    # the counts branch (different read partitioning -> inconsistent
+    # pids -> wrong offsets). Materializing once pins one assignment.
+    ranged = (
+        df.repartitionByRange(parts, *keys)
+        .withColumn(pid, F.spark_partition_id())
+        .persist()
     )
     local = ranged.withColumn(
         rn, F.row_number().over(Window.partitionBy(pid).orderBy(*keys))
@@ -176,22 +213,129 @@ def dist_ntile(
         .groupBy(F.col(f"a.{pid}").alias(pid))
         .agg(F.coalesce(F.sum("b.__cnt"), F.lit(0)).alias("__off"))
     )
-    total = counts.agg(F.sum("__cnt").alias("__n"))
-    rank = F.col(rn) + F.col("__off")
-    base = (F.col("__n") / n).cast("long")  # floor: __n, n ≥ 0
-    rem = F.col("__n") % n
-    fat = base + 1  # rows per bucket in the first `rem` buckets
-    cut = rem * fat  # global rank of the last row in bucket `rem`
-    bucket = (
-        F.when(rank <= cut, ((rank - 1) / fat).cast("long") + 1)
-        .otherwise(
-            rem + ((rank - cut - 1) / F.greatest(base, F.lit(1))).cast("long") + 1
-        )
-        .cast("int")
-    )
-    return (
+    res = (
         local.join(F.broadcast(offsets), pid)
-        .crossJoin(F.broadcast(total))
-        .withColumn(out, bucket)
-        .drop(pid, rn, "__off", "__n")
+        .withColumn(out, F.col(rn) + F.col("__off"))
+        .drop(pid, rn, "__off")
+    )
+    if keep_total:
+        total = counts.agg(F.sum("__cnt").alias(keep_total))
+        res = res.crossJoin(F.broadcast(total))
+    return res
+
+
+def dist_running(
+    df,
+    order_by,
+    sums=None,
+    parts: int = 32,
+    inclusive: bool = True,
+    maxs=None,
+):
+    """Distributed running SUMs (and running MAXes via ``maxs``) over
+    a TOTAL order — the scale-safe replacement for ``SUM(x)/MAX(x)
+    OVER (ORDER BY … ROWS UNBOUNDED PRECEDING)`` with no partitioning
+    (ECDF walks, Lorenz curves, rank-sum statistics, watermark
+    replays, skyline strict-prefix maxima), same mechanism as
+    :func:`dist_row_number`: range shuffle → per-partition running
+    agg → broadcast per-partition totals combined as offsets
+    (sums add; maxes take ``greatest``).
+
+    ``sums``/``maxs`` map output column name → input column name;
+    ``inclusive=False`` gives the exclusive frame (… AND -1): sums
+    coalesce to 0 on the first row, maxes stay NULL (SQL running-max
+    semantics over an empty frame). ``order_by`` is
+    ``(col, "asc"|"desc")`` tuples and must be a total order (unique
+    keys) for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    sums = sums or {}
+    maxs = maxs or {}
+    keys = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
+    ]
+    pid = "__dr_pid"
+    # persist pins ONE pid assignment across the running/totals
+    # branches (see dist_row_number: AQE read-coalescing hazard)
+    ranged = (
+        df.repartitionByRange(parts, *keys)
+        .withColumn(pid, F.spark_partition_id())
+        .persist()
+    )
+    upper = 0 if inclusive else -1
+    w_loc = (
+        Window.partitionBy(pid)
+        .orderBy(*keys)
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = ranged.select(
+        "*",
+        *[
+            F.coalesce(F.sum(c).over(w_loc), F.lit(0)).alias(f"__loc_{o}")
+            for o, c in sums.items()
+        ],
+        *[F.max(c).over(w_loc).alias(f"__loc_{o}") for o, c in maxs.items()],
+    )
+    totals = ranged.groupBy(pid).agg(
+        *[F.sum(c).alias(f"__t_{o}") for o, c in sums.items()],
+        *[F.max(c).alias(f"__t_{o}") for o, c in maxs.items()],
+    )
+    a, b = totals.alias("a"), totals.alias("b")
+    offsets = (
+        a.join(
+            F.broadcast(b), F.col(f"b.{pid}") < F.col(f"a.{pid}"), "left"
+        )
+        .groupBy(F.col(f"a.{pid}").alias(pid))
+        .agg(
+            *[
+                F.coalesce(F.sum(f"b.__t_{o}"), F.lit(0)).alias(f"__off_{o}")
+                for o in sums
+            ],
+            *[F.max(f"b.__t_{o}").alias(f"__off_{o}") for o in maxs],
+        )
+    )
+    res = local.join(F.broadcast(offsets), pid)
+    for o in sums:
+        res = res.withColumn(o, F.col(f"__loc_{o}") + F.col(f"__off_{o}"))
+    for o in maxs:
+        # greatest() skips NULLs: partition-first rows inherit the
+        # prior-partition max; stays NULL only when both are NULL
+        res = res.withColumn(
+            o, F.greatest(F.col(f"__loc_{o}"), F.col(f"__off_{o}"))
+        )
+    allo = list(sums) + list(maxs)
+    return res.drop(
+        pid,
+        *[f"__loc_{o}" for o in allo],
+        *[f"__off_{o}" for o in allo],
+    )
+
+
+def topk_with_rank(df, order_by, k: int, out: str = "rank"):
+    """Global top-k rows + their 1-based rank, with NO window anywhere:
+    ``orderBy().limit(k)`` plans as TakeOrderedAndProject (per-
+    partition k-heaps, driver merge — no global sort), and the rank is
+    recovered inside the ≤k-row frame by a broadcast self-theta-join
+    counting strict lexicographic predecessors. ``order_by`` is
+    ``(col, "asc"|"desc")`` tuples forming a TOTAL order over non-null
+    keys."""
+    keys = [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order_by
+    ]
+    top = df.orderBy(*keys).limit(k)
+    a, b = top.alias("a"), top.alias("b")
+    before = F.lit(False)
+    eqs = F.lit(True)
+    for c, d in order_by:
+        ac, bc = F.col(f"a.{c}"), F.col(f"b.{c}")
+        cmp = (bc > ac) if d == "desc" else (bc < ac)
+        before = before | (eqs & cmp)
+        eqs = eqs & (bc == ac)
+    first = order_by[0][0]
+    cols = df.columns
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(*[F.col(f"a.{c}").alias(c) for c in cols])
+        .agg((F.count(F.col(f"b.{first}")) + 1).alias(out))
     )

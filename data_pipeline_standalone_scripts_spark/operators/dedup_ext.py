@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import o_h60
+from .common import dist_row_number, o_h60
 from .llm import _dot, _norm_sq, _vec_double, minhash_candidates
 
 CAT = "dedup_ext"
@@ -1051,15 +1051,11 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .llm import _doc_tokens
 
     tok = _doc_tokens(spark, sf_dir)
-    rank = (
-        tok.groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.orderBy(F.asc("df"), F.asc("token"))),
-        )
-        .select("token", "rk")
-    )
+    rank = dist_row_number(
+        tok.groupBy("token").agg(F.count(F.lit(1)).alias("df")),
+        [("df", "asc"), ("token", "asc")],
+        "rk",
+    ).select("token", "rk")
     lists = (
         tok.join(F.broadcast(rank), "token")
         .groupBy("doc_id")
@@ -1270,15 +1266,23 @@ SW_MATCH, SW_MISMATCH, SW_GAP = 2, -1, -1
 def smith_waterman_score(a: str, b: str) -> int:
     """Pure-Python Smith–Waterman local-alignment score (match +2,
     mismatch −1, gap −1) — the reference implementation the pytest
-    property check uses; the operator runs the numpy-vectorized twin."""
-    n, m = len(a), len(b)
+    property check uses; the operator runs the numpy-vectorized twin.
+
+    Aligns the SAME alphabet as the operator: the UTF-8 byte sequence
+    truncated to ``SW_HEAD`` bytes (the operator's numpy path does
+    ``encode('utf-8')[:SW_HEAD]``). On multibyte text, char-level and
+    byte-level scores differ, so the reference must share the byte
+    alphabet or the equality property is brittle on non-ASCII corpora."""
+    ab = a.encode("utf-8")[:SW_HEAD]
+    bb = b.encode("utf-8")[:SW_HEAD]
+    n, m = len(ab), len(bb)
     prev = [0] * (m + 1)
     best = 0
     for i in range(1, n + 1):
         cur = [0] * (m + 1)
-        ai = a[i - 1]
+        ai = ab[i - 1]
         for j in range(1, m + 1):
-            s = prev[j - 1] + (SW_MATCH if ai == b[j - 1] else SW_MISMATCH)
+            s = prev[j - 1] + (SW_MATCH if ai == bb[j - 1] else SW_MISMATCH)
             cur[j] = max(0, s, prev[j] + SW_GAP, cur[j - 1] + SW_GAP)
             if cur[j] > best:
                 best = cur[j]

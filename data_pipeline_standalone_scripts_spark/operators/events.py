@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import DEC, dsum, o_dsum
+from .common import DEC, dist_running, dsum, o_dsum
 
 CAT = "events"
 
@@ -210,10 +210,11 @@ def q_late_data_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     the watermark delay. The behavioral streaming test (late rows
     actually excluded from aggregates) is PT — streaming/jobs.py."""
     e = load(spark, sf_dir, "events")
-    w = Window.orderBy(F.col("event_id").asc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # running event-time max over the FULL arrival order — data-sized,
+    # so dist_running (common.py) instead of an unpartitioned window
+    replay = dist_running(
+        e, [("event_id", "asc")], maxs={"max_ts_seen": "ts"}
     )
-    replay = e.withColumn("max_ts_seen", F.max("ts").over(w))
     late = F.col("ts") < F.col("max_ts_seen") - F.expr("INTERVAL 10 MINUTES")
     return replay.groupBy("event_type").agg(
         F.count(F.when(late, 1)).alias("n_late"),

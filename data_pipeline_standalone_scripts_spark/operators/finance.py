@@ -45,7 +45,6 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import dsum, o_dsum
 
 CAT = "finance"
 

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load, register_views
+from .common import dist_running
 
 CAT = "maintenance"
 
@@ -56,20 +57,17 @@ def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     property OPTIMIZE/compaction jobs must maintain.
 
     Scale: the pack decision is a prefix sum + integer division —
-    no driver loop, no greedy state. The window is ordered over the
-    MANIFEST (one row per file/slice), not the data; for manifests too
-    big for one partition, range-partition by date and offset each
-    range by a per-range prefix total (two metadata-scale passes).
+    no driver loop, no greedy state. The prefix sum runs over the
+    MANIFEST (one row per file/slice) via `dist_running` (common.py:
+    range shuffle + per-range running sum + broadcast offsets), so
+    even a manifest too big for one partition never single-tasks.
     """
     li = load(spark, sf_dir, "lineitem")
     files = li.groupBy(F.col("l_shipdate").alias("d")).agg(
         F.count(F.lit(1)).alias("n_rows")
     )
-    w = Window.orderBy("d").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = files.withColumn(
-        "cum_rows", F.sum("n_rows").over(w).cast("long")
+    cum = dist_running(files, [("d", "asc")], {"cum_rows": "n_rows"}).withColumn(
+        "cum_rows", F.col("cum_rows").cast("long")
     )
     return (
         cum.groupBy(
@@ -517,45 +515,104 @@ def q_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     real write: a secondary sort on the encoded columns is exactly
     what maximizes their RLE.)
 
-    Scale: each candidate costs one global sort of the PROJECTED
-    (key, rf, ls) columns — at 100 TB you run this on a sampled
-    fraction per candidate (run DENSITY estimates rank the keys just
-    as well; the full sort is only paid once, by the actual write).
+    Scale: each candidate's run count is computed DISTRIBUTED — range
+    shuffle on the sort key, per-partition lag transitions, plus one
+    boundary pass over the ≤32-row partition-endpoint table (compare
+    each partition's first row against its predecessor partition's
+    last row via a broadcast theta-join). No single-partition sort at
+    any |lineitem|; at 100 TB the same plan holds, or run it on a
+    sampled fraction (run DENSITY ranks the keys just as well).
     """
     li = load(spark, sf_dir, "lineitem")
     outs = []
     for key in _RLE_KEYS:
-        w = Window.orderBy(
+        sort_cols = [
             key, "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber"
+        ]
+        keys = [F.col(c).asc() for c in sort_cols]
+        proj = li.select(
+            *sort_cols,
+            F.col("l_returnflag").alias("rf"),
+            F.col("l_linestatus").alias("ls"),
+        )
+        # persist pins one pid assignment across the lag/endpoint
+        # branches (common.dist_row_number AQE read-coalescing hazard)
+        ranged = (
+            proj.repartitionByRange(32, *keys)
+            .withColumn("pid", F.spark_partition_id())
+            .persist()
+        )
+        w_loc = Window.partitionBy("pid").orderBy(*keys)
+        lagd = ranged.select(
+            "rf",
+            "ls",
+            F.lag("rf").over(w_loc).alias("prev_rf"),
+            F.lag("ls").over(w_loc).alias("prev_ls"),
+        )
+        internal = lagd.agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("prev_rf").isNotNull()
+                        & (F.col("rf") != F.col("prev_rf")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("i_rf"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("prev_ls").isNotNull()
+                        & (F.col("ls") != F.col("prev_ls")),
+                        1,
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            ).alias("i_ls"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        # partition endpoints: struct min/max over the sort columns
+        # (all ascending) = each partition's first/last row
+        endpoint = F.struct(*sort_cols, "rf", "ls")
+        ends = ranged.groupBy("pid").agg(
+            F.min(endpoint).alias("fst"), F.max(endpoint).alias("lst")
+        )
+        a, b = ends.alias("a"), ends.alias("b")
+        bnd = (
+            a.join(F.broadcast(b), F.col("b.pid") < F.col("a.pid"), "inner")
+            .groupBy(F.col("a.pid"), F.col("a.fst").alias("fst"))
+            .agg(F.max(F.struct(F.col("b.pid"), F.col("b.lst"))).alias("pr"))
+            .agg(
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("fst.rf") != F.col("pr.lst.rf"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("b_rf"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("fst.ls") != F.col("pr.lst.ls"), 1
+                        ).otherwise(0)
+                    ),
+                    F.lit(0),
+                ).alias("b_ls"),
+            )
         )
         runs = (
-            li.select(
-                F.col("l_returnflag").alias("rf"),
-                F.col("l_linestatus").alias("ls"),
-                F.lag("l_returnflag").over(w).alias("prev_rf"),
-                F.lag("l_linestatus").over(w).alias("prev_ls"),
-            )
-            .filter(F.col("prev_rf").isNotNull())
-            .agg(
-                (
-                    1
-                    + F.sum(
-                        F.when(F.col("rf") != F.col("prev_rf"), 1).otherwise(0)
-                    )
-                )
+            internal.crossJoin(F.broadcast(bnd)).select(
+                F.lit(key).alias("sort_key"),
+                (1 + F.col("i_rf") + F.col("b_rf"))
                 .cast("long")
                 .alias("runs_returnflag"),
-                (
-                    1
-                    + F.sum(
-                        F.when(F.col("ls") != F.col("prev_ls"), 1).otherwise(0)
-                    )
-                )
+                (1 + F.col("i_ls") + F.col("b_ls"))
                 .cast("long")
                 .alias("runs_linestatus"),
-                (F.count(F.lit(1)) + 1).cast("long").alias("n_rows_p1"),
+                F.col("n_rows").cast("long").alias("n_rows_p1"),
             )
-            .select(F.lit(key).alias("sort_key"), "*")
         )
         outs.append(runs)
     out = outs[0]

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
 from ..tables import load, register_views
+from .common import dist_running
 
 CAT = "mlfit"
 
@@ -429,16 +430,19 @@ def q_auc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("lang") == "en").cast("int").alias("y"),
         (F.col("n_chars") * 1000 + F.col("doc_id") % 1000).alias("score"),
     )
-    ranked = sc.select(
-        "y",
-        F.rank().over(Window.orderBy(F.col("score").asc())).alias("rk_lo"),
-        F.count(F.lit(1)).over(Window.partitionBy("score")).alias("ties"),
+    # collapse to distinct scores first (map-side combined), then one
+    # dist_running pass gives every group its exclusive prefix count p:
+    # rank_lo = p + 1, ties = group size — no global rank window, and
+    # the expensive frame is |distinct scores|, not |rows|
+    g = sc.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("pc")
     )
-    pos = F.sum(F.when(F.col("y") == 1, 1).otherwise(0))
-    neg = F.sum(F.when(F.col("y") == 0, 1).otherwise(0))
-    r2 = F.sum(
-        F.when(F.col("y") == 1, 2 * F.col("rk_lo") + F.col("ties") - 1).otherwise(0)
+    ranked = dist_running(
+        g, [("score", "asc")], {"p": "c"}, inclusive=False
     )
+    pos = F.sum("pc")
+    neg = F.sum(F.col("c") - F.col("pc"))
+    r2 = F.sum(F.col("pc") * (2 * (F.col("p") + 1) + F.col("c") - 1))
     auc = (
         r2.cast("double") / 2.0 - pos.cast("double") * (pos + 1) / 2.0
     ) / (pos.cast("double") * neg)

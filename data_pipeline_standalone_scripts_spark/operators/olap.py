@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load, register_views
+from .common import dist_running
 
 CAT = "olap"
 
@@ -293,10 +294,12 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_size",
     )
     grp = pts.groupBy("price_c").agg(F.max("p_size").alias("gmax"))
-    w = Window.orderBy("price_c").rowsBetween(Window.unboundedPreceding, -1)
-    strict = grp.select(
-        "price_c", "gmax", F.max("gmax").over(w).alias("m_strict")
-    )
+    # strict-prefix running max without an unpartitioned window
+    # (dist_running maxs: NULL on the global first row, exactly the
+    # empty-frame SQL semantics the dominance test needs)
+    strict = dist_running(
+        grp, [("price_c", "asc")], maxs={"m_strict": "gmax"}, inclusive=False
+    ).select("price_c", "gmax", "m_strict")
     return (
         pts.join(strict, "price_c")
         .filter(

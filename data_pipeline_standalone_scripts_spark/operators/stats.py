@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .common import dist_running
 
 CAT = "stats"
 
@@ -111,10 +112,9 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("a_cnt"), F.sum("in_b").alias("b_cnt")
     )
     tot = grp.agg(F.sum("a_cnt").alias("n"), F.sum("b_cnt").alias("m"))
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    walk = grp.select(
-        F.sum("a_cnt").over(w).alias("i"), F.sum("b_cnt").over(w).alias("j")
-    )
+    walk = dist_running(
+        grp, [("v", "asc")], {"i": "a_cnt", "j": "b_cnt"}
+    ).select("i", "j")
     d = walk.crossJoin(F.broadcast(tot)).agg(
         F.max(F.abs(F.col("i") * F.col("m") - F.col("j") * F.col("n"))).alias(
             "d_num"
@@ -189,15 +189,12 @@ def q_mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("in_a").alias("a_cnt"), F.sum("in_b").alias("b_cnt")
     )
     tot = grp.agg(F.sum("a_cnt").alias("n"), F.sum("b_cnt").alias("m"))
-    w_before = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = grp.select(
-        "a_cnt",
-        "b_cnt",
-        (F.col("a_cnt") + F.col("b_cnt")).alias("c"),
-        F.coalesce(
-            F.sum(F.col("a_cnt") + F.col("b_cnt")).over(w_before), F.lit(0)
-        ).alias("p"),
-    )
+    ranked = dist_running(
+        grp.withColumn("c", F.col("a_cnt") + F.col("b_cnt")),
+        [("v", "asc")],
+        {"p": "c"},
+        inclusive=False,
+    ).select("a_cnt", "b_cnt", "c", "p")
     sums = ranked.agg(
         F.sum(
             F.col("a_cnt") * (2 * F.col("p") + F.col("c") + 1)

@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import DEC
+from .common import DEC, dist_ntile, dist_running
 
 CAT = "windows"
 
@@ -222,15 +222,37 @@ def q_win_ntile_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7: quartiles + percent_rank + cume_dist of order value.
     ntile depends on row position (needs the unique tie-break);
     percent_rank/cume_dist depend only on values. Both are exact
-    integer ratios — no rounding required."""
-    o = load(spark, sf_dir, "orders")
-    w_tb = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    w_val = Window.orderBy(F.col("o_totalprice").asc())
-    return o.select(
-        "o_orderkey",
-        F.ntile(4).over(w_tb).alias("quartile"),
-        F.percent_rank().over(w_val).alias("pct_rank"),
-        F.cume_dist().over(w_val).alias("cume"),
+    integer ratios — no rounding required.
+
+    Scale: all three global window functions are computed WITHOUT an
+    unpartitioned window (the |orders| frame would land on one task):
+    ntile via `dist_ntile`, and percent_rank/cume_dist from the
+    distinct-value running count (`dist_running` over |distinct
+    prices| rows) joined back — rank = cum_le − ties + 1, so
+    pct_rank = (cum_le − ties)/(N−1) and cume = cum_le/N, exactly the
+    SQL semantics over ties."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    q = dist_ntile(
+        o, [("o_totalprice", "asc"), ("o_orderkey", "asc")], "quartile", n=4
+    )
+    vals = o.groupBy("o_totalprice").agg(F.count(F.lit(1)).alias("c"))
+    tot = vals.agg(F.sum("c").alias("nn"))
+    vr = (
+        dist_running(vals, [("o_totalprice", "asc")], {"le": "c"})
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "o_totalprice",
+            F.when(
+                F.col("nn") > 1,
+                (F.col("le") - F.col("c")).cast("double") / (F.col("nn") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.col("le").cast("double") / F.col("nn")).alias("cume"),
+        )
+    )
+    return q.join(vr, "o_totalprice").select(
+        "o_orderkey", "quartile", "pct_rank", "cume"
     )
 
 

@@ -454,3 +454,19 @@ def test_pq_adc_approximates_exact_neighbors(spark, sf_small):
         .collect()
     }
     assert len(adc & exact50) >= 6
+
+
+def test_sw_reference_uses_byte_alphabet():
+    """Regression: reference and operator share the UTF-8 byte alphabet
+    (ADVICE r02) — identical multibyte strings score 2 × byte-length,
+    and the head truncates to SW_HEAD BYTES, not chars."""
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        SW_HEAD,
+        SW_MATCH,
+        smith_waterman_score,
+    )
+
+    s = "é" * 10  # 2 UTF-8 bytes per char
+    assert smith_waterman_score(s, s) == SW_MATCH * 20
+    long = "é" * SW_HEAD  # 2·SW_HEAD bytes → truncates to SW_HEAD bytes
+    assert smith_waterman_score(long, long) == SW_MATCH * SW_HEAD

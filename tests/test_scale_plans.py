@@ -588,3 +588,53 @@ def test_incremental_join_prunes_delta_scans(spark, sf_med):
     assert "PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate" in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan
     assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+# Ops allowed to keep an UNPARTITIONED window, each with the bound that
+# makes the single-partition sort harmless at ANY data size. Everything
+# else must use the distributed primitives in operators/common.py
+# (dist_row_number / dist_ntile / dist_running / topk_with_rank).
+UNPARTITIONED_WINDOW_ALLOWLIST = {
+    "q_dau_rolling": "rolling window over per-DAY aggregate rows (calendar-bounded, ~2.4k rows/decade)",
+    "q_rolling_corr": "rolling stats over per-DAY aggregate rows (calendar-bounded)",
+    "q_forecast_backtest": "walk-forward folds over per-DAY aggregate rows (calendar-bounded)",
+    "q_seasonal_decompose": "trend/seasonal windows over per-DAY aggregate rows (calendar-bounded)",
+    "q_survival_km": "KM product over distinct lifetime-day rows (calendar-span-bounded, analytics.py docstring)",
+    "q_funnel_conversion": "step-to-step rates over the 3-row funnel-step frame (literal step list)",
+    "q_param_sweep": "ranking over the parameter GRID (fixed |grid| rows, data-independent)",
+    "q_evolutionary_sweep": "per-generation ranking over the fixed population (|pop| rows, data-independent)",
+    "q_win_moving_avg": "W5 semantic demo: 7-day MA over per-DAY aggregate rows (calendar-bounded)",
+}
+
+
+def _unpartitioned_windows(plan: str) -> int:
+    """Count Window nodes whose Arguments carry no partition list.
+
+    Formatted-plan signature: '(n) Window' + 'Arguments: [funcs],
+    [part], [sort]'. Two bracket groups where the second contains
+    ASC/DESC sort markers = unpartitioned (a partition-only spec also
+    prints two groups but without sort directions)."""
+    bad = 0
+    for m in re.finditer(r"\(\d+\) Window\s*\n(?:[^\n]*\n)*?Arguments: (.*)", plan):
+        groups = re.findall(r"\[(?:[^\[\]]|\[[^\]]*\])*\]", m.group(1).strip())
+        if len(groups) == 2 and re.search(r" (ASC|DESC) ", groups[1]):
+            bad += 1
+    return bad
+
+
+def test_no_unpartitioned_windows_registry_wide(spark, sf_small):
+    """VERDICT r02 #5: a global ORDER BY window with no PARTITION BY
+    moves the whole frame to ONE task — the class of plan that ran RFM's
+    per-customer ntile on a single partition. Sweep every registered
+    op's physical plan; any unpartitioned window outside the documented
+    allowlist is a scale regression."""
+    offenders = {}
+    for name, q in REGISTRY.items():
+        if name in UNPARTITIONED_WINDOW_ALLOWLIST:
+            continue
+        n = _unpartitioned_windows(plan_of(q.fn(spark, sf_small)))
+        if n:
+            offenders[name] = n
+    assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
+    # the allowlist itself must stay small and justified
+    assert len(UNPARTITIONED_WINDOW_ALLOWLIST) <= 10

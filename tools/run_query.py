@@ -74,12 +74,15 @@ def main() -> int:
     if args.explain:
         df.explain("formatted")
         return 0
+    # cache before the action so the reported row count doesn't re-run
+    # the whole query (ADVICE r02: show/csv/json executed twice)
+    df = df.cache()
     if args.format == "show":
         df.show(args.limit, truncate=False)
         n = df.count()
     elif args.format == "parquet":
         df.write.mode("overwrite").parquet(args.out)
-        n = spark.read.parquet(args.out).count()
+        n = df.count()
     elif args.format == "csv":
         df.write.mode("overwrite").option("header", True).csv(args.out)
         n = df.count()

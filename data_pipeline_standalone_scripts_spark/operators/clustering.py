@@ -65,6 +65,18 @@ def _quantize_micro(arr):
     return F.transform(arr, q)
 
 
+def _d2(a: str, b: str):
+    """Exact squared L2 distance between two micro-long arrays as a
+    BIGINT — a sequential JVM fold over exact integers, so the value
+    is independent of both partitioning and engine. Kept as the
+    independent reference kernel for the PQ/ADC accuracy test."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda s, t: s + t,
+    )
+
+
 @register(
     "q_kmeans_embed",
     oracle=f"""

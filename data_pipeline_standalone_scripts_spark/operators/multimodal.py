@@ -573,3 +573,85 @@ def q_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pixels bigint, b_sum bigint, g_sum bigint, r_sum bigint, "
         "b_pos_checksum bigint",
     )
+
+
+@register(
+    "q_jpeg_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id, 6 + n_chars % 10 AS tw, 4 + doc_id % 8 AS th
+            FROM documents
+        ), xs AS (
+            SELECT doc_id, tw, th, unnest(range(tw)) AS tx FROM dims
+        ), tiles AS (
+            SELECT doc_id, tw, th, tx, unnest(range(th)) AS ty FROM xs
+        )
+        SELECT doc_id AS media_id,
+               CAST(8 * tw AS BIGINT) AS width,
+               CAST(8 * th AS BIGINT) AS height,
+               CAST(64 * tw * th AS BIGINT) AS n_pixels,
+               CAST(SUM(64 * ((tx + 31 * ty + 7 * doc_id) % 256)) AS BIGINT)
+                   AS px_sum,
+               ROUND(CAST(SUM(64 * ((tx + 31 * ty + 7 * doc_id) % 256))
+                          AS DOUBLE) / (64 * tw * th), 6) AS px_mean
+        FROM tiles
+        GROUP BY doc_id, tw, th
+    """,
+    category=CAT,
+)
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM8: decode REAL baseline JPEGs with a full stdlib+numpy codec —
+    marker walk, DQT (zigzag de-order), SOF0, canonical-Huffman DHT,
+    SOS, MSB-first bit reader with 0xFF00 de-stuffing, DC-predicted
+    magnitude-category decode, run-length AC loop (EOB/ZRL),
+    dequantize, separable float64 IDCT, level shift. This retires the
+    repo's last NotImplementedError stub for still images (MP4 video
+    remains behind the honest Pillow-gated stub).
+
+    Exactness without giving up "real lossy codec": the writer emits
+    FLAT 8×8 tiles with DC quantizer step 8, so each block carries
+    exactly one integer DC coefficient and the decode is bit-exact —
+    the DuckDB oracle recomputes every pixel arithmetically, and one
+    wrong bit anywhere in the Huffman/bitstream/IDCT path fails the
+    value hash. The decoder itself handles arbitrary baseline
+    grayscale streams (general AC runs, any DQT/DHT), pinned by the
+    random-block round-trip property test.
+
+    Scale: stateless Arrow-batched narrow stage, like the PNG/PGM/WAV
+    decoders — parallelizes as a pure map at any corpus size.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import jpeg_decode_pixels, jpeg_table
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("media_id", "width", "height", "n_pixels", "px_sum")
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                img = jpeg_decode_pixels(p)
+                h, w = img.shape
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h)
+                rows["px_sum"].append(int(img.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    decoded = jpeg_table(spark, sf_dir).mapInPandas(
+        decode,
+        schema="media_id bigint, width bigint, height bigint, "
+        "n_pixels bigint, px_sum bigint",
+    )
+    return decoded.select(
+        "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        F.round(F.col("px_sum").cast("double") / F.col("n_pixels"), 6).alias(
+            "px_mean"
+        ),
+    )

@@ -16,12 +16,17 @@ Decode reality, by format class:
   stdlib (zlib), so q_png_decode implements the full codec: chunk
   CRCs, inflate, and all five scanline filters, value-verified
   pixel-for-pixel against the arithmetic oracle.
-- Codec-library formats (JPEG/MP4) need libraries this container
-  doesn't ship, so that kernel is a STUB (``NotImplementedError``
-  behind an import-try — see ``decode_image_real``). Everything
-  Spark-side is real and tested: the binary schema, the deterministic
-  synthetic payload format, the mapInPandas batch iteration, and the
-  byte-level parsing.
+- JPEG (``jpeg_table``) is ALSO real as of round 3 — a
+  baseline-sequential stdlib+numpy codec (Annex-K Huffman, bitstream
+  de-stuffing, dequant + IDCT), written so the lossy pipeline is
+  bit-exact on the flat-tile corpus and q_jpeg_decode's oracle can
+  verify every pixel.
+- The one remaining codec-library format (MP4 video) needs libraries
+  this container doesn't ship, so that kernel is a STUB
+  (``NotImplementedError`` behind an import-try — see
+  ``decode_image_real``). Everything Spark-side is real and tested:
+  the binary schema, the deterministic synthetic payload format, the
+  mapInPandas batch iteration, and the byte-level parsing.
 
 Synthetic payload format (media built 1:1 from ``documents``):
 
@@ -174,13 +179,13 @@ def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image_real(payload: bytes) -> "object":
-    """STUB — codec-library image decode (JPEG etc. → pixel array).
+    """STUB — codec-library media decode (MP4 video frames etc.).
 
-    PNG no longer routes through here — q_png_decode is a real
-    stdlib-zlib codec. For formats whose codecs genuinely aren't in
-    the container (JPEG/MP4), a deployment with Pillow installed gets
-    the real path; everything else fails loudly rather than silently
-    producing fake pixels.
+    PNG and JPEG no longer route through here — q_png_decode and
+    q_jpeg_decode are real stdlib(+numpy) codecs. For formats whose
+    codecs genuinely aren't in the container (MP4/video), a deployment
+    with Pillow/pyav installed gets the real path; everything else
+    fails loudly rather than silently producing fake pixels.
     """
     try:
         from PIL import Image  # noqa: F401
@@ -423,3 +428,319 @@ def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+# ---------------------------------------------------------------- JPEG
+# Baseline-sequential JFIF, single 8-bit grayscale component, stdlib +
+# numpy only. The encoder writes flat 8×8 tiles with DC quantizer step
+# 8, which makes the lossy pipeline EXACTLY invertible (a flat block
+# has only a DC coefficient, 8·(p−128)/8 = p−128 rides the bitstream
+# as an integer), so the DuckDB oracle can verify every decoded pixel
+# arithmetically while the decoder still exercises the full baseline
+# machinery: marker walk, DQT/DHT/SOF0/SOS parse, MSB-first bit
+# reader with 0xFF00 de-stuffing, canonical Huffman decode (standard
+# Annex-K DC+AC luminance tables), magnitude-category EXTEND, DC
+# prediction, run-length AC loop (EOB/ZRL), de-zigzag, dequantize,
+# separable float64 IDCT, level shift.
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# ITU-T T.81 Annex K.3 typical luminance Huffman tables
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+_JPEG_QTABLE = [8] + [16] * 63  # natural order; Q[0,0]=8 ⇒ exact DC
+
+
+def _jpeg_huff_codes(bits, vals):
+    """Canonical Huffman (code, length) per symbol, T.81 C.2 order."""
+    codes, code = {}, 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            codes[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        return bytes(self.out)
+
+
+def jpeg_encode_tiles(tiles: "object") -> bytes:
+    """Baseline JFIF for an image of FLAT 8×8 tiles (tiles[y][x] =
+    gray value 0..255). Emits real DC Huffman coding (category +
+    magnitude bits, DC prediction) and an AC EOB per block."""
+    import struct as _struct
+
+    th, tw = tiles.shape
+    w, h = 8 * tw, 8 * th
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT payload is in ZIGZAG order: byte i holds natural index zz[i]
+    zz_q = bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[i]] for i in range(64))
+    out += b"\xff\xdb" + _struct.pack(">HB", 67, 0x00) + zz_q
+    out += b"\xff\xc0" + _struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += _struct.pack(">BBB", 1, 0x11, 0)  # comp 1, 1×1 sampling, Tq0
+    for cls, bits, vals in (
+        (0x00, _JPEG_DC_BITS, _JPEG_DC_VALS),
+        (0x10, _JPEG_AC_BITS, _JPEG_AC_VALS),
+    ):
+        out += b"\xff\xc4" + _struct.pack(">HB", 3 + 16 + len(vals), cls)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + _struct.pack(">HBBBBBB", 8, 1, 1, 0x00, 0, 63, 0)
+
+    bw = _BitWriter()
+    prev_dc = 0
+    for ty in range(th):
+        for tx in range(tw):
+            dc = int(tiles[ty, tx]) - 128  # Q[0,0]=8 ⇒ quantized DC
+            diff = dc - prev_dc
+            prev_dc = dc
+            mag = abs(diff)
+            cat = mag.bit_length()
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                bw.write(diff if diff >= 0 else diff + (1 << cat) - 1, cat)
+            eob, eln = ac_codes[0x00]
+            bw.write(eob, eln)
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL baseline JPEGs (grayscale, flat
+    8×8 tiles), one per doc. tile(tx, ty) = (tx + 31·ty + 7·doc_id)
+    mod 256, tw = 6 + n_chars mod 10, th = 4 + doc_id mod 8. Any
+    standards JPEG reader opens these; the flat-tile + Q₀₀=8 design
+    makes decode exact so the oracle can verify pixels."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                tw = 6 + int(n_chars) % 10
+                th = 4 + int(doc_id) % 8
+                tiles = (
+                    (
+                        np.arange(tw, dtype=np.int64)[None, :]
+                        + 31 * np.arange(th, dtype=np.int64)[:, None]
+                        + 7 * int(doc_id)
+                    )
+                    % 256
+                ).astype(np.uint8)
+                payloads.append(jpeg_encode_tiles(tiles))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("jpeg: bitstream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos]
+                if nxt == 0x00:
+                    self.pos += 1  # de-stuff
+                else:
+                    raise ValueError(f"jpeg: marker 0xFF{nxt:02X} in scan")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+
+def _jpeg_huff_decoder(bits, vals):
+    """symbol lookup {(length, code): symbol}, canonical order."""
+    table, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: "_BitReader", table) -> int:
+    code, ln = 0, 0
+    while ln <= 16:
+        code = (code << 1) | br.read(1)
+        ln += 1
+        if (ln, code) in table:
+            return table[(ln, code)]
+    raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def jpeg_decode_pixels(payload: bytes) -> "object":
+    """Full baseline-sequential JPEG decode (single grayscale
+    component, no subsampling, no restart markers) → uint8 (h, w)
+    numpy array. Handles arbitrary baseline streams within that
+    profile: general DC/AC Huffman tables from DHT, run-length AC
+    (EOB/ZRL), dequantize, de-zigzag, separable float64 IDCT."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("jpeg: missing SOI")
+    pos = 2
+    qtables, dc_tabs, ac_tabs = {}, {}, {}
+    w = h = None
+    comp_q = 0
+    scan_data = None
+    while pos < len(payload):
+        assert payload[pos] == 0xFF, "jpeg: lost marker sync"
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        seglen = _struct.unpack(">H", payload[pos : pos + 2])[0]
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                pq, tq = seg[o] >> 4, seg[o] & 15
+                n = 65 if pq == 0 else 129
+                raw = seg[o + 1 : o + n]
+                tab = [0] * 64
+                for i in range(64):
+                    v = raw[i] if pq == 0 else _struct.unpack(
+                        ">H", raw[2 * i : 2 * i + 2]
+                    )[0]
+                    tab[_JPEG_ZIGZAG[i]] = v
+                qtables[tq] = tab
+                o += n
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, ncomp = _struct.unpack(">BHHB", seg[:6])
+            if ncomp != 1:
+                raise ValueError("jpeg: only 1-component grayscale supported")
+            if seg[7] != 0x11:
+                raise ValueError("jpeg: subsampling unsupported")
+            comp_q = seg[8]
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            o = 0
+            while o < len(seg):
+                tc, tid = seg[o] >> 4, seg[o] & 15
+                bits = list(seg[o + 1 : o + 17])
+                nv = sum(bits)
+                vals = list(seg[o + 17 : o + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[tid] = _jpeg_huff_decoder(
+                    bits, vals
+                )
+                o += 17 + nv
+        elif marker == 0xDA:  # SOS: entropy data follows the header
+            scan_dc, scan_ac = seg[2] >> 4, seg[2] & 15
+            scan_data = payload[pos + seglen :]
+            break
+        pos += seglen
+    if scan_data is None or w is None:
+        raise ValueError("jpeg: missing SOS/SOF0")
+    # strip EOI from the scan tail
+    eoi = scan_data.rfind(b"\xff\xd9")
+    if eoi != -1:
+        scan_data = scan_data[:eoi]
+
+    q = np.array(qtables[comp_q], dtype=np.float64)
+    dct, act = dc_tabs[scan_dc], ac_tabs[scan_ac]
+    tw, th = (w + 7) // 8, (h + 7) // 8
+    img = np.zeros((th * 8, tw * 8), dtype=np.uint8)
+    # separable IDCT basis: B[u, x] = c(u)/2 · cos((2x+1)uπ/16)
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    B = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    B[0, :] *= 1 / np.sqrt(2)
+
+    br = _BitReader(scan_data)
+    prev_dc = 0
+    for by in range(th):
+        for bx in range(tw):
+            coef = np.zeros(64, dtype=np.float64)
+            cat = _huff_read(br, dct)
+            diff = _extend(br.read(cat), cat) if cat else 0
+            prev_dc += diff
+            coef[0] = prev_dc
+            k = 1
+            while k < 64:
+                rs = _huff_read(br, act)
+                r, s = rs >> 4, rs & 15
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += r
+                coef[_JPEG_ZIGZAG[k]] = _extend(br.read(s), s)
+                k += 1
+            block = (coef * q).reshape(8, 8)
+            px = B.T @ block @ B + 128.0
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.rint(px), 0, 255
+            ).astype(np.uint8)
+    return img[:h, :w]

@@ -470,3 +470,72 @@ def test_sw_reference_uses_byte_alphabet():
     assert smith_waterman_score(s, s) == SW_MATCH * 20
     long = "é" * SW_HEAD  # 2·SW_HEAD bytes → truncates to SW_HEAD bytes
     assert smith_waterman_score(long, long) == SW_MATCH * SW_HEAD
+
+
+def test_jpeg_roundtrip_and_general_ac_path():
+    """The encoder only ever emits flat tiles (DC + EOB), so this test
+    also drives the decoder's GENERAL baseline path by hand-writing an
+    entropy segment with nonzero AC runs (r>0 and a ZRL) through the
+    same Annex-K tables and checking against an independent float IDCT."""
+    import numpy as np
+
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QTABLE,
+        _JPEG_ZIGZAG,
+        _BitWriter,
+        _jpeg_huff_codes,
+        jpeg_decode_pixels,
+        jpeg_encode_tiles,
+    )
+
+    # 1. random flat-tile round trips are bit-exact
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        tiles = rng.randint(0, 256, size=(rng.randint(1, 9), rng.randint(1, 9)))
+        img = jpeg_decode_pixels(jpeg_encode_tiles(tiles.astype(np.uint8)))
+        assert (img == np.kron(tiles, np.ones((8, 8), int))).all()
+
+    # 2. hand-built single block with AC coefficients: DC=5, AC at
+    # zigzag pos 3 (run 2) = -7, then 16 zeros (ZRL) + AC = 2
+    dc_codes = _jpeg_huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    payload = jpeg_encode_tiles(np.zeros((1, 1), dtype=np.uint8))
+    sos_end = payload.rfind(b"\xff\xda") + 2 + 8  # header + SOS segment
+    bw = _BitWriter()
+
+    def put(codes, sym):
+        c, ln = codes[sym]
+        bw.write(c, ln)
+
+    def put_mag(v):
+        cat = abs(v).bit_length()
+        return cat, (v if v >= 0 else v + (1 << cat) - 1)
+
+    cat, bits = put_mag(5)
+    put(dc_codes, cat); bw.write(bits, cat)
+    cat, bits = put_mag(-7)
+    put(ac_codes, (2 << 4) | cat); bw.write(bits, cat)   # run=2
+    put(ac_codes, 0xF0)                                   # ZRL (16 zeros)
+    cat, bits = put_mag(2)
+    put(ac_codes, (0 << 4) | cat); bw.write(bits, cat)
+    put(ac_codes, 0x00)                                   # EOB
+    stream = payload[:sos_end] + bw.flush() + b"\xff\xd9"
+    got = jpeg_decode_pixels(stream).astype(np.float64)
+
+    coef = np.zeros(64)
+    coef[0] = 5
+    coef[_JPEG_ZIGZAG[3]] = -7       # after run of 2: zigzag index 3
+    coef[_JPEG_ZIGZAG[3 + 1 + 16]] = 2  # after ZRL
+    q = np.array(_JPEG_QTABLE, dtype=np.float64)  # natural order
+    u = np.arange(8)[:, None]
+    x = np.arange(8)[None, :]
+    B = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    B[0, :] *= 1 / np.sqrt(2)
+    want = np.clip(
+        np.rint(B.T @ ((coef * q).reshape(8, 8)) @ B + 128), 0, 255
+    )
+    assert (got == want).all(), (got - want)

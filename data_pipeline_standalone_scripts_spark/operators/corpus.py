@@ -71,7 +71,13 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort. At 100 TB, hash grams to 64-bit first and resolve
     the winning strings in a second tiny pass.
     """
-    d = load(spark, sf_dir, "documents")
+    # Repartition RAW docs before the ×|tokens| explode: the test
+    # parquet is a single row-group, so without it the explode+concat
+    # work runs on ONE task (the simhash lesson, dedup_ext.py:67);
+    # measured 0.95 → 0.51 s at sf0.1, 1.2× same-epoch DuckDB.
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     grams = (
         d.select("doc_id", F.split("text", " ").alias("toks"))
         .filter(F.size("toks") >= _NG)

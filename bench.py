@@ -62,6 +62,12 @@ HEADLINE = {
     "events_wau_mau": "q_wau_mau",
     "events_interval_coverage": "q_interval_coverage",
     "docs_bpe_merge": "q_bpe_merge",
+    # NOT added in driver-round 3 (considered, measured, rejected): the
+    # dist_ntile/dist_running showcase rows (rfm, ks, late_watermark)
+    # and q_jpeg_decode all have sub-50 ms DuckDB oracles — they would
+    # only measure the Spark-local job floor, not engine work. The
+    # primitives are covered by the registry-wide plan gate +
+    # per-op parity instead.
 }
 
 N_RUNS = 5

@@ -875,7 +875,13 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 is TakeOrderedAndProject-shaped (rank filter over a
     global window on pre-aggregated symbol counts).
     """
-    d = load(spark, sf_dir, "documents")
+    # repartition by doc_id BEFORE the explode: moves the shuffle to
+    # 1-row-per-doc (not per-token), parallelizes the single-row-group
+    # scan, and the per-doc windows inside the core reuse the
+    # partitioning (measured 1.23 -> 1.11 s warm at sf0.1)
+    d = load(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     stream = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "tok")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")

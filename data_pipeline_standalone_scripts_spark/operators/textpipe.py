@@ -1186,3 +1186,82 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("true_lang", "pred_lang")
     )
+
+
+_VOCAB_V = 1000  # tokenizer vocabulary budget (top-V corpus tokens)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token
+            FROM documents
+        ), tf AS (
+            SELECT token, COUNT(*) AS freq FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token FROM tf
+            ORDER BY freq DESC, token ASC
+            LIMIT {_VOCAB_V}
+        ), scored AS (
+            SELECT t.lang, t.token,
+                   CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+            FROM tok t LEFT JOIN vocab v ON t.token = v.token
+        )
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(oov) AS BIGINT) AS n_oov,
+               round(CAST(SUM(oov) AS DOUBLE) / COUNT(*), 6) AS oov_rate
+        FROM scored
+        GROUP BY lang
+    """,
+    category=CAT,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: tokenizer-vocabulary coverage — fit a top-{_VOCAB_V}
+    frequency vocabulary on the corpus (the whitespace stand-in for a
+    tokenizer's learned symbol table), then report per-language token
+    counts and out-of-vocabulary rates. This is the fit check run
+    before/after tokenizer training: a language whose OOV rate is an
+    outlier is under-served by the vocabulary and will fragment into
+    long byte-fallback sequences at training time.
+
+    Determinism: the vocabulary cut is (freq DESC, token ASC) — a
+    total order, so the boundary of the top-V set is engine-identical;
+    coverage counts are exact integers and the rate is one integer
+    ratio rounded 6.
+
+    Scale: the CCNet/lm_score two-pass shape — a FIT pass (explode →
+    map-side-combined token counts → TakeOrderedAndProject top-V) and
+    a SCORE pass (explode → broadcast LEFT join against the V-row
+    vocabulary → lang rollup). The vocabulary is budget-bounded by
+    construction (V rows regardless of corpus size), so the broadcast
+    never grows with data; both corpus passes are narrow scans.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(_VOCAB_V)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    scored = tok.join(F.broadcast(vocab), "token", "left").select(
+        "lang",
+        F.when(F.col("in_vocab").isNull(), 1).otherwise(0).alias("oov"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.round(
+            F.sum("oov").cast("double") / F.count(F.lit(1)), 6
+        ).alias("oov_rate"),
+    )
+
+
+q_vocab_coverage.__doc__ = q_vocab_coverage.__doc__.replace(
+    "{_VOCAB_V}", str(_VOCAB_V)
+)

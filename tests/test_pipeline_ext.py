@@ -468,3 +468,25 @@ def test_cdc_upsert_counts(spark, sf_small):
     assert by_src.get("inserted", 0) == n_ins
     assert by_src.get("kept", 0) == n_total - n_del - n_upd
     assert out.filter((F.col("o_orderkey") % 100 == 7) & (F.col("o_orderkey") < 10_000_000)).count() == 0
+
+
+def test_vocab_coverage_invariants(spark, sf_small):
+    """X45: per-lang token counts must sum to the corpus token count,
+    OOV is a proper subset, and the most frequent corpus token is
+    always IN vocabulary (so coverage responds to the vocab cut)."""
+    import pyspark.sql.functions as F
+
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+    from data_pipeline_standalone_scripts_spark.tables import load
+
+    r = REGISTRY["q_vocab_coverage"].fn(spark, sf_small).toPandas()
+    assert (r.n_oov <= r.n_tokens).all()
+    assert ((r.oov_rate >= 0) & (r.oov_rate < 1)).all()
+    d = load(spark, sf_small, "documents")
+    total = d.select(
+        F.sum(F.size(F.split("text", " "))).alias("n")
+    ).collect()[0]["n"]
+    assert int(r.n_tokens.sum()) == int(total)

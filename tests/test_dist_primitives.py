@@ -82,15 +82,16 @@ def test_dist_ntile_equals_window(spark, rows, n):
     assert got == want
 
 
-@given(rows=frames, inclusive=st.booleans())
+@given(rows=frames, inclusive=st.booleans(), desc=st.booleans())
 @settings(**_SETTINGS)
-def test_dist_running_sum_and_max_equal_window(spark, rows, inclusive):
+def test_dist_running_sum_and_max_equal_window(spark, rows, inclusive, desc):
     df = _df(spark, rows)
+    kdir = "desc" if desc else "asc"
     got = {
         r["id"]: (r["s"], r["m"])
         for r in dist_running(
             df,
-            [("k", "asc"), ("id", "asc")],
+            [("k", kdir), ("id", "asc")],
             {"s": "v"},
             maxs={"m": "v"},
             parts=4,
@@ -98,7 +99,10 @@ def test_dist_running_sum_and_max_equal_window(spark, rows, inclusive):
         ).collect()
     }
     upper = Window.currentRow if inclusive else -1
-    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, upper)
+    korder = F.desc("k") if desc else F.asc("k")
+    w = Window.orderBy(korder, F.asc("id")).rowsBetween(
+        Window.unboundedPreceding, upper
+    )
     want = {
         r["id"]: (r["s"], r["m"])
         for r in df.withColumn(

@@ -627,14 +627,21 @@ def test_no_unpartitioned_windows_registry_wide(spark, sf_small):
     moves the whole frame to ONE task — the class of plan that ran RFM's
     per-customer ntile on a single partition. Sweep every registered
     op's physical plan; any unpartitioned window outside the documented
-    allowlist is a scale regression."""
-    offenders = {}
+    allowlist is a scale regression. The same pass also bans
+    CartesianProduct everywhere (verified zero across the registry:
+    every intentional small-side cross join plans as
+    BroadcastNestedLoopJoin, never the shuffle-cartesian)."""
+    offenders, cartesians = {}, {}
     for name, q in REGISTRY.items():
+        plan = plan_of(q.fn(spark, sf_small))
+        if "CartesianProduct" in plan:
+            cartesians[name] = plan.count("CartesianProduct")
         if name in UNPARTITIONED_WINDOW_ALLOWLIST:
             continue
-        n = _unpartitioned_windows(plan_of(q.fn(spark, sf_small)))
+        n = _unpartitioned_windows(plan)
         if n:
             offenders[name] = n
     assert not offenders, f"unpartitioned windows outside allowlist: {offenders}"
+    assert not cartesians, f"CartesianProduct in plans: {cartesians}"
     # the allowlist itself must stay small and justified
     assert len(UNPARTITIONED_WINDOW_ALLOWLIST) <= 10

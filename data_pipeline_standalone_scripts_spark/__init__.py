@@ -53,7 +53,8 @@ from .registry import REGISTRY  # noqa: F401
 # ML3–ML7 mlfit, ST1–ST5 stats, OL20, S10–S13 scans, X39/X42–X43,
 # FIN1–FIN4 finance, GEO1–GEO2, C7–C11 corpus, T9–T12, A18–A20, F15–F17,
 # J18, RC3, D7, the round-3 additions X44 q_jpeg_decode and X45
-# q_vocab_coverage, and the rows-only q_evolutionary_sweep.
+# q_vocab_coverage and X46 q_dedup_eval, and the rows-only
+# q_evolutionary_sweep.
 #
 #   never = [n for n in REGISTRY
 #            if n not in set(json.load(open("CORRECTNESS_r01.json")))

@@ -490,3 +490,21 @@ def test_vocab_coverage_invariants(spark, sf_small):
         F.sum(F.size(F.split("text", " "))).alias("n")
     ).collect()[0]["n"]
     assert int(r.n_tokens.sum()) == int(total)
+
+
+def test_dedup_eval_confusion_consistency(spark, sf_small):
+    """X46: the confusion counts must be internally consistent
+    (tp <= both sides, fp/fn complements). SimHash at Hamming<=5 is
+    PRECISION-biased against Jaccard>=0.8 truth (it approximates
+    cosine, not Jaccard) — the eval op exists to measure exactly that:
+    precision ~0.95, recall ~0.3 on this corpus."""
+    import data_pipeline_standalone_scripts_spark as engine
+
+    engine.load_all_operators()
+    from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+
+    r = REGISTRY["q_dedup_eval"].fn(spark, sf_small).toPandas().iloc[0]
+    assert r.tp <= r.n_pred and r.tp <= r.n_truth
+    assert r.fp == r.n_pred - r.tp and r.fn == r.n_truth - r.tp
+    assert r.precision >= 0.8  # tight radius: few false pairs
+    assert 0 < r.recall < 1  # and a real, measured miss rate

@@ -24,102 +24,107 @@ from .registry import REGISTRY  # noqa: F401
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
 # This list pins those 50 slots.
 #
-# THIS round (3): per VERDICT r02 "Next round #1", the window rotates to
-# 50 never-driver-checked ops — the round-2-addition families that were
-# bumped for the classics in r02. All 50 were local-parity green at
-# sf0.01+sf0.001 on arrival and have golden hashes; cumulative driver
-# coverage after this round should be 146/294. The r01+r02 checked sets
-# were re-verified disjoint from this list before pinning (snippet below).
+# THIS round (4): per VERDICT r03 "Next round #1", the window rotates to
+# 50 more never-driver-checked ops: the OL4-OL19 TPC-H completion set,
+# clustering KM1-KM2, the round-3 analytics/corpus/maintenance/graph
+# families, the reference-analog signal ops, and two aggregate fills
+# (q_incremental_agg, q_group_by_all). Verified disjoint from the
+# r01+r02+r03 checked sets (146 ops) via the snippet below; all 50 were
+# local-parity green at sf0.01+sf0.001 with golden hashes before pinning.
+# Cumulative driver coverage after this round: 196/297.
 #
-# NEXT-ROUND QUEUE (round 4 — fill the window with the first 50 of this
-# pool, recomputed via the snippet): the OL4–OL19 TPC-H completion set
-# (q_revenue_uplift q_volume_shipping q_product_profit q_returned_items
-# q_top_supplier q_promo_revenue_share q_priority_late_ship
-# q_cust_order_distribution q_small_qty_revenue q_disjunctive_revenue
-# q_important_parts q_min_price_supplier q_parts_supplier_count
-# q_bulk_part_suppliers q_waiting_suppliers q_idle_rich_customers),
-# clustering KM1–KM2 (q_kmeans_embed q_power_iteration_pc), analytics
-# round-3 families (q_retention_cohort q_path_transitions q_dau_rolling
-# q_funnel_conversion q_benford_digits q_mad_outliers q_percentile_bands
-# q_mode_median q_ab_lift q_attribution_lasttouch q_histogram_equidepth
-# q_psi_drift), corpus (q_boilerplate_ngrams q_incremental_dedup
-# q_ttr_lexical q_weighted_sample q_ngram_novelty q_prefix_dedup
-# q_curation_funnel), maintenance (q_compaction_plan q_partition_skew
-# q_dq_report q_column_profile q_zonemap_prune), graph (q_triangle_count
-# q_recursive_bfs q_copurchase_recs), plus q_haar_denoise q_fft_lowpass
-# q_param_sweep (full T2 — retest). Round 5+ takes the remainder:
-# PI1–PI9 textclean, TS6–TS12 timeseries, SK3–SK4 sketches, AN15–AN27
-# analytics, KM3–KM6 clustering, G4–G5 graph, MT5–MT7 maintenance,
-# ML3–ML7 mlfit, ST1–ST5 stats, OL20, S10–S13 scans, X39/X42–X43,
-# FIN1–FIN4 finance, GEO1–GEO2, C7–C11 corpus, T9–T12, A18–A20, F15–F17,
-# J18, RC3, D7, the round-3 additions X44 q_jpeg_decode and X45
-# q_vocab_coverage and X46 q_dedup_eval, and the rows-only
-# q_evolutionary_sweep.
+# NEXT-ROUND QUEUE (round 5 — the full remaining 101 never-checked set;
+# fill the window with the first 50, keep the remainder for round 6):
+# q_pipe_sql q_exact_median_twopass q_grouping_id q_forecast_backtest
+# q_gini_revenue q_survival_km q_chi2_term_assoc q_winsorize
+# q_skew_kurtosis q_woe_iv q_funnel_time_percentiles q_cohort_ltv
+# q_rfm_segmentation q_feature_snapshot q_wau_mau q_attribution_position
+# q_wau_hll q_abandonment q_phrase_search q_trigram_search
+# q_knn_accuracy q_random_projection q_quantile_normalize
+# q_product_quantize q_pq_adc_topk q_token_pmi q_zipf_slope q_bpe_merge
+# q_line_dedup q_ppjoin_neardup q_mmr_rerank q_local_alignment
+# q_dedup_eval q_session_window_native q_out_of_order_report
+# q_engagement_report q_session_pattern q_ohlc_bars q_vwap_daily
+# q_time_weighted_avg q_interval_coverage q_geo_nearest_hub
+# q_geo_grid_join q_label_propagation q_shortest_path_bf q_join_nullsafe
+# q_join_overlap_binned q_incremental_join q_rle_advisor
+# q_calibration_bins q_ndcg_eval q_auc_score q_pit_join
+# q_negative_sampling q_bmp_decode q_jpeg_decode q_market_share
+# q_largest_orders q_ship_delay_buckets q_pareto_skyline q_yoy_growth
+# q_golden_record q_connected_clean q_evolutionary_sweep q_text_io
+# q_schema_evolution q_dynamic_overwrite q_csv_corrupt_records
+# q_python_datasource q_intersect_all q_except_all q_kmv_distinct
+# q_heavy_hitters_mg q_ks_test q_mannwhitney_u q_mutual_info
+# q_stat_crosstab q_weighted_median q_pii_redact q_url_parse
+# q_html_strip q_sentence_stats q_url_dedup q_gdpr_erasure q_k_anonymity
+# q_cidr_lookup q_l_diversity q_fim_split q_lang_confusion
+# q_vocab_coverage q_autocorr_daily q_interpolate_linear
+# q_cusum_changepoint q_drawdown q_theilsen_trend q_seasonal_decompose
+# q_cogroup_pandas q_sql_udf q_sql_scripting q_collation_group
+# q_bitmask_rollup
 #
 #   never = [n for n in REGISTRY
-#            if n not in set(json.load(open("CORRECTNESS_r01.json")))
-#            and n not in set(json.load(open("CORRECTNESS_r02.json")))
-#            and n not in DRIVER_PRIORITY]
+#            if not any(n in set(json.load(open(f"CORRECTNESS_r0{i}.json")))
+#                       for i in (1, 2, 3, 4))]
 DRIVER_PRIORITY: list[str] = [
-    # joins / setops / scalar-function round-2 additions
-    "q_skew_salted_join",
-    "q_corr_subquery",
-    "q_cdc_upsert",
-    "q_unpivot",
-    "q_string_agg",
-    "q_map_funcs",
-    "q_histogram",
-    "q_zscore_outliers",
-    # X-series textpipe (training-data pipeline) family
-    "q_token_count",
-    "q_contamination_check",
-    "q_repetition_filter",
-    "q_ngram_lm_score",
-    "q_quality_score_model",
-    "q_domain_quota",
-    "q_mixture_sample",
-    "q_doc_chunk",
-    "q_pack_sequences",
-    "q_token_entropy",
-    "q_train_test_split",
-    "q_rare_bucket",
-    "q_bm25_rank",
-    # dedup_ext round-2 additions
-    "q_dedup_clusters",
-    "q_pagerank_dups",
-    "q_embed_quantize",
-    "q_fuzzy_name_match",
-    # sketches
-    "q_bloom_prefilter",
-    "q_cms_frequency",
-    # timeseries
-    "q_gap_fill_daily",
-    "q_scd2_intervals",
-    "q_rollup_multires",
-    "q_rolling_corr",
-    "q_decay_score",
-    # ordering / reconcile / mlfit
-    "q_morton_cluster",
-    "q_table_checksum",
-    "q_snapshot_diff",
-    "q_linreg_fit",
-    "q_linreg_per_group",
-    # multimodal decode family (Arrow-batched mapInPandas codecs)
-    "q_multimodal_decode",
-    "q_pgm_decode",
-    "q_wav_decode",
-    "q_png_decode",
-    "q_frame_sample",
-    "q_media_resize",
+    # OL4-OL19 TPC-H completion
+    "q_revenue_uplift",
+    "q_volume_shipping",
+    "q_product_profit",
+    "q_returned_items",
+    "q_top_supplier",
+    "q_promo_revenue_share",
+    "q_priority_late_ship",
+    "q_cust_order_distribution",
+    "q_small_qty_revenue",
+    "q_disjunctive_revenue",
+    "q_important_parts",
+    "q_min_price_supplier",
+    "q_parts_supplier_count",
+    "q_bulk_part_suppliers",
+    "q_waiting_suppliers",
+    "q_idle_rich_customers",
+    # clustering KM1-KM2
+    "q_kmeans_embed",
+    "q_power_iteration_pc",
+    # analytics round-3 families
+    "q_retention_cohort",
+    "q_path_transitions",
+    "q_dau_rolling",
+    "q_funnel_conversion",
+    "q_benford_digits",
+    "q_mad_outliers",
+    "q_percentile_bands",
+    "q_mode_median",
+    "q_ab_lift",
+    "q_attribution_lasttouch",
+    "q_histogram_equidepth",
+    "q_psi_drift",
+    # corpus
+    "q_boilerplate_ngrams",
+    "q_incremental_dedup",
+    "q_ttr_lexical",
+    "q_weighted_sample",
+    "q_ngram_novelty",
+    "q_prefix_dedup",
+    "q_curation_funnel",
+    # maintenance
+    "q_compaction_plan",
+    "q_partition_skew",
+    "q_dq_report",
+    "q_column_profile",
+    "q_zonemap_prune",
+    # graph
+    "q_triangle_count",
+    "q_recursive_bfs",
+    "q_copurchase_recs",
     # reference_analogs
-    "q_tailcut_clean",
-    "q_array_moments",
-    # F12 VARIANT / S7 XML / S8 binaryFile / F14 try_* / J16 LATERAL
-    "q_variant_json",
-    "q_xml_io",
-    "q_binaryfile_scan",
-    "q_try_arithmetic",
-    "q_join_lateral",
+    "q_haar_denoise",
+    "q_fft_lowpass",
+    "q_param_sweep",
+    # aggregates fill
+    "q_incremental_agg",
+    "q_group_by_all",
 ]
 
 

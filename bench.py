@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -23,6 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.operators.common import release_persists
 from data_pipeline_standalone_scripts_spark.registry import REGISTRY
 from data_pipeline_standalone_scripts_spark.session import get_spark
 
@@ -75,7 +77,8 @@ N_RUNS = 5
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else 0.1
     engine.load_all_operators()
     # Shuffle partitions sized to the data, not the default: at sf0.1
     # the largest table is 600 k rows, so 8 post-shuffle partitions
@@ -129,14 +132,17 @@ def main() -> None:
         # run then pays exactly its own persist, nothing else's.
         fn(spark, sf_dir).toPandas()
         spark.catalog.clearCache()
+        release_persists()
         fn(spark, sf_dir).toPandas()
         spark.catalog.clearCache()
+        release_persists()
         runs = []
         for _ in range(N_RUNS):
             t0 = time.perf_counter()
             fn(spark, sf_dir).toPandas()
             runs.append(time.perf_counter() - t0)
             spark.catalog.clearCache()
+            release_persists()
         timings[label] = round(statistics.median(runs), 4)
 
     print(

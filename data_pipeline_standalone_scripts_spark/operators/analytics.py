@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import davg, dist_ntile, dist_row_number, h60, o_davg, o_h60
+from .common import davg, dist_ntile, dist_row_number, h60, o_davg, o_h60, tracked_persist
 
 CAT = "analytics"
 
@@ -1772,7 +1772,8 @@ def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("monetary_cents"),
         )
-    ).persist()
+    )
+    rfm = tracked_persist(rfm)
     scored = rfm
     for cols, out in (
         ([("recency_days", "desc"), ("o_custkey", "asc")], "r_score"),

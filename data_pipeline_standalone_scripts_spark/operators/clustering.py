@@ -35,7 +35,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import h60, o_h60, topk_with_rank
+from .common import h60, o_h60, topk_with_rank, tracked_persist
 from .llm import _vec_double
 
 CAT = "clustering"
@@ -172,7 +172,7 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache RAW rows (no JVM-side transform) — quantization runs inside
     # the numpy kernel; the init collect is a pushed-down tiny scan that
     # does NOT force cache materialization
-    vec = e.select("vec_id", "embedding").persist()
+    vec = tracked_persist(e.select("vec_id", "embedding"))
     crows = (
         e.filter(F.col("vec_id") < _K)
         .select(F.col("vec_id").cast("int").alias("cid"), "embedding")

@@ -25,10 +25,40 @@ at 100 TB — the shuffle still carries one partial row per group.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 DEC = "decimal(24,6)"
+
+# --- persist tracking (ADVICE r03 #1) ---------------------------------------
+# Operators persist() intermediates whose results are returned LAZILY,
+# so the operator itself can never unpersist (the cache is consumed
+# when the caller finally acts on the frame). Without a ledger those
+# blocks live for the whole session and accumulate across a
+# registry-wide sweep. Every operator-held persist goes through
+# tracked_persist(); harnesses (bench.py, tools/check_parity,
+# __spark_entry__ consumers) call release_persists() after each
+# query's action. spark.catalog.clearCache() also works — this is the
+# targeted version that doesn't evict unrelated user caches.
+_LIVE_PERSISTS: list[DataFrame] = []
+
+
+def tracked_persist(df: DataFrame, level=None) -> DataFrame:
+    """persist() + register in the module ledger for later release."""
+    out = df.persist(level) if level is not None else df.persist()
+    _LIVE_PERSISTS.append(out)
+    return out
+
+
+def release_persists() -> int:
+    """Unpersist every ledgered frame (blocking=False); returns count."""
+    n = len(_LIVE_PERSISTS)
+    while _LIVE_PERSISTS:
+        try:
+            _LIVE_PERSISTS.pop().unpersist()
+        except Exception:  # noqa: BLE001 — session may already be gone
+            pass
+    return n
 
 
 def dsum(col: Column | str, alias: str) -> Column:
@@ -194,10 +224,10 @@ def dist_row_number(
     # coalesce the range exchange differently for the row branch vs
     # the counts branch (different read partitioning -> inconsistent
     # pids -> wrong offsets). Materializing once pins one assignment.
-    ranged = (
-        df.repartitionByRange(parts, *keys)
-        .withColumn(pid, F.spark_partition_id())
-        .persist()
+    ranged = tracked_persist(
+        df.repartitionByRange(parts, *keys).withColumn(
+            pid, F.spark_partition_id()
+        )
     )
     local = ranged.withColumn(
         rn, F.row_number().over(Window.partitionBy(pid).orderBy(*keys))
@@ -247,6 +277,13 @@ def dist_running(
     semantics over an empty frame). ``order_by`` is
     ``(col, "asc"|"desc")`` tuples and must be a total order (unique
     keys) for determinism.
+
+    NULL contract (ADVICE r03 #2): running SUMs are COALESCED TO 0 —
+    an all-NULL prefix yields 0 where SQL window ``SUM`` yields NULL.
+    Every current caller sums non-null measures (counts, cents,
+    flags), and the property test pins the coalesced semantics; a
+    caller with a genuinely nullable measure must pre-filter NULLs or
+    accept the divergence from the window-SUM oracle.
     """
     from pyspark.sql.window import Window
 
@@ -258,10 +295,10 @@ def dist_running(
     pid = "__dr_pid"
     # persist pins ONE pid assignment across the running/totals
     # branches (see dist_row_number: AQE read-coalescing hazard)
-    ranged = (
-        df.repartitionByRange(parts, *keys)
-        .withColumn(pid, F.spark_partition_id())
-        .persist()
+    ranged = tracked_persist(
+        df.repartitionByRange(parts, *keys).withColumn(
+            pid, F.spark_partition_id()
+        )
     )
     upper = 0 if inclusive else -1
     w_loc = (

@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import dist_row_number, o_h60
+from .common import dist_row_number, o_h60, tracked_persist
 from .llm import _dot, _norm_sq, _vec_double, minhash_candidates
 
 CAT = "dedup_ext"
@@ -154,7 +154,9 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # you'd write fingerprints to a table and probe them many times.
     from pyspark import StorageLevel
 
-    fps = simhash_fingerprints(spark, sf_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    fps = tracked_persist(
+        simhash_fingerprints(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
+    )
     bands = fps.select(
         "doc_id",
         "simhash",
@@ -292,7 +294,46 @@ ANN_K = 10
 N_QUERIES = 5
 
 
-@register("q_ann_ivf", oracle=None, check="T2w", category=CAT)
+_ORACLE_ANN_IVF = f"""
+    WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), centers AS (
+        SELECT vec_id AS center_id, v AS cv FROM vecs WHERE vec_id < {N_CENTROIDS}
+    ), assigned AS (
+        SELECT vec_id, label, v, center_id FROM (
+            SELECT x.vec_id, x.label, x.v, c.center_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY x.vec_id
+                       ORDER BY ROUND(list_cosine_similarity(x.v, c.cv), 6) DESC,
+                                c.center_id ASC) AS rn
+            FROM vecs x CROSS JOIN centers c
+        ) WHERE rn = 1
+    ), queries AS (
+        SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {N_QUERIES}
+    ), probes AS (
+        SELECT query_id, qv, center_id FROM (
+            SELECT q.query_id, q.qv, c.center_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY ROUND(list_cosine_similarity(q.qv, c.cv), 6) DESC,
+                                c.center_id ASC) AS rn
+            FROM queries q CROSS JOIN centers c
+        ) WHERE rn <= {N_PROBE}
+    )
+    SELECT query_id, vec_id, label, center_id, cos_sim FROM (
+        SELECT p.query_id, a.vec_id, a.label, a.center_id,
+               ROUND(list_cosine_similarity(a.v, p.qv), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.query_id
+                   ORDER BY ROUND(list_cosine_similarity(a.v, p.qv), 6) DESC,
+                            a.vec_id ASC) AS rn
+        FROM assigned a JOIN probes p USING (center_id)
+        WHERE a.vec_id <> p.query_id
+    ) WHERE rn <= {ANN_K}
+"""
+
+
+@register("q_ann_ivf", oracle=_ORACLE_ANN_IVF, category=CAT)
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: coarse-
     quantize the corpus to 16 deterministic centers (the vectors with
@@ -300,9 +341,12 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     then answer each of 5 queries by scanning only its 4 nearest
     centers' buckets (nprobe=4) and taking cosine top-10.
 
-    No oracle (T2w): ANN is intentionally approximate — SQL would have
-    to replicate the probe schedule exactly, which tests nothing. The
-    pytest check (test_approximate_ops) asserts structural guarantees:
+    Full T2 (upgraded round 4 per VERDICT r03 #5): the probe schedule
+    is deterministic (rounded cosine + center_id tie-break), so the
+    oracle replicates assign → probe → bucket-restricted top-k in SQL
+    CTEs; ``list_cosine_similarity`` reproduces the Spark fold
+    bit-for-bit at 6 decimals (same proof as L9). The pytest check
+    (test_approximate_ops) still asserts the structural guarantees:
     k rows per query, results ⊆ probed buckets, recall vs the exact
     brute-force top-10 at the measured floor, and determinism.
 
@@ -504,7 +548,46 @@ def signlsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_ann_signlsh", oracle=None, check="T2w", category=CAT)
+_ORACLE_ANN_SIGNLSH = f"""
+    WITH vecs AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), planes AS (
+        SELECT j, list_transform(generate_series(0, 63), p ->
+            CAST(CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':',
+                                                     CAST(p AS VARCHAR))), 1, 15))
+                      AS UBIGINT) AS DOUBLE) / pow(2.0, 60) * 2.0 - 1.0) AS plane
+        FROM generate_series(0, {LSH_PLANES - 1}) t(j)
+    ), sigs AS (
+        SELECT vec_id, label, v,
+               CAST(SUM(CASE WHEN list_dot_product(v, plane) > 0
+                             THEN pow(2.0, j) ELSE 0.0 END) AS BIGINT) AS sig
+        FROM vecs CROSS JOIN planes
+        GROUP BY vec_id, label, v
+    ), bands AS (
+        SELECT vec_id, label, v, b.band, (sig >> (b.band * 4)) & 15 AS key
+        FROM sigs CROSS JOIN (
+            SELECT unnest(generate_series(0, {LSH_BANDS_V - 1})) AS band) b
+    ), queries AS (
+        SELECT vec_id AS query_id, v AS qv, band, key FROM bands
+        WHERE vec_id < {N_QUERIES}
+    ), cand AS (
+        SELECT DISTINCT q.query_id, q.qv, b.vec_id, b.label, b.v
+        FROM bands b JOIN queries q USING (band, key)
+        WHERE b.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, label, cos_sim FROM (
+        SELECT query_id, vec_id, label,
+               ROUND(list_cosine_similarity(v, qv), 6) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY ROUND(list_cosine_similarity(v, qv), 6) DESC,
+                            vec_id ASC) AS rn
+        FROM cand
+    ) WHERE rn <= {ANN_K}
+"""
+
+
+@register("q_ann_signlsh", oracle=_ORACLE_ANN_SIGNLSH, category=CAT)
 def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: candidates = vectors sharing at least
     one 4-bit band of the 12-bit hyperplane signature with the query
@@ -515,6 +598,15 @@ def q_ann_signlsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sign-LSH preserves angle: P(bit differs) = θ/π, so near vectors
     collide in some band with high probability. pytest asserts band
     recall vs the exact top-10 and determinism.
+
+    Full T2 (upgraded round 4 per VERDICT r03 #5): the hyperplane
+    tensor is hash-derived (md5 hex → [-1, 1]), so the oracle rebuilds
+    the identical planes with DuckDB's md5 + '0x' UBIGINT cast —
+    IEEE-754 nearest rounding of the 60-bit integer matches Spark's
+    conv().cast('double') — then replicates signature → banding →
+    bucket-restricted exact top-k. The sign test ``dot > 0`` is the
+    one knife-edge: both engines fold the 64 products in index order,
+    so the doubles agree exactly (same proof as L9's cosine parity).
 
     Scale: signatures are one narrow pass (12 dots/vector); the
     candidate join is bucket-keyed (band, 4-bit key) — at 100 TB the
@@ -676,10 +768,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edges: Catalyst does not reuse a subplan across the two union
     # branches, so without the persist the whole LSH pipeline
     # (signatures → bands → verify) executes twice.
-    pairs = (
-        q_minhash_lsh(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = tracked_persist(
+        q_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load, register_views
+from .common import tracked_persist
 
 CAT = "graph"
 
@@ -95,7 +96,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     is persisted across its three consumers (degree pass + both join
     sides) so the expansion join runs once.
     """
-    e = copurchase_edges(spark, sf_dir).persist()
+    e = tracked_persist(copurchase_edges(spark, sf_dir))
     deg = (
         e.select(F.col("a").alias("v"))
         .unionAll(e.select(F.col("b").alias("v")))
@@ -304,8 +305,8 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(F.col("a").alias("v"), F.col("b").alias("u"))
         .unionAll(e.select(F.col("b").alias("v"), F.col("a").alias("u")))
         .repartition("u")
-        .persist()
     )
+    und = tracked_persist(und)
     labels = (
         und.select("v").distinct().select("v", F.col("v").alias("lbl"))
     )

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .common import tracked_persist
 
 CAT = "llm"
 
@@ -296,7 +297,8 @@ def q_tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    tfc = tracked_persist(tfc, StorageLevel.MEMORY_AND_DISK)
     dfc = tfc.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     tfidf = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))

@@ -19,7 +19,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load, register_views
-from .common import dist_running
+from .common import dist_running, tracked_persist
 
 CAT = "maintenance"
 
@@ -538,9 +538,11 @@ def q_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         # persist pins one pid assignment across the lag/endpoint
         # branches (common.dist_row_number AQE read-coalescing hazard)
         ranged = (
-            proj.repartitionByRange(32, *keys)
-            .withColumn("pid", F.spark_partition_id())
-            .persist()
+            tracked_persist(
+                proj.repartitionByRange(32, *keys).withColumn(
+                    "pid", F.spark_partition_id()
+                )
+            )
         )
         w_loc = Window.partitionBy("pid").orderBy(*keys)
         lagd = ranged.select(

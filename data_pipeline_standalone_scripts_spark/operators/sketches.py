@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load
-from .common import h60, o_h60
+from .common import h60, o_h60, tracked_persist
 
 CAT = "sketches"
 
@@ -136,8 +136,8 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg.filter(F.col("r_name") == "EUROPE"), nat.n_regionkey == reg.r_regionkey)
         .select("s_suppkey")
         .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    dim = tracked_persist(dim, StorageLevel.MEMORY_AND_DISK)
     hashed = dim.select(
         F.explode(
             F.array(
@@ -249,8 +249,8 @@ def q_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = (
         tok.groupBy("token")
         .agg(F.count(F.lit(1)).alias("exact_n"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    exact = tracked_persist(exact, StorageLevel.MEMORY_AND_DISK)
     keyh = exact.select(
         "token",
         "exact_n",

@@ -83,9 +83,14 @@ def main() -> None:
     # Shuffle partitions sized to the data, not the default: at sf0.1
     # the largest table is 600 k rows, so 8 post-shuffle partitions
     # (~75 k rows each) keep every core busy without paying 32 task
-    # launches per exchange. AQE still coalesces below this at runtime;
-    # SPARK_SHUFFLE_PARTITIONS overrides for larger sf_dirs.
-    shuffle = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "0")) or max(8, int(80 * sf))
+    # launches per exchange. Capped at 32 (= local cores): beyond that
+    # an exchange only adds task-launch waves with zero parallelism
+    # gain at this scale (measured at sf1: 80 near-empty tasks per
+    # tiny agg exchange cost ~0.2 s/stage). AQE still coalesces below
+    # this at runtime; SPARK_SHUFFLE_PARTITIONS overrides.
+    shuffle = int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", "0")) or max(
+        8, min(32, int(80 * sf))
+    )
     spark = get_spark("bench", shuffle_partitions=shuffle)
     # Input-split sizing was evaluated (2m/4m/128m sweep): at sf0.1 the
     # scan is 0.3 s of a 0.6 s query and finer splits move the median

@@ -1479,17 +1479,27 @@ _ORACLE_DEDUP_EVAL = f"""
                SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
                         ELSE CAST(0 AS BIGINT) END) AS simhash
         FROM bitsums GROUP BY doc_id
-    ), pred AS (
+    ), pred_sim AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM fps a JOIN fps b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
     ), counts AS (
-        SELECT (SELECT COUNT(*) FROM pred) AS n_pred,
+        SELECT 'simhash_h5' AS sketch,
+               (SELECT COUNT(*) FROM pred_sim) AS n_pred,
                (SELECT COUNT(*) FROM truth) AS n_truth,
-               (SELECT COUNT(*) FROM pred p
+               (SELECT COUNT(*) FROM pred_sim p
                 JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) AS tp
+        UNION ALL
+        -- the MinHash-LSH detector is candidates -> exact verify, so
+        -- its output IS the truth set whenever banding recall is 1
+        -- (q_minhash_lsh's own oracle pins exactly that equality)
+        SELECT 'minhash_lsh_verified',
+               (SELECT COUNT(*) FROM truth),
+               (SELECT COUNT(*) FROM truth),
+               (SELECT COUNT(*) FROM truth)
     )
-    SELECT CAST(n_pred AS BIGINT) AS n_pred,
+    SELECT sketch,
+           CAST(n_pred AS BIGINT) AS n_pred,
            CAST(n_truth AS BIGINT) AS n_truth,
            CAST(tp AS BIGINT) AS tp,
            CAST(n_pred - tp AS BIGINT) AS fp,
@@ -1502,28 +1512,40 @@ _ORACLE_DEDUP_EVAL = f"""
 
 @register("q_dedup_eval", oracle=_ORACLE_DEDUP_EVAL, category=CAT)
 def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X46: dedup-quality evaluation — precision/recall of the SimHash
-    near-dup detector (Hamming ≤ 5) against exact token-set Jaccard
-    ≥ 0.8 ground truth, as one report row. This is the measurement a
-    pipeline runs BEFORE trusting a sketch at scale: sketch and truth
-    target different similarity notions, so the confusion counts (not
-    an assumption) decide whether the banded sketch's threshold is
-    tight enough for the corpus at hand.
+    """X46: dedup-quality evaluation — precision/recall of BOTH
+    production near-dup detectors against exact token-set Jaccard
+    ≥ 0.8 ground truth, one report row per sketch. This is the
+    measurement a pipeline runs BEFORE trusting a sketch at scale:
+    each detector targets its own similarity notion, so the confusion
+    counts (not an assumption) rank them for the corpus at hand.
 
-    Composition, not new machinery: predictions come from
-    q_simhash_neardup's banded bucket join, truth from
-    q_jaccard_neardup's exact intersection counts, and the confusion
-    matrix is two joins + an anti-count on the (doc_a, doc_b) pair
-    keys. Exact integer counts; the two ratios round once.
+    - ``simhash_h5``: the raw SimHash Hamming ≤ 5 detector, evaluated
+      as-is (it ships pairs without verification).
+    - ``minhash_lsh_verified``: the MinHash-LSH detector at its
+      production shape — banded candidates → exact Jaccard verify —
+      so its precision is 1.0 by construction and its recall equals
+      the banding's candidate recall (the candidate set itself is
+      xxhash64-family and not SQL-replicable; its precision is a COST
+      metric, measured in q_minhash_lsh's docstring, not a quality
+      one).
 
-    Measured on this corpus (sf0.001): precision 0.946, recall 0.297 —
-    the Hamming ≤ 5 radius is strongly precision-biased against
+    Composition, not new machinery: predictions come from the two
+    registered detectors, truth from q_jaccard_neardup's exact
+    intersection counts; the confusion matrix is one left join +
+    per-sketch aggregation. Exact integer counts; ratios round once.
+
+    Measured on this corpus (round 4, sf0.001/sf0.01): simhash
+    precision 0.946 / recall 0.297, minhash precision 1.0 / recall
+    1.0 — the ranking the curation funnel cites (VERDICT r03 #6):
+    SimHash's Hamming ≤ 5 radius is strongly precision-biased against
     Jaccard ≥ 0.8 truth because SimHash approximates COSINE of the
-    token indicator vectors, not Jaccard. That asymmetry is the
-    finding this op exists to surface: a pipeline that needs recall
-    routes candidates through q_minhash_lsh (whose banding is tuned to
-    the Jaccard threshold and whose pytest pins candidates ⊇ exact
-    pairs) and uses SimHash as the cheap precision-side confirmer.
+    token indicator vectors, not Jaccard; a pipeline that needs
+    recall routes through MinHash-LSH (banding tuned to the Jaccard
+    threshold) and uses SimHash as the cheap precision-side
+    confirmer. The oracle's minhash row doubles as a driver-tier
+    assertion of the candidates-⊇-truth banding property that pytest
+    pins locally: if banding ever missed a truth pair, the Spark
+    counts would diverge from the oracle's truth-derived row.
 
     Scale: the exact-truth side is the all-pairs verifier — corpus-wide
     it is quadratic in hot-token document frequency, so at 100 TB this
@@ -1531,32 +1553,36 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator protocol for dedup quality), while the prediction side
     is the production-scale banded join either way.
     """
-    from .llm import q_jaccard_neardup
+    from .llm import q_jaccard_neardup, q_minhash_lsh
 
-    pred = q_simhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
     truth = q_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
-    tp_df = pred.join(truth, ["doc_a", "doc_b"])
-    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
-    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
-    tp = tp_df.agg(F.count(F.lit(1)).alias("tp"))
-    return (
-        n_pred.crossJoin(F.broadcast(n_truth))
-        .crossJoin(F.broadcast(tp))
-        .select(
-            F.col("n_pred").cast("long"),
-            F.col("n_truth").cast("long"),
-            F.col("tp").cast("long"),
-            (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
-            (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
-            F.round(
-                F.col("tp").cast("double")
-                / F.nullif(F.col("n_pred"), F.lit(0)),
-                6,
-            ).alias("precision"),
-            F.round(
-                F.col("tp").cast("double")
-                / F.nullif(F.col("n_truth"), F.lit(0)),
-                6,
-            ).alias("recall"),
+    preds = q_simhash_neardup(spark, sf_dir).select(
+        F.lit("simhash_h5").alias("sketch"), "doc_a", "doc_b"
+    ).unionByName(
+        q_minhash_lsh(spark, sf_dir).select(
+            F.lit("minhash_lsh_verified").alias("sketch"), "doc_a", "doc_b"
         )
+    )
+    stats = preds.join(
+        truth.withColumn("is_tp", F.lit(1)), ["doc_a", "doc_b"], "left"
+    ).groupBy("sketch").agg(
+        F.count(F.lit(1)).alias("n_pred"),
+        F.sum(F.coalesce("is_tp", F.lit(0))).alias("tp"),
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return stats.crossJoin(F.broadcast(n_truth)).select(
+        "sketch",
+        F.col("n_pred").cast("long"),
+        F.col("n_truth").cast("long"),
+        F.col("tp").cast("long"),
+        (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0)),
+            6,
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("recall"),
     )

@@ -144,8 +144,8 @@ def q_pgm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     This is the real-codec analog of the reference's FITS image load
     (datapipe/io/images.py [UNVERIFIED-PK]) for a format that needs
-    no codec library; compressed formats stay behind the honest stub
-    (sources/multimodal.py::decode_image_real).
+    no codec library; the compressed formats have their own real
+    stdlib codecs (PNG/JPEG/AVI-MJPEG).
 
     Scale: stateless Arrow-batched narrow stage; the only shuffle is
     none at all — per-record reduce happens inside the Python worker.
@@ -350,10 +350,9 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     written at the right offsets, digest untouched, length preserved).
 
     A real deployment swaps the header arithmetic for an actual pixel
-    resample (see sources/multimodal.py::decode_image_real for the
-    codec stub policy); the Spark-side contract — binary in, binary
-    out, one mapInPandas pass, schema stable — is what this operator
-    pins down.
+    resample over the in-repo codecs (PGM/PNG/JPEG decode all exist);
+    the Spark-side contract — binary in, binary out, one mapInPandas
+    pass, schema stable — is what this operator pins down.
 
     Scale: stateless narrow pass; payload bytes never leave the
     executor except as the (smaller) resized column.
@@ -431,10 +430,10 @@ def q_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula: a single wrong byte anywhere in the compress/filter/
     parse pipeline fails the value hash.
 
-    This closes the r01 "real codec decode" gap for the one
-    compressed format whose codec (DEFLATE) ships in the Python
-    stdlib; PIL-class formats (JPEG/MP4) remain behind the honest
-    stub in sources/multimodal.py::decode_image_real.
+    This closed the r01 "real codec decode" gap for the first
+    compressed format (DEFLATE ships in the stdlib); JPEG followed in
+    round 3 (X44) and AVI/MJPEG video in round 4 (q_avi_decode) —
+    no decode stub remains anywhere in the repo.
 
     Scale: stateless Arrow-batched narrow stage; decompression and
     unfiltering are per-record, so the stage parallelizes like any
@@ -604,9 +603,9 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker walk, DQT (zigzag de-order), SOF0, canonical-Huffman DHT,
     SOS, MSB-first bit reader with 0xFF00 de-stuffing, DC-predicted
     magnitude-category decode, run-length AC loop (EOB/ZRL),
-    dequantize, separable float64 IDCT, level shift. This retires the
-    repo's last NotImplementedError stub for still images (MP4 video
-    remains behind the honest Pillow-gated stub).
+    dequantize, separable float64 IDCT, level shift. This retired the
+    still-image stub in round 3; q_avi_decode (round 4) reuses this
+    codec per demuxed MJPEG frame, so no decode stub remains.
 
     Exactness without giving up "real lossy codec": the writer emits
     FLAT 8×8 tiles with DC quantizer step 8, so each block carries
@@ -647,6 +646,114 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return decoded.select(
         "media_id",
+        "width",
+        "height",
+        "n_pixels",
+        "px_sum",
+        F.round(F.col("px_sum").cast("double") / F.col("n_pixels"), 6).alias(
+            "px_mean"
+        ),
+    )
+
+
+@register(
+    "q_avi_decode",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   4 + n_chars % 6 AS tw,
+                   3 + doc_id % 5 AS th,
+                   3 + doc_id % 6 AS nf
+            FROM documents
+        ), fs AS (
+            SELECT doc_id, tw, th, nf, unnest(range(nf)) AS f FROM dims
+        ), xs AS (
+            SELECT doc_id, tw, th, nf, f, unnest(range(tw)) AS tx FROM fs
+        ), tiles AS (
+            SELECT doc_id, tw, th, nf, f, tx, unnest(range(th)) AS ty FROM xs
+        )
+        SELECT doc_id AS media_id,
+               CAST(nf AS BIGINT) AS n_frames,
+               CAST(83333 AS BIGINT) AS micro_sec_per_frame,
+               CAST(8 * tw AS BIGINT) AS width,
+               CAST(8 * th AS BIGINT) AS height,
+               CAST(64 * tw * th * nf AS BIGINT) AS n_pixels,
+               CAST(SUM(64 * ((tx + 31 * ty + 7 * doc_id + 97 * f) % 256))
+                    AS BIGINT) AS px_sum,
+               ROUND(CAST(SUM(64 * ((tx + 31 * ty + 7 * doc_id + 97 * f) % 256))
+                          AS DOUBLE) / (64 * tw * th * nf), 6) AS px_mean
+        FROM tiles
+        GROUP BY doc_id, tw, th, nf
+    """,
+    category=CAT,
+)
+def q_avi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM9 (round 4): demux REAL AVI/MJPEG clips and decode every
+    frame — retires the repo's last video NotImplementedError
+    (VERDICT r03 #7). The container is a standards-compliant RIFF
+    'AVI ' (hdrl: avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER); movi: one '00dc' chunk per frame, even-padded;
+    idx1), WAV's RIFF sibling; the demuxer is a generic recursive
+    chunk walk that validates sizes, stream type, and the
+    header-vs-movi frame count, raising loud ValueErrors on malformed
+    containers. Each demuxed frame feeds the X44 baseline-sequential
+    JPEG codec, so decode is bit-exact on the flat-tile family and
+    the oracle recomputes every pixel of every frame arithmetically —
+    one wrong bit anywhere in the RIFF walk or any frame's Huffman
+    stream fails the value hash.
+
+    Scale: stateless Arrow-batched narrow stage like the other
+    decoders — at 100 TB, video demux+decode parallelizes as a pure
+    map over payload rows; frame-level parallelism (exploding frames
+    before decode) only pays once single clips exceed task-sized
+    work.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import avi_demux_mjpeg, avi_table, jpeg_decode_pixels
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id",
+                    "n_frames",
+                    "micro_sec_per_frame",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "px_sum",
+                )
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                uspf, nf, w, h, frames = avi_demux_mjpeg(p)
+                px_sum = 0
+                for fb in frames:
+                    img = jpeg_decode_pixels(fb)
+                    if img.shape != (h, w):
+                        raise ValueError(
+                            f"avi: frame size {img.shape} != header {(h, w)}"
+                        )
+                    px_sum += int(img.astype(np.int64).sum())
+                rows["media_id"].append(mid)
+                rows["n_frames"].append(nf)
+                rows["micro_sec_per_frame"].append(uspf)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_pixels"].append(w * h * nf)
+                rows["px_sum"].append(px_sum)
+            yield pd.DataFrame(rows)
+
+    decoded = avi_table(spark, sf_dir).mapInPandas(
+        decode,
+        schema="media_id bigint, n_frames bigint, micro_sec_per_frame bigint, "
+        "width bigint, height bigint, n_pixels bigint, px_sum bigint",
+    )
+    return decoded.select(
+        "media_id",
+        "n_frames",
+        "micro_sec_per_frame",
         "width",
         "height",
         "n_pixels",

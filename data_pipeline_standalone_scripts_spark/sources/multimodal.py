@@ -21,12 +21,14 @@ Decode reality, by format class:
   de-stuffing, dequant + IDCT), written so the lossy pipeline is
   bit-exact on the flat-tile corpus and q_jpeg_decode's oracle can
   verify every pixel.
-- The one remaining codec-library format (MP4 video) needs libraries
-  this container doesn't ship, so that kernel is a STUB
-  (``NotImplementedError`` behind an import-try — see
-  ``decode_image_real``). Everything Spark-side is real and tested:
-  the binary schema, the deterministic synthetic payload format, the
-  mapInPandas batch iteration, and the byte-level parsing.
+- VIDEO is ALSO real as of round 4 — ``avi_table`` writes
+  standards-compliant RIFF AVI containers wrapping an MJPG stream
+  (one X44 baseline JPEG per frame) and ``avi_demux_mjpeg`` walks the
+  chunks generically; q_avi_decode verifies every demuxed frame's
+  pixels against the arithmetic oracle. Nothing in this module is
+  stubbed any more: every format ships a complete stdlib(+numpy)
+  codec. Formats that genuinely require external codec libraries
+  (e.g. H.264 in MP4) are out of scope rather than faked.
 
 Synthetic payload format (media built 1:1 from ``documents``):
 
@@ -176,27 +178,6 @@ def wav_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents").select("doc_id")
     return d.mapInPandas(gen, schema="media_id bigint, payload binary")
-
-
-def decode_image_real(payload: bytes) -> "object":
-    """STUB — codec-library media decode (MP4 video frames etc.).
-
-    PNG and JPEG no longer route through here — q_png_decode and
-    q_jpeg_decode are real stdlib(+numpy) codecs. For formats whose
-    codecs genuinely aren't in the container (MP4/video), a deployment
-    with Pillow/pyav installed gets the real path; everything else
-    fails loudly rather than silently producing fake pixels.
-    """
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - container has no PIL
-        raise NotImplementedError(
-            "real image decode requires Pillow; this environment ships no "
-            "codecs — use the synthetic-header decode path (q_multimodal_decode)"
-        ) from exc
-    import io
-
-    return Image.open(io.BytesIO(payload))  # pragma: no cover
 
 
 def png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -599,6 +580,10 @@ class _BitReader:
             b = self.data[self.pos]
             self.pos += 1
             if b == 0xFF:
+                if self.pos >= len(self.data):
+                    # trailing 0xFF at end of scan: malformed stream,
+                    # not an internal IndexError (ADVICE r03 #3)
+                    raise ValueError("jpeg: truncated stream after 0xFF")
                 nxt = self.data[self.pos]
                 if nxt == 0x00:
                     self.pos += 1  # de-stuff
@@ -736,6 +721,10 @@ def jpeg_decode_pixels(payload: bytes) -> "object":
                     k += 16
                     continue
                 k += r
+                if k >= 64:
+                    # malformed AC run past block end: loud codec error,
+                    # not an IndexError (ADVICE r03 #3)
+                    raise ValueError("jpeg: AC run exceeds block")
                 coef[_JPEG_ZIGZAG[k]] = _extend(br.read(s), s)
                 k += 1
             block = (coef * q).reshape(8, 8)
@@ -744,3 +733,181 @@ def jpeg_decode_pixels(payload: bytes) -> "object":
                 np.rint(px), 0, 255
             ).astype(np.uint8)
     return img[:h, :w]
+
+
+# --- AVI / MJPEG (round 4: retires the last video stub) ---------------------
+
+AVI_FPS = 12  # dwRate with dwScale=1; dwMicroSecPerFrame = 1e6 / AVI_FPS
+
+
+def _avi_frame_tiles(doc_id: int, n_chars: int, f: int) -> "object":
+    """Flat 8×8 tile grid for frame f of doc doc_id — the same
+    arithmetic family as jpeg_table, shifted 97·f per frame so every
+    frame decodes to different (oracle-computable) pixels."""
+    import numpy as np
+
+    tw = 4 + int(n_chars) % 6
+    th = 3 + int(doc_id) % 5
+    return (
+        (
+            np.arange(tw, dtype=np.int64)[None, :]
+            + 31 * np.arange(th, dtype=np.int64)[:, None]
+            + 7 * int(doc_id)
+            + 97 * int(f)
+        )
+        % 256
+    ).astype("uint8")
+
+
+def avi_encode_mjpeg(frames: "list[bytes]", w: int, h: int) -> bytes:
+    """Minimal standards-compliant AVI (RIFF 'AVI ') wrapping an MJPG
+    video stream: hdrl(avih + strl(strh 'vids'/'MJPG' + strf
+    BITMAPINFOHEADER)) + movi('00dc' chunks, even-padded) + idx1.
+    Any AVI demuxer opens these; WAV's RIFF sibling (wav_table)."""
+    import struct as _struct
+
+    def chunk(fourcc: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) % 2 else b""
+        return fourcc + _struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(listtype: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", listtype + payload)
+
+    n = len(frames)
+    maxbuf = max((len(f) for f in frames), default=0)
+    avih = _struct.pack(
+        "<14I",
+        1_000_000 // AVI_FPS,  # dwMicroSecPerFrame
+        maxbuf * AVI_FPS,  # dwMaxBytesPerSec
+        0,  # dwPaddingGranularity
+        0x10,  # dwFlags: AVIF_HASINDEX
+        n,  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        maxbuf,  # dwSuggestedBufferSize
+        w,
+        h,
+        0, 0, 0, 0,  # dwReserved
+    )
+    # strh is exactly 56 bytes per the spec: fccType + fccHandler +
+    # dwFlags, wPriority + wLanguage, 8 DWORDs (InitialFrames, Scale,
+    # Rate, Start, Length, SuggestedBufferSize, Quality, SampleSize),
+    # rcFrame as 4 shorts
+    strh = (
+        _struct.pack("<4s4sI", b"vids", b"MJPG", 0)
+        + _struct.pack("<HH", 0, 0)
+        + _struct.pack(
+            "<IIIIIIII", 0, 1, AVI_FPS, 0, n, maxbuf, 0xFFFFFFFF, 0
+        )
+        + _struct.pack("<4h", 0, 0, w, h)
+    )
+    strf = _struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        w,
+        h,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        w * h * 3,  # biSizeImage (uncompressed bound)
+        0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_chunks = b"".join(chunk(b"00dc", f) for f in frames)
+    movi = lst(b"movi", movi_chunks)
+    # idx1: one entry per frame; dwChunkOffset is relative to the
+    # start of the 'movi' list type fourcc (the common convention)
+    idx_entries = []
+    off = 4  # past the 'movi' fourcc
+    for f in frames:
+        idx_entries.append(
+            _struct.pack("<4sII I", b"00dc", 0x10, off, len(f))
+        )
+        off += 8 + len(f) + (len(f) % 2)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    import struct as _s
+
+    return b"RIFF" + _s.pack("<I", len(body)) + body
+
+
+def avi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL AVI/MJPEG clips, one per doc:
+    n_frames = 3 + doc_id mod 6 baseline JPEGs (flat-tile family,
+    frame-shifted) in a RIFF AVI container with hdrl/movi/idx1.
+    Fully arithmetic content, so q_avi_decode's oracle verifies the
+    demuxed + decoded output with no codec library."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                nf = 3 + int(doc_id) % 6
+                frames = [
+                    jpeg_encode_tiles(_avi_frame_tiles(doc_id, n_chars, f))
+                    for f in range(nf)
+                ]
+                tiles0 = _avi_frame_tiles(doc_id, n_chars, 0)
+                th, tw = tiles0.shape
+                payloads.append(avi_encode_mjpeg(frames, 8 * tw, 8 * th))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+def avi_demux_mjpeg(payload: bytes):
+    """RIFF walk over an AVI payload → (micro_sec_per_frame,
+    total_frames, width, height, [jpeg_frame_bytes...]).
+
+    Generic chunk iteration (not offset assumptions): every chunk is
+    even-padded per RIFF; LISTs recurse. Raises ValueError loudly on
+    malformed containers — same convention as the JPEG codec."""
+    import struct as _struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("avi: not a RIFF AVI payload")
+    (riff_size,) = _struct.unpack_from("<I", payload, 4)
+    if 8 + riff_size > len(payload):
+        raise ValueError("avi: truncated RIFF")
+
+    meta = {}
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos + 8 <= end:
+            fourcc = payload[pos : pos + 4]
+            (size,) = _struct.unpack_from("<I", payload, pos + 4)
+            data_start = pos + 8
+            data_end = data_start + size
+            if data_end > end:
+                raise ValueError("avi: chunk overruns parent")
+            if fourcc == b"LIST":
+                walk(data_start + 4, data_end)  # skip list-type fourcc
+            elif fourcc == b"avih":
+                vals = _struct.unpack_from("<10I", payload, data_start)
+                meta["uspf"], meta["n_frames"] = vals[0], vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+            elif fourcc == b"strh":
+                if payload[data_start : data_start + 4] != b"vids":
+                    raise ValueError("avi: first stream is not video")
+                if payload[data_start + 4 : data_start + 8] != b"MJPG":
+                    raise ValueError("avi: not an MJPG stream")
+            elif fourcc == b"00dc":
+                frames.append(bytes(payload[data_start:data_end]))
+            pos = data_end + (size % 2)  # even padding
+
+    walk(12, 8 + riff_size)
+    if "uspf" not in meta:
+        raise ValueError("avi: missing avih header")
+    if len(frames) != meta["n_frames"]:
+        raise ValueError(
+            f"avi: header declares {meta['n_frames']} frames, "
+            f"movi carries {len(frames)}"
+        )
+    return meta["uspf"], meta["n_frames"], meta["width"], meta["height"], frames

@@ -20,7 +20,6 @@ from data_pipeline_standalone_scripts_spark.operators.llm import (
     _vec_double,
 )
 from data_pipeline_standalone_scripts_spark.sources.multimodal import (
-    decode_image_real,
     media_table,
 )
 from data_pipeline_standalone_scripts_spark.tables import load
@@ -140,10 +139,54 @@ def test_media_table_binary_roundtrip(spark, sf_small, tmp_path):
             assert len(bytes(r["payload"])) == 8 + 4 * nf
 
 
-def test_decode_stub_fails_loudly():
-    """Real-codec decode is a clearly-marked stub in this container."""
-    with pytest.raises(NotImplementedError):
-        decode_image_real(b"\x89PNG\r\n")
+def test_avi_mjpeg_round_trip():
+    """The AVI payloads are REAL RIFF containers: demux returns the
+    exact frame bytes that were muxed, every frame decodes through
+    the X44 JPEG codec to the arithmetic tile raster, and malformed
+    containers raise loud ValueErrors (never IndexError)."""
+    import numpy as np
+    import pytest
+
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        _avi_frame_tiles,
+        avi_demux_mjpeg,
+        avi_encode_mjpeg,
+        jpeg_decode_pixels,
+        jpeg_encode_tiles,
+    )
+
+    for doc_id, n_chars in [(0, 88), (7, 292), (12, 359)]:
+        nf = 3 + doc_id % 6
+        frames = [
+            jpeg_encode_tiles(_avi_frame_tiles(doc_id, n_chars, f))
+            for f in range(nf)
+        ]
+        th, tw = _avi_frame_tiles(doc_id, n_chars, 0).shape
+        payload = avi_encode_mjpeg(frames, 8 * tw, 8 * th)
+        uspf, n, w, h, out = avi_demux_mjpeg(payload)
+        assert (uspf, n, w, h) == (83333, nf, 8 * tw, 8 * th)
+        assert out == frames
+        for f, fb in enumerate(out):
+            img = jpeg_decode_pixels(fb)
+            expect = np.kron(
+                _avi_frame_tiles(doc_id, n_chars, f),
+                np.ones((8, 8), dtype=np.uint8),
+            )
+            assert (img == expect).all()
+    # malformed containers fail loudly
+    for bad in (b"", b"RIFF\x00\x00\x00\x00AVI ", b"RIFX" + payload[4:],
+                payload[:30]):
+        with pytest.raises(ValueError):
+            avi_demux_mjpeg(bad)
+    # header/movi frame-count mismatch is detected
+    tampered = bytearray(payload)
+    import struct as st
+
+    # avih dwTotalFrames is the 5th DWORD of the avih payload; find it
+    i = payload.index(b"avih") + 8
+    st.pack_into("<I", tampered, i + 16, 99)
+    with pytest.raises(ValueError):
+        avi_demux_mjpeg(bytes(tampered))
 
 
 def test_wav_payloads_open_with_stdlib_wave(spark, sf_small):

@@ -181,6 +181,14 @@ def q_kmeans_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = sorted(
         (r["cid"], list(q_micro(np.array(r["embedding"])))) for r in crows
     )
+    if not cents:
+        # empty embeddings table: degrade to the empty result frame
+        # (ADVICE r03 #4 — other ops degrade rather than IndexError)
+        return spark.createDataFrame(
+            [],
+            "cluster_id bigint, n_members bigint, "
+            "inertia_micro2 bigint, rms_dist double",
+        )
     dim = len(cents[0][1])
     stats_schema = (
         "cid int, n long, sd2 long, "

@@ -1113,7 +1113,7 @@ from .llm import _ORACLE_JACCARD_PAIRS  # noqa: E402
 
 @register("q_ppjoin_neardup", oracle=_ORACLE_JACCARD_PAIRS, category=CAT)
 def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X38: EXACT Jaccard-0.8 near-dup pairs via AllPairs/PPJoin
+    """X48: EXACT Jaccard-0.8 near-dup pairs via AllPairs/PPJoin
     prefix filtering (Bayardo et al., WWW'07 / Xiao et al., WWW'08) —
     the third point in the similarity-join design space: L7 is exact
     but all-pairs, L8 (MinHash-LSH) is sub-quadratic but

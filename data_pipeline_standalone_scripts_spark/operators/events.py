@@ -449,7 +449,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     category=CAT,
 )
 def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T9: sessionization through Spark's BUILT-IN session_window
+    """T13: sessionization through Spark's BUILT-IN session_window
     aggregate — the native operator T3's gaps-and-islands formulation
     emulates. One groupBy(session_window(ts, '30 minutes'), user_id),
     no explicit window functions at all; Catalyst plans the

@@ -353,8 +353,14 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, so even the threshold comparison agrees bit-for-bit.
 
     Scale: two grouped exact medians + two broadcast joins of
-    |event_type|-row stat tables. Exact median sorts each group; at
-    100 TB substitute approx_percentile(value, 0.5) — plan shape
+    |event_type|-row stat tables; the final agg's 3-job dependency
+    chain (median -> MAD -> stats) is inherent — MAD needs the
+    median, the z-stats need both. A histogram-compression variant
+    (exact weighted medians over the ≤|types|×15k distinct-value
+    table) was measured WORSE at both SFs (sf1: 2.56 s vs 1.0 s —
+    its 6-7 broadcast-build jobs out-floor the 3 cheap re-scans), so
+    the straightforward shape stays. Exact median sorts each group;
+    at 100 TB substitute approx_percentile(value, 0.5) — plan shape
     (grouped agg → broadcast join → grouped agg) is unchanged.
     """
     e = load(spark, sf_dir, "events")
@@ -1928,42 +1934,80 @@ def q_wau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly — naive solutions re-scan 7/28 days of raw events per
     day).
 
-    Formulation: the (day, user) distinct grid EXPLODES each
-    activity day forward into every trailing window it contributes
-    to (+0..6, +0..27), then one exact COUNT DISTINCT per anchor
-    day. Linear ×7/×28 blowup of the per-day-grain grid (not raw
-    events), no self-join, no re-scan.
+    Formulation (rewritten round 4): the interval SWEEP, not the
+    window explode. Each user's active days (the distinct
+    (day, user) grid) are merged into maximal runs under the N-day
+    gap — a run [s..e] covers anchor days [s, e+N-1], runs of one
+    user are disjoint by construction, so "distinct users active in
+    the trailing window" = "runs covering the day". Each run emits
+    two boundary deltas (+1 at s, −1 at e+N); the per-day delta sums
+    (≤ |days|+N rows, calendar-bounded) turn into per-day counts via
+    a broadcast cumulative theta-join. No rolling COUNT DISTINCT, no
+    ×7/×28 explode.
 
-    Scale: the grid is |users|×|days| at worst — orders of magnitude
-    under the event count; both distinct aggregates shuffle on
-    (day, user) with map-side dedup. At 100 TB the exact form still
-    holds (the grid is what it is); were users×days itself huge, the
-    documented approximation is per-day HLL sketches merged across
-    the window (sketch union replaces the explode).
+    Scale: the heavy stages are the grid distinct and ONE per-user
+    window (lag) — both partition on user/day keys; everything after
+    is calendar-sized. The former explode formulation shuffled
+    grid×28 rows into a countDistinct (17.6 M at sf1, measured
+    2.5 s / 2.74x DuckDB); the sweep moves grid-sized data once
+    (measured 1.0 s / 1.1x). At 100 TB the exact form still holds;
+    were users×days itself huge, the documented approximation is
+    per-day HLL sketches merged across the window (q_wau_hll).
     """
     e = load(spark, sf_dir, "events")
+    # NOT persisted: the grid recomputes per consumer, but at any SF
+    # the distinct+window pipeline is cheaper to recompute than to
+    # materialize — measured at sf1: 1.31 s recomputed vs 1.67 s
+    # lazily persisted (cache-race churn) vs 1.92 s eagerly persisted
+    # (write+read of the 630 k-row grid outweighs 3 recomputes)
+    w_user = Window.partitionBy("user_id").orderBy("day")
+    w_run = w_user.rowsBetween(Window.unboundedPreceding, 0)
+
+    def new_run(n: int):
+        return F.when(
+            F.col("prev").isNull()
+            | (F.col("day") > F.col("prev") + F.expr(f"interval {n - 1} days")),
+            1,
+        ).otherwise(0)
+
     pairs = e.select(
         F.date_trunc("day", "ts").alias("day"), "user_id"
     ).distinct()
     spine = pairs.select("day").distinct()
     dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
 
-    def trailing(n: int, alias: str) -> DataFrame:
-        contrib = pairs.select(
-            "user_id",
-            F.explode(
-                F.expr(f"sequence(day, day + interval {n - 1} days, interval 1 day)")
-            ).alias("day"),
+    def trailing(n: int, rid: str, alias: str) -> DataFrame:
+        runs = (
+            pairs.withColumn("prev", F.lag("day").over(w_user))
+            .withColumn(rid, F.sum(new_run(n)).over(w_run))
+            .groupBy("user_id", rid)
+            .agg(F.min("day").alias("s"), F.max("day").alias("e"))
         )
-        return (
-            contrib.join(spine, "day")
+        deltas = (
+            runs.select(F.col("s").alias("day"), F.lit(1).alias("d"))
+            .unionByName(
+                runs.select(
+                    (F.col("e") + F.expr(f"interval {n} days")).alias("day"),
+                    F.lit(-1).alias("d"),
+                )
+            )
             .groupBy("day")
-            .agg(F.countDistinct("user_id").alias(alias))
+            .agg(F.sum("d").alias("delta"))
+        )
+        # cumulative anchored on the SPINE days (a spine day need not
+        # carry a delta of its own), over the calendar-bounded delta
+        # table (≤ |days|+N rows) via broadcast theta-join — no
+        # unpartitioned window
+        return (
+            spine.alias("a")
+            .join(F.broadcast(deltas.alias("b")), F.col("b.day") <= F.col("a.day"))
+            .groupBy(F.col("a.day").alias("day"))
+            .agg(F.sum("b.delta").alias(alias))
         )
 
     out = (
-        dau.join(trailing(7, "wau"), "day")
-        .join(trailing(28, "mau"), "day")
+        dau.join(trailing(7, "rid7", "wau"), "day")
+        .join(trailing(28, "rid28", "mau"), "day")
         .select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("dau").cast("long").alias("dau"),

@@ -77,6 +77,14 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet is a single row-group, so without it the explode+concat
     # work runs on ONE task (the simhash lesson, dedup_ext.py:67);
     # measured 0.95 → 0.51 s at sf0.1, 1.2× same-epoch DuckDB.
+    # Round-4 sf1 audit: the repartition stays unconditional here
+    # (unlike bpe) — the gram explode is heavy enough that 2 native
+    # scan splits lose badly (5.6 s vs 1.8 s repartitioned at sf1);
+    # the residual 2.3× vs DuckDB is the 170 MB text exchange needed
+    # to parallelize a single-file scan, which a pre-split cluster
+    # scan never pays. Hash-gram (5.2 s — the string-resolve second
+    # pass re-explodes) and two-level dedup agg (2.4 s — no Expand
+    # win) both measured worse.
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )

@@ -518,13 +518,19 @@ def test_grid_join_agg_reuses_cell_partitioning(spark, sf_med):
     assert n_exchange <= 2, plan
 
 
-def test_wau_mau_has_no_cartesian(spark, sf_med):
-    """AN24: trailing windows come from explode-forward, never from a
-    day-range theta join (which plans as BroadcastNestedLoop)."""
+def test_wau_mau_is_interval_sweep(spark, sf_med):
+    """AN24 (round-4 shape): trailing distinct-actives come from the
+    per-user run-merge sweep, NOT the ×7/×28 explode — no Generate in
+    the plan, windows all partitioned (by user), and the only
+    nested-loop joins are the cumulative theta-joins over the
+    CALENDAR-BOUNDED delta tables (≤ |days|+28 rows on the broadcast
+    side — the same bounded-frame class as theilsen's 1-row BNLJ)."""
     plan = plan_of(REGISTRY["q_wau_mau"].fn(spark, sf_med))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    assert "Generate" in plan  # the explode
+    assert "Generate" not in plan  # the explode is gone
+    # exactly the two calendar-bounded cumulative joins (wau + mau);
+    # explain("formatted") names each operator twice (tree + detail)
+    assert plan.count("BroadcastNestedLoopJoin") == 4
 
 
 def test_l_diversity_broadcasts_dimension(spark, sf_med):

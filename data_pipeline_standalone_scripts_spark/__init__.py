@@ -31,10 +31,13 @@ from .registry import REGISTRY  # noqa: F401
 # (q_incremental_agg, q_group_by_all). Verified disjoint from the
 # r01+r02+r03 checked sets (146 ops) via the snippet below; all 50 were
 # local-parity green at sf0.01+sf0.001 with golden hashes before pinning.
-# Cumulative driver coverage after this round: 196/297.
+# Cumulative driver coverage after this round: 196/299 (the registry
+# grew to 299 in round 4: X47 q_avi_decode, X49 q_dedup_radius_sweep).
 #
-# NEXT-ROUND QUEUE (round 5 — the full remaining 101 never-checked set;
-# fill the window with the first 50, keep the remainder for round 6):
+# NEXT-ROUND QUEUE (round 5 — the full remaining never-checked set is
+# the 101 below PLUS the round-4 additions q_avi_decode and
+# q_dedup_radius_sweep (103 total); fill the window with the first 50,
+# keep the remainder for round 6):
 # q_pipe_sql q_exact_median_twopass q_grouping_id q_forecast_backtest
 # q_gini_revenue q_survival_km q_chi2_term_assoc q_winsorize
 # q_skew_kurtosis q_woe_iv q_funnel_time_percentiles q_cohort_ltv

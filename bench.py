@@ -114,8 +114,18 @@ def main() -> None:
     # session warm-up: pay JVM + first-job overhead outside any timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # SPARK_BENCH_ONLY=q1_pricing_summary,q5_multiway — restrict the
+    # row set (the sf10 floor-amortization run excludes the
+    # near-dup/winnow class whose DuckDB comparator goes superlinear)
+    only = {
+        s for s in os.environ.get("SPARK_BENCH_ONLY", "").split(",") if s
+    }
+    rows = {
+        k: v for k, v in HEADLINE.items() if not only or k in only
+    }
+
     timings: dict[str, float] = {}
-    for label, qname in HEADLINE.items():
+    for label, qname in rows.items():
         fn = REGISTRY[qname].fn
         # toPandas(): Arrow-batched result transfer — the fair analog of
         # the baseline's fetchall (DuckDB also returns columnar batches).

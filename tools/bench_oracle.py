@@ -40,8 +40,12 @@ def main() -> None:
     sf = float(m.group(1)) if m else 0.1
     engine.load_all_operators()
     con = duckdb_connect(sf_dir)
+    only = {
+        s for s in os.environ.get("SPARK_BENCH_ONLY", "").split(",") if s
+    }
+    rows = {k: v for k, v in HEADLINE.items() if not only or k in only}
     timings: dict[str, float] = {}
-    for label, qname in HEADLINE.items():
+    for label, qname in rows.items():
         sql = REGISTRY[qname].oracle
         if sql is None:
             continue

@@ -826,42 +826,72 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly ±127 by construction); only the reported scale/err/cos
     are floats, r6-rounded.
 
-    Scale: pure narrow scan, element arithmetic inside JVM HOF folds —
-    no shuffle, no Python. The dequantized reconstruction is
-    recomputed per element (round(x/s)·s) instead of materializing a
-    zipped pair array — cheaper and keeps the lambda single-variable.
-    """
-    e = load(spark, sf_dir, "embeddings")
-    # The raw scale column must NOT be named "scale": the output select
-    # aliases the r6-rounded value to "scale" first, and lateral column
-    # alias resolution would then rebind the err/cos expressions to the
-    # ROUNDED scale — shifting quantization codes (caught by the oracle:
-    # 481/500 rows off by up to 6e-4).
-    base = e.select("vec_id", "label", _vec_double().alias("x")).withColumn(
-        "sc_raw", F.array_max(F.transform("x", lambda t: F.abs(t))) / 127.0
-    )
-    x, sc = F.col("x"), F.col("sc_raw")
+    Scale (rewritten round 4): Arrow-batched numpy kernel — the sf10
+    run exposed the former JVM higher-order-function formulation as
+    interpreted-per-element (every dq() lambda eval walks an
+    expression tree; ~100 M evals at 200 k vectors = 9.9 s, 10.6x
+    DuckDB). The kernel vectorizes ACROSS rows and loops SEQUENTIALLY
+    across the 64 dimensions for every sum, so each accumulation
+    rounds in exactly the fold order the JVM aggregate and DuckDB's
+    list fold use — float values, and therefore the r6-rounded
+    outputs, are bit-identical to the old formulation (parity pins
+    it). float32→float64 casts are exact and so are the elementwise
+    products (24-bit mantissas), leaving the sequential sum as the
+    only rounding path — matched by construction. Still a pure
+    narrow stage: no shuffle, partition-parallel at any corpus size.
 
-    # Half-away-from-zero rounding spelled as shift-then-truncate: the
-    # double→long cast truncates toward zero, so ±0.5 then cast equals
-    # round() exactly (quotients are never exact halves; the max
-    # element is exactly ±127.0 and ±127.5 truncates to ±127 anyway).
-    # Spelled this way because F.round routes every element through
-    # BigDecimal — measured 0.68 s → 0.45 s on the 128k-element scan.
-    def dq(t):
-        q = t / sc
-        return (q + F.when(q >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast(
-            "long"
-        ).cast("double") * sc
-    err = F.array_max(F.transform(x, lambda t: F.abs(dq(t) - t)))
-    y = F.transform(x, dq)
-    cos = _dot(x, y) / (F.sqrt(_norm_sq(x)) * F.sqrt(_norm_sq(y)))
-    return base.select(
+    Half-away-from-zero rounding is spelled trunc(q ± 0.5): quotients
+    are never exact halves and the max element lands on exactly ±127.
+    """
+    import numpy as np
+    import pandas as pd
+
+    e = load(spark, sf_dir, "embeddings")
+
+    def kern(batches: "object"):
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            sc = np.abs(X).max(axis=1) / 127.0
+            Q = X / sc[:, None]
+            Y = (
+                np.trunc(Q + np.where(Q >= 0, 0.5, -0.5))
+                .astype(np.int64)
+                .astype(np.float64)
+                * sc[:, None]
+            )
+            err = np.abs(Y - X).max(axis=1)
+            dot = np.zeros(n)
+            nx = np.zeros(n)
+            ny = np.zeros(n)
+            for j in range(X.shape[1]):  # sequential fold per dim
+                dot = dot + X[:, j] * Y[:, j]
+                nx = nx + X[:, j] * X[:, j]
+                ny = ny + Y[:, j] * Y[:, j]
+            cos = dot / (np.sqrt(nx) * np.sqrt(ny))
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "sc_raw": sc,
+                    "err_raw": err,
+                    "cos_raw": cos,
+                }
+            )
+
+    raw = e.select("vec_id", "label", "embedding").mapInPandas(
+        kern,
+        schema="vec_id bigint, label int, sc_raw double, "
+        "err_raw double, cos_raw double",
+    )
+    return raw.select(
         "vec_id",
         "label",
-        F.round(sc, 6).alias("scale"),
-        F.round(err, 6).alias("max_abs_err"),
-        F.round(cos, 6).alias("cos_recon"),
+        F.round("sc_raw", 6).alias("scale"),
+        F.round("err_raw", 6).alias("max_abs_err"),
+        F.round("cos_raw", 6).alias("cos_recon"),
     )
 
 

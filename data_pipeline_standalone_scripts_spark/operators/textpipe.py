@@ -451,7 +451,12 @@ HIGH_PPL_NLL = 3.40  # ≈ corpus p75 of avg bigram NLL — the CCNet-style cut
             FROM bg JOIN big USING (g) JOIN uni USING (w1) CROSS JOIN v
         )
         SELECT doc_id, CAST(n - 1 AS BIGINT) AS n_bigrams,
-               ROUND(CAST(SUM(m) AS DOUBLE) / 1000000.0 / (n - 1), 6) AS avg_nll,
+               -- integer-arithmetic half-up rounding to micro-nats:
+               -- bit-identical to Spark's DIV at every scale (a
+               -- round-a-double formulation flipped on exact-half
+               -- rationals, 4/50k docs at sf1)
+               CAST((SUM(m) * 2 + (n - 1)) // ((n - 1) * 2) AS DOUBLE)
+                   / 1000000.0 AS avg_nll,
                CAST(SUM(m) AS DOUBLE) / 1000000.0 / (n - 1) > {HIGH_PPL_NLL}
                    AS high_perplexity
         FROM terms GROUP BY doc_id, n
@@ -527,6 +532,18 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long"
     )
     avg = F.col("msum").cast("double") / 1_000_000.0 / (F.col("n") - 1)
+    # The reported avg_nll is rounded IN INTEGER ARITHMETIC:
+    # round6(msum/1e6/nb) == round-to-int of msum/nb in micro-nats ==
+    # (2*msum + nb) div (2*nb) for the positive sums here. A
+    # double-round formulation (F.round(avg, 6) vs DuckDB's
+    # ROUND(...)) disagreed on 4 of 50,000 docs at sf1 — the exact
+    # rational lands ON a x.xxxxxx5 boundary and the two engines'
+    # round-a-double paths pick opposite sides. Integer division has
+    # no such path: bit-identical at every scale.
+    nb = F.col("n") - 1
+    avg6 = F.expr(
+        "CAST((msum * 2 + (n - 1)) DIV ((n - 1) * 2) AS DOUBLE) / 1000000.0"
+    )
     return (
         bg.join(F.broadcast(big), "g")
         .join(F.broadcast(uni), "w1")
@@ -536,8 +553,8 @@ def q_ngram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("m").alias("msum"))
         .select(
             "doc_id",
-            (F.col("n") - 1).cast("long").alias("n_bigrams"),
-            F.round(avg, 6).alias("avg_nll"),
+            nb.cast("long").alias("n_bigrams"),
+            avg6.alias("avg_nll"),
             (avg > HIGH_PPL_NLL).alias("high_perplexity"),
         )
     )

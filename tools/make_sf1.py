@@ -42,6 +42,12 @@ Replication scheme (union-replicate with re-keyed ids, 10 replicas):
 
 Scale note (100 TB): this tool itself is a test fixture — at real
 scale the data already exists; nothing here runs on the cluster.
+
+Known artifact (round 4): NAME STRINGS (c_name, s_name, p_name) are
+NOT re-keyed, so the 10 replicas share identical names — any op that
+joins/matches on name content (q_fuzzy_name_match) sees cross-replica
+collisions and its OUTPUT goes quadratic at sf1. Re-key names from
+the shifted integer keys if those ops need sf1 coverage.
 """
 
 from __future__ import annotations

@@ -24,43 +24,29 @@ from .registry import REGISTRY  # noqa: F401
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
 # This list pins those 50 slots.
 #
-# THIS round (4): per VERDICT r03 "Next round #1", the window rotates to
-# 50 more never-driver-checked ops: the OL4-OL19 TPC-H completion set,
-# clustering KM1-KM2, the round-3 analytics/corpus/maintenance/graph
-# families, the reference-analog signal ops, and two aggregate fills
-# (q_incremental_agg, q_group_by_all). Verified disjoint from the
-# r01+r02+r03 checked sets (146 ops) via the snippet below; all 50 were
-# local-parity green at sf0.01+sf0.001 with golden hashes before pinning.
-# Cumulative driver coverage after this round: 196/299 (the registry
-# grew to 299 in round 4: X47 q_avi_decode, X49 q_dedup_radius_sweep).
+# THIS round (5): per VERDICT r04 "Next round #1", the window rotates to
+# the next 48 of the 103 never-driver-checked ops (queue order from the
+# round-4 comment), PLUS the two ANN ops q_ann_ivf / q_ann_signlsh
+# pinned first: they were rows-only `no_oracle` in r01 and their full
+# DuckDB oracles (added in round 4) have never been externally
+# hash-checked. Verified by set arithmetic against CORRECTNESS_r01-r04:
+# the 48 queue ops are disjoint from all prior checked sets; window ∪
+# round-6 queue == the 103 never-checked ∪ {ann pair}, disjoint.
+# Cumulative driver coverage after this round: 244/299 distinct
+# hard-checked (246 counting the ANN pair's upgrade from rows-only).
 #
-# NEXT-ROUND QUEUE (round 5 — the full remaining never-checked set is
-# the 101 below PLUS the round-4 additions q_avi_decode and
-# q_dedup_radius_sweep (103 total); fill the window with the first 50,
-# keep the remainder for round 6):
-# q_pipe_sql q_exact_median_twopass q_grouping_id q_forecast_backtest
-# q_gini_revenue q_survival_km q_chi2_term_assoc q_winsorize
-# q_skew_kurtosis q_woe_iv q_funnel_time_percentiles q_cohort_ltv
-# q_rfm_segmentation q_feature_snapshot q_wau_mau q_attribution_position
-# q_wau_hll q_abandonment q_phrase_search q_trigram_search
-# q_knn_accuracy q_random_projection q_quantile_normalize
-# q_product_quantize q_pq_adc_topk q_token_pmi q_zipf_slope q_bpe_merge
-# q_line_dedup q_ppjoin_neardup q_mmr_rerank q_local_alignment
-# q_dedup_eval q_session_window_native q_out_of_order_report
-# q_engagement_report q_session_pattern q_ohlc_bars q_vwap_daily
-# q_time_weighted_avg q_interval_coverage q_geo_nearest_hub
-# q_geo_grid_join q_label_propagation q_shortest_path_bf q_join_nullsafe
-# q_join_overlap_binned q_incremental_join q_rle_advisor
-# q_calibration_bins q_ndcg_eval q_auc_score q_pit_join
-# q_negative_sampling q_bmp_decode q_jpeg_decode q_market_share
-# q_largest_orders q_ship_delay_buckets q_pareto_skyline q_yoy_growth
-# q_golden_record q_connected_clean q_evolutionary_sweep q_text_io
-# q_schema_evolution q_dynamic_overwrite q_csv_corrupt_records
-# q_python_datasource q_intersect_all q_except_all q_kmv_distinct
-# q_heavy_hitters_mg q_ks_test q_mannwhitney_u q_mutual_info
-# q_stat_crosstab q_weighted_median q_pii_redact q_url_parse
-# q_html_strip q_sentence_stats q_url_dedup q_gdpr_erasure q_k_anonymity
-# q_cidr_lookup q_l_diversity q_fim_split q_lang_confusion
+# NEXT-ROUND QUEUE (round 6 — the full remaining never-checked set,
+# exactly 55; take the first 50, leaving 5 for round 7):
+# q_incremental_join q_rle_advisor q_calibration_bins q_ndcg_eval
+# q_auc_score q_pit_join q_negative_sampling q_bmp_decode q_jpeg_decode
+# q_avi_decode q_market_share q_largest_orders q_ship_delay_buckets
+# q_pareto_skyline q_yoy_growth q_golden_record q_connected_clean
+# q_evolutionary_sweep q_text_io q_schema_evolution q_dynamic_overwrite
+# q_csv_corrupt_records q_python_datasource q_intersect_all q_except_all
+# q_kmv_distinct q_heavy_hitters_mg q_ks_test q_mannwhitney_u
+# q_mutual_info q_stat_crosstab q_weighted_median q_pii_redact
+# q_url_parse q_html_strip q_sentence_stats q_url_dedup q_gdpr_erasure
+# q_k_anonymity q_cidr_lookup q_l_diversity q_fim_split q_lang_confusion
 # q_vocab_coverage q_autocorr_daily q_interpolate_linear
 # q_cusum_changepoint q_drawdown q_theilsen_trend q_seasonal_decompose
 # q_cogroup_pandas q_sql_udf q_sql_scripting q_collation_group
@@ -68,66 +54,69 @@ from .registry import REGISTRY  # noqa: F401
 #
 #   never = [n for n in REGISTRY
 #            if not any(n in set(json.load(open(f"CORRECTNESS_r0{i}.json")))
-#                       for i in (1, 2, 3, 4))]
+#                       for i in (1, 2, 3, 4, 5))]
 DRIVER_PRIORITY: list[str] = [
-    # OL4-OL19 TPC-H completion
-    "q_revenue_uplift",
-    "q_volume_shipping",
-    "q_product_profit",
-    "q_returned_items",
-    "q_top_supplier",
-    "q_promo_revenue_share",
-    "q_priority_late_ship",
-    "q_cust_order_distribution",
-    "q_small_qty_revenue",
-    "q_disjunctive_revenue",
-    "q_important_parts",
-    "q_min_price_supplier",
-    "q_parts_supplier_count",
-    "q_bulk_part_suppliers",
-    "q_waiting_suppliers",
-    "q_idle_rich_customers",
-    # clustering KM1-KM2
-    "q_kmeans_embed",
-    "q_power_iteration_pc",
-    # analytics round-3 families
-    "q_retention_cohort",
-    "q_path_transitions",
-    "q_dau_rolling",
-    "q_funnel_conversion",
-    "q_benford_digits",
-    "q_mad_outliers",
-    "q_percentile_bands",
-    "q_mode_median",
-    "q_ab_lift",
-    "q_attribution_lasttouch",
-    "q_histogram_equidepth",
-    "q_psi_drift",
+    # ANN pair: r01 rows-only, oracles added r04, first external hash-check
+    "q_ann_ivf",
+    "q_ann_signlsh",
+    # aggregates / SQL-surface
+    "q_pipe_sql",
+    "q_exact_median_twopass",
+    "q_grouping_id",
+    # analytics
+    "q_forecast_backtest",
+    "q_gini_revenue",
+    "q_survival_km",
+    "q_chi2_term_assoc",
+    "q_winsorize",
+    "q_skew_kurtosis",
+    "q_woe_iv",
+    "q_funnel_time_percentiles",
+    "q_cohort_ltv",
+    "q_rfm_segmentation",
+    "q_feature_snapshot",
+    "q_wau_mau",
+    "q_attribution_position",
+    "q_wau_hll",
+    "q_abandonment",
+    # llm search / eval
+    "q_phrase_search",
+    "q_trigram_search",
+    "q_knn_accuracy",
+    # clustering / quantization
+    "q_random_projection",
+    "q_quantile_normalize",
+    "q_product_quantize",
+    "q_pq_adc_topk",
     # corpus
-    "q_boilerplate_ngrams",
-    "q_incremental_dedup",
-    "q_ttr_lexical",
-    "q_weighted_sample",
-    "q_ngram_novelty",
-    "q_prefix_dedup",
-    "q_curation_funnel",
-    # maintenance
-    "q_compaction_plan",
-    "q_partition_skew",
-    "q_dq_report",
-    "q_column_profile",
-    "q_zonemap_prune",
-    # graph
-    "q_triangle_count",
-    "q_recursive_bfs",
-    "q_copurchase_recs",
-    # reference_analogs
-    "q_haar_denoise",
-    "q_fft_lowpass",
-    "q_param_sweep",
-    # aggregates fill
-    "q_incremental_agg",
-    "q_group_by_all",
+    "q_token_pmi",
+    "q_zipf_slope",
+    "q_bpe_merge",
+    "q_line_dedup",
+    # dedup_ext
+    "q_ppjoin_neardup",
+    "q_mmr_rerank",
+    "q_local_alignment",
+    "q_dedup_eval",
+    "q_dedup_radius_sweep",
+    # events
+    "q_session_window_native",
+    "q_out_of_order_report",
+    "q_engagement_report",
+    "q_session_pattern",
+    # finance
+    "q_ohlc_bars",
+    "q_vwap_daily",
+    "q_time_weighted_avg",
+    "q_interval_coverage",
+    # geo / graph
+    "q_geo_nearest_hub",
+    "q_geo_grid_join",
+    "q_label_propagation",
+    "q_shortest_path_bf",
+    # joins
+    "q_join_nullsafe",
+    "q_join_overlap_binned",
 ]
 
 

@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..registry import register
-from ..tables import load
+from ..tables import load, table_path
 from .common import dist_row_number, h60, o_h60, topk_with_rank, tracked_persist
 
 CAT = "corpus"
@@ -905,16 +905,23 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probe compiles the physical plan — ~50 ms wasted per call):
     # under the 128 MB default split size the scan is one task iff the
     # data is one small file
-    path = os.path.join(sf_dir, "documents.parquet")
-    sz = (
-        sum(
-            os.path.getsize(os.path.join(r, f))
-            for r, _, fs in os.walk(path)
-            for f in fs
+    path = table_path(sf_dir, "documents")
+    try:
+        sz = (
+            sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+            if os.path.isdir(path)
+            else os.path.getsize(path)
         )
-        if os.path.isdir(path)
-        else os.path.getsize(path)
-    )
+    except OSError:
+        # non-local URI (s3://, hdfs://) or renamed layout: the local
+        # stat is only a parallelism heuristic — fall back to the
+        # repartition crutch rather than failing before the job runs
+        # (ADVICE r04 #4)
+        sz = 0
     if sz < 64 * 1024 * 1024:
         d = d.repartition(8, "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))

@@ -855,12 +855,20 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             sc = np.abs(X).max(axis=1) / 127.0
-            Q = X / sc[:, None]
+            # all-zero embedding guard (ADVICE r04 #3): sc = 0 would
+            # make Q inf/nan and trunc(...).astype(int64) undefined
+            # (INT64_MIN on most platforms). Divide by 1 instead: the
+            # zero vector quantizes to itself exactly (Y = 0, err = 0)
+            # and its self-cosine is defined as 1.0 (exact recon). The
+            # reported scale stays the true 0.0.
+            zero = sc == 0.0
+            safe = np.where(zero, 1.0, sc)
+            Q = X / safe[:, None]
             Y = (
                 np.trunc(Q + np.where(Q >= 0, 0.5, -0.5))
                 .astype(np.int64)
                 .astype(np.float64)
-                * sc[:, None]
+                * safe[:, None]
             )
             err = np.abs(Y - X).max(axis=1)
             dot = np.zeros(n)
@@ -870,7 +878,9 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot = dot + X[:, j] * Y[:, j]
                 nx = nx + X[:, j] * X[:, j]
                 ny = ny + Y[:, j] * Y[:, j]
-            cos = dot / (np.sqrt(nx) * np.sqrt(ny))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / (np.sqrt(nx) * np.sqrt(ny))
+            cos = np.where(zero, 1.0, cos)
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -1598,6 +1608,18 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).groupBy("sketch").agg(
         F.count(F.lit(1)).alias("n_pred"),
         F.sum(F.coalesce("is_tp", F.lit(0))).alias("tp"),
+    )
+    # Two-row sketch spine (ADVICE r04 #2): a detector that emits zero
+    # pairs on some corpus must still produce its report row
+    # (n_pred = tp = 0, recall 0) — groupBy alone would drop it and
+    # desync from the oracle's fixed two-row output.
+    spine = spark.createDataFrame(
+        [("simhash_h5",), ("minhash_lsh_verified",)], "sketch string"
+    )
+    stats = spine.join(stats, "sketch", "left").select(
+        "sketch",
+        F.coalesce("n_pred", F.lit(0)).alias("n_pred"),
+        F.coalesce("tp", F.lit(0)).alias("tp"),
     )
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
     return stats.crossJoin(F.broadcast(n_truth)).select(

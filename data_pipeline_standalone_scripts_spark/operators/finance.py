@@ -291,8 +291,15 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = load(spark, sf_dir, "events")
     sec = F.expr("unix_micros(ts) div 1000000")
+    # Width parse audit (VERDICT r04 #2): this was the hot scalar.
+    # Same-epoch sf1, warm medians: get_json_object 0.35 s,
+    # from_json('k long') 0.25 s, fixed-width control (no parse)
+    # 0.21 s — the Jackson-path evaluator re-walks the document per
+    # call, while from_json parses against a fixed single-field schema
+    # once per row. Null behavior is identical (malformed JSON → null
+    # struct → null width).
     width = (
-        F.lit(10) + F.get_json_object("props", "$.k").cast("long") % 50
+        F.lit(10) + F.from_json("props", "k long")["k"] % 50
     ) * 60
     iv = e.select(
         "user_id",

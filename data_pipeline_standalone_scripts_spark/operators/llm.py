@@ -517,10 +517,16 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load(spark, sf_dir, "embeddings")
-    qv = np.array(
-        e.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0],
-        dtype=np.float64,
-    )
+    qrows = e.filter(F.col("vec_id") == 0).select("embedding").collect()
+    if not qrows:
+        # empty embeddings table / missing vec_id=0: degrade to the
+        # empty result frame (ADVICE r04 #1 — the old crossJoin form
+        # degraded this way; the collect must not turn it into an
+        # IndexError at plan-build time. Same guard as q_kmeans_embed.)
+        return spark.createDataFrame(
+            [], "vec_id bigint, label int, cos_sim double"
+        )
+    qv = np.array(qrows[0][0], dtype=np.float64)
     nq = 0.0
     for x in qv:  # sequential fold — matches the engines' list folds
         nq = nq + x * x

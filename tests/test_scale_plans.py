@@ -528,9 +528,12 @@ def test_wau_mau_is_interval_sweep(spark, sf_med):
     plan = plan_of(REGISTRY["q_wau_mau"].fn(spark, sf_med))
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan  # the explode is gone
-    # exactly the two calendar-bounded cumulative joins (wau + mau);
-    # explain("formatted") names each operator twice (tree + detail)
-    assert plan.count("BroadcastNestedLoopJoin") == 4
+    # the two calendar-bounded cumulative joins (wau + mau) are
+    # nested-loop — assert their presence without coupling to how many
+    # times explain("formatted") renders each operator (tree + detail
+    # today; a rendering change must not fail this test — ADVICE r04 #5)
+    assert plan.count("BroadcastNestedLoopJoin") >= 2
+    assert "CartesianProduct" not in plan
 
 
 def test_l_diversity_broadcasts_dimension(spark, sf_med):

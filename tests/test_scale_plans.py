@@ -518,13 +518,15 @@ def test_grid_join_agg_reuses_cell_partitioning(spark, sf_med):
     assert n_exchange <= 2, plan
 
 
-def test_wau_mau_is_interval_sweep(spark, sf_med):
-    """AN24 (round-4 shape): trailing distinct-actives come from the
-    per-user run-merge sweep, NOT the ×7/×28 explode — no Generate in
-    the plan, windows all partitioned (by user), and the only
-    nested-loop joins are the cumulative theta-joins over the
+def test_wau_mau_sweep_branch_shape(spark, sf_med, monkeypatch):
+    """AN24 scale branch (round-5 dispatch): with the explode
+    threshold pinned to 0 the sweep plan must fire — no Generate, and
+    the only nested-loop joins are the cumulative theta-joins over the
     CALENDAR-BOUNDED delta tables (≤ |days|+28 rows on the broadcast
     side — the same bounded-frame class as theilsen's 1-row BNLJ)."""
+    from data_pipeline_standalone_scripts_spark.operators import analytics
+
+    monkeypatch.setattr(analytics, "_WAU_EXPLODE_MAX_BYTES", 0)
     plan = plan_of(REGISTRY["q_wau_mau"].fn(spark, sf_med))
     assert "CartesianProduct" not in plan
     assert "Generate" not in plan  # the explode is gone
@@ -533,6 +535,15 @@ def test_wau_mau_is_interval_sweep(spark, sf_med):
     # times explain("formatted") renders each operator (tree + detail
     # today; a rendering change must not fail this test — ADVICE r04 #5)
     assert plan.count("BroadcastNestedLoopJoin") >= 2
+
+
+def test_wau_mau_small_input_takes_explode(spark, sf_med):
+    """AN24 dispatch: under the size threshold (sf0.01 events ≈ 0.2 MB)
+    the low-fixed-cost explode plan fires — Generate present, no
+    nested-loop join, no cartesian."""
+    plan = plan_of(REGISTRY["q_wau_mau"].fn(spark, sf_med))
+    assert "Generate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
 
 

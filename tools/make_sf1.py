@@ -43,11 +43,12 @@ Replication scheme (union-replicate with re-keyed ids, 10 replicas):
 Scale note (100 TB): this tool itself is a test fixture — at real
 scale the data already exists; nothing here runs on the cluster.
 
-Known artifact (round 4): NAME STRINGS (c_name, s_name, p_name) are
-NOT re-keyed, so the 10 replicas share identical names — any op that
-joins/matches on name content (q_fuzzy_name_match) sees cross-replica
-collisions and its OUTPUT goes quadratic at sf1. Re-key names from
-the shifted integer keys if those ops need sf1 coverage.
+Name strings (fixed round 5; round-4 artifact): c_name/s_name are
+regenerated from the shifted key ('Customer#' || lpad(key)); p_name
+tokens get a per-replica suffix, which preserves within-replica
+blocking structure and pairwise edit distances (aligned identical
+insertions) while guaranteeing zero cross-replica token matches — so
+name-content ops (q_fuzzy_name_match) stay linear at sf1.
 """
 
 from __future__ import annotations
@@ -113,6 +114,30 @@ def main() -> None:
                     sel.append(f"{c} + {i * counts[fks[c]]} as {c}")
                 elif t == "events" and c == "user_id":
                     sel.append(f"user_id + {i * USER_CARD} as user_id")
+                elif c == "c_name":
+                    # name follows the shifted key (round-4 artifact fix:
+                    # replicas shared name strings, making name-content
+                    # ops quadratic across replicas)
+                    sel.append(
+                        f"'Customer#' || lpad(cast(c_custkey + {i * counts[t]} "
+                        "as varchar), 9, '0') as c_name"
+                    )
+                elif c == "s_name":
+                    sel.append(
+                        f"'Supplier#' || lpad(cast(s_suppkey + {i * counts[t]} "
+                        "as varchar), 9, '0') as s_name"
+                    )
+                elif c == "p_name" and i > 0:
+                    # suffix every token with the replica index: within a
+                    # replica the token-equality blocking structure and
+                    # pairwise edit distances are preserved (both members
+                    # of a pair get identical aligned insertions), across
+                    # replicas no token ever matches, so neither fuzzy
+                    # candidates nor matches form cross-replica
+                    sel.append(
+                        f"regexp_replace(p_name, '(\\S+)', '\\1{i}', 'g') "
+                        "as p_name"
+                    )
                 else:
                     sel.append(c)
             parts.append(f"select {', '.join(sel)} from '{SRC}/{t}.parquet'")

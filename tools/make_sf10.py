@@ -66,6 +66,25 @@ def main() -> None:
                     sel.append(f"{c} + {i * counts[fks[c]]} as {c}")
                 elif t == "events" and c == "user_id":
                     sel.append(f"user_id + {i * USER_CARD} as user_id")
+                elif c == "c_name":
+                    # same name-follows-key rule as make_sf1 (replicated
+                    # name strings make name-content ops quadratic)
+                    sel.append(
+                        f"'Customer#' || lpad(cast(c_custkey + {i * counts[t]} "
+                        "as varchar), 9, '0') as c_name"
+                    )
+                elif c == "s_name":
+                    sel.append(
+                        f"'Supplier#' || lpad(cast(s_suppkey + {i * counts[t]} "
+                        "as varchar), 9, '0') as s_name"
+                    )
+                elif c == "p_name" and i > 0:
+                    # second-level token suffix on top of sf1's (tokens
+                    # end 'adjN ringN' -> 'adjNM ringNM')
+                    sel.append(
+                        f"regexp_replace(p_name, '(\\S+)', '\\1{i}', 'g') "
+                        "as p_name"
+                    )
                 else:
                     sel.append(c)
             parts.append(f"select {', '.join(sel)} from '{SRC}/{t}.parquet'")

@@ -361,7 +361,13 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact weighted medians over the ≤|types|×15k distinct-value
     table) was measured WORSE at both SFs (sf1: 2.56 s vs 1.0 s —
     its 6-7 broadcast-build jobs out-floor the 3 cheap re-scans), so
-    the straightforward shape stays. Exact median sorts each group;
+    the straightforward shape stays. Round-5 re-audit: persisting the
+    dev frame (consumed by both the MAD job and the stats job) also
+    measured worse — sf1 interleaved medians 1.24 s cached vs 1.05 s
+    recomputed; the 1 M-row cache write/read costs more than the
+    re-scan + rebroadcast it saves (same result as q_wau_mau's grid
+    persist audit). The 3-job chain is the floor: a fused MAD+stats
+    pass is impossible (stats need mad, mad needs the median). Exact median sorts each group;
     at 100 TB substitute approx_percentile(value, 0.5) — plan shape
     (grouped agg → broadcast join → grouped agg) is unchanged.
     """

@@ -61,6 +61,62 @@ def release_persists() -> int:
     return n
 
 
+def scan_splits_hint(spark, sf_dir: str, table: str) -> int:
+    """Estimate the native scan partition count Spark's file-source
+    packer will give a table — the cheap stand-in for the
+    ``rdd.getNumPartitions()`` probe (which compiles the physical plan,
+    ~50 ms per call). Mirrors FilePartition's sizing: maxSplitBytes =
+    min(maxPartitionBytes, max(openCostInBytes, (bytes + nFiles·open)/
+    defaultParallelism)), files split at that boundary, then splits
+    (each weighted +openCost) first-fit-packed descending.
+
+    Returns 0 when the layout can't be inspected (non-local URI,
+    missing path) — callers must treat 0 as "unknown" and take their
+    scale-safe branch. Used by the parallelism-crutch repartitions
+    (q_bpe_merge, q_boilerplate_ngrams) so the crutch fires only when
+    the scan genuinely cannot spread the work (single small file), not
+    on the multi-file layouts a real table always has.
+    """
+    import math
+    import os
+
+    from ..tables import table_path
+
+    path = table_path(sf_dir, table)
+    try:
+        if os.path.isdir(path):
+            sizes = [
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            ]
+        else:
+            sizes = [os.path.getsize(path)]
+    except OSError:
+        return 0
+    if not sizes:
+        return 0
+    open_cost = 4 * 1024 * 1024
+    max_pb = 128 * 1024 * 1024
+    par = spark.sparkContext.defaultParallelism
+    total = sum(sizes) + len(sizes) * open_cost
+    split = min(max_pb, max(open_cost, total // par + 1))
+    weights: list[int] = []
+    for s in sizes:
+        n = max(1, math.ceil(s / split))
+        for j in range(n):
+            weights.append(min(split, s - j * split) + open_cost)
+    weights.sort(reverse=True)
+    bins, cur = 0, 0
+    for w in weights:
+        if cur > 0 and cur + w > split:
+            bins += 1
+            cur = 0
+        cur += w
+    return bins + (1 if cur else 0)
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-insensitive exact sum of a double column, as double.
 

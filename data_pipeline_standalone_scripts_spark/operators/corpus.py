@@ -31,7 +31,14 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load, table_path
-from .common import dist_row_number, h60, o_h60, topk_with_rank, tracked_persist
+from .common import (
+    dist_row_number,
+    h60,
+    o_h60,
+    scan_splits_hint,
+    topk_with_rank,
+    tracked_persist,
+)
 
 CAT = "corpus"
 
@@ -73,18 +80,19 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     no global sort. At 100 TB, hash grams to 64-bit first and resolve
     the winning strings in a second tiny pass.
     """
-    # Repartition RAW docs before the ×|tokens| explode: the test
-    # parquet is a single row-group, so without it the explode+concat
-    # work runs on ONE task (the simhash lesson, dedup_ext.py:67);
-    # measured 0.95 → 0.51 s at sf0.1, 1.2× same-epoch DuckDB.
-    # Round-4 sf1 audit: the repartition stays unconditional here
-    # (unlike bpe) — the gram explode is heavy enough that 2 native
-    # scan splits lose badly (5.6 s vs 1.8 s repartitioned at sf1);
-    # the residual 2.3× vs DuckDB is the 170 MB text exchange needed
-    # to parallelize a single-file scan, which a pre-split cluster
-    # scan never pays. Hash-gram (5.2 s — the string-resolve second
-    # pass re-explodes) and two-level dedup agg (2.4 s — no Expand
-    # win) both measured worse.
+    # Repartition RAW docs before the ×|tokens| explode: without it
+    # the explode+concat work runs on however few tasks the scan
+    # yields (the simhash lesson, dedup_ext.py:67); measured 0.95 →
+    # 0.51 s at sf0.1 (1 native split). Round-5 re-audit on the
+    # multi-file sf1 fixture (10 native splits): the 32-way
+    # repartition STILL wins — 2.30 s vs 2.68 s without — so it stays
+    # unconditional; 10 uneven doc-length splits leave explode
+    # stragglers that the hash spread removes. The residual ~2.4× vs
+    # DuckDB is the explode+concat CPU itself, not the plan: an
+    # Expand-free control (count only, no n_docs) measured within 3%
+    # (1.94 vs 2.00 s), a top-20-then-resolve two-pass measured 3.60 s
+    # (the second explode dominates), and round 4's hash-gram (5.2 s)
+    # and two-level dedup agg (2.4 s) were worse still.
     d = load(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
@@ -892,37 +900,18 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     training actually counts pairs. The final top-30 stays
     TakeOrderedAndProject-shaped.
     """
-    # Repartition ONLY when the scan collapses to a single partition
-    # (the sf0.1 documents parquet is one row group): the shuffle moves
-    # the raw text, so it pays off only as a parallelism crutch.
-    # Measured: sf0.1 (1 scan task) 1.23 s → 1.00 s with the
-    # repartition; sf1 (2+ scan tasks) 1.65 s → ~1.1 s WITHOUT it (the
-    # 170 MB text exchange cost 0.7 s to parallelize a 0.44 s job). On
-    # a real cluster the scan always has enough splits and this branch
-    # never fires.
+    # Repartition ONLY when the scan collapses to a single partition:
+    # the shuffle moves the raw text, so it pays off only as a
+    # parallelism crutch. Measured: sf0.1 (1 scan task) 1.23 s →
+    # 1.00 s with the repartition; sf1 (2+ scan tasks) 1.65 s →
+    # ~1.1 s WITHOUT it (the text exchange cost 0.7 s to parallelize
+    # a 0.44 s job). On a real cluster the scan always has enough
+    # splits and this branch never fires. The layout probe
+    # (scan_splits_hint) returns 0 for non-local URIs — treated as
+    # single-split, taking the crutch rather than failing before the
+    # job runs (ADVICE r04 #4).
     d = load(spark, sf_dir, "documents")
-    # single-partition probe by file size (an rdd.getNumPartitions()
-    # probe compiles the physical plan — ~50 ms wasted per call):
-    # under the 128 MB default split size the scan is one task iff the
-    # data is one small file
-    path = table_path(sf_dir, "documents")
-    try:
-        sz = (
-            sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
-            )
-            if os.path.isdir(path)
-            else os.path.getsize(path)
-        )
-    except OSError:
-        # non-local URI (s3://, hdfs://) or renamed layout: the local
-        # stat is only a parallelism heuristic — fall back to the
-        # repartition crutch rather than failing before the job runs
-        # (ADVICE r04 #4)
-        sz = 0
-    if sz < 64 * 1024 * 1024:
+    if scan_splits_hint(spark, sf_dir, "documents") <= 1:
         d = d.repartition(8, "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
     return _bpe_merge_arrays(toks)

@@ -21,12 +21,20 @@ from .tables import TABLES
 
 
 def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE OR REPLACE VIEW {t} AS "
-            f"SELECT * FROM '{sf_dir.rstrip('/')}/{t}.parquet'"
+        path = f"{sf_dir.rstrip('/')}/{t}.parquet"
+        # sf1/sf10 fixtures store big tables as DIRECTORIES of part
+        # files (the realistic multi-file layout both engines scan in
+        # parallel); glob them for DuckDB. Single-file tiers unchanged.
+        src = (
+            f"read_parquet('{path}/*.parquet')"
+            if os.path.isdir(path)
+            else f"'{path}'"
         )
+        con.execute(f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

@@ -78,6 +78,13 @@ def ensure_runtime_conf(spark: SparkSession) -> SparkSession:
     # DuckDB applies internally (its TIMESTAMP is µs), so the two
     # engines see identical values (verified to the microsecond).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # spark.sql.files.maxPartitionBytes deliberately stays at the
+    # 128 MB default: Spark's split sizing is already adaptive —
+    # maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    # (totalBytes + nFiles·openCost)/defaultParallelism)) — so small
+    # tables split toward ~4 MB on local[32] without help, and forcing
+    # it lower only fragments the big-fact scans (sf10 lineitem would
+    # go 32 → 230 tasks for pure wave overhead).
     return spark
 
 

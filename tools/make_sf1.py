@@ -141,11 +141,21 @@ def main() -> None:
                 else:
                     sel.append(c)
             parts.append(f"select {', '.join(sel)} from '{SRC}/{t}.parquet'")
-        con.sql(
-            f"copy ({' union all '.join(parts)}) to '{DST}/{t}.parquet' "
-            "(format parquet, row_group_size 262144)"
-        )
-        print(t, con.sql(f"select count(*) from '{DST}/{t}.parquet'").fetchone()[0], "rows")
+        # One part FILE per replica inside a <table>.parquet DIRECTORY:
+        # the realistic layout (a 100 TB table is thousands of files,
+        # never one) — both engines scan the parts in parallel instead
+        # of single-tasking a monolithic file. Spark reads the dir
+        # natively; the DuckDB oracle globs it (oracle.duckdb_connect).
+        tdir = f"{DST}/{t}.parquet"
+        if os.path.isfile(tdir):
+            os.remove(tdir)  # replace an old single-file layout
+        os.makedirs(tdir, exist_ok=True)
+        for i, p in enumerate(parts):
+            con.sql(
+                f"copy ({p}) to '{tdir}/part-{i:02d}.parquet' "
+                "(format parquet, row_group_size 262144)"
+            )
+        print(t, con.sql(f"select count(*) from read_parquet('{tdir}/*.parquet')").fetchone()[0], "rows")
 
     # documents: pandas path (regex substitution)
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
@@ -166,13 +176,16 @@ def main() -> None:
             rep["text"] = _vocab_sub(rep["text"].tolist(), rng)
             rep["n_chars"] = rep["text"].str.len().astype(docs["n_chars"].dtype)
         out.append(rep)
-    import pandas as pd
-
-    pq.write_table(
-        pa.Table.from_pandas(pd.concat(out, ignore_index=True), preserve_index=False),
-        f"{DST}/documents.parquet",
-        row_group_size=8192,
-    )
+    ddir = f"{DST}/documents.parquet"
+    if os.path.isfile(ddir):
+        os.remove(ddir)
+    os.makedirs(ddir, exist_ok=True)
+    for i, rep in enumerate(out):
+        pq.write_table(
+            pa.Table.from_pandas(rep, preserve_index=False),
+            f"{ddir}/part-{i:02d}.parquet",
+            row_group_size=8192,
+        )
     print("documents", n_docs * REPLICAS, "rows")
 
     # embeddings: signed dimension permutation per replica
@@ -190,12 +203,16 @@ def main() -> None:
             signs = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
             rep["embedding"] = list(mat[:, perm] * signs)
         out.append(rep)
-    pd_all = pd.concat(out, ignore_index=True)
-    pq.write_table(
-        pa.Table.from_pandas(pd_all, preserve_index=False),
-        f"{DST}/embeddings.parquet",
-        row_group_size=4096,
-    )
+    edir = f"{DST}/embeddings.parquet"
+    if os.path.isfile(edir):
+        os.remove(edir)
+    os.makedirs(edir, exist_ok=True)
+    for i, rep in enumerate(out):
+        pq.write_table(
+            pa.Table.from_pandas(rep, preserve_index=False),
+            f"{edir}/part-{i:02d}.parquet",
+            row_group_size=4096,
+        )
     print("embeddings", n_vec * REPLICAS, "rows")
     print("done ->", DST)
 

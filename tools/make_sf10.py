@@ -44,18 +44,24 @@ KEYED = {
 USER_CARD = 15000  # events.user_id cardinality at sf1
 
 
+def _src(t: str) -> str:
+    """sf1 tables are directories of part files (make_sf1) — glob them."""
+    p = f"{SRC}/{t}.parquet"
+    return f"read_parquet('{p}/*.parquet')" if os.path.isdir(p) else f"'{p}'"
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     counts = {
-        t: con.sql(f"select count(*) from '{SRC}/{t}.parquet'").fetchone()[0]
+        t: con.sql(f"select count(*) from {_src(t)}").fetchone()[0]
         for t in KEYED
     }
     for t in ("region", "nation"):
-        con.sql(f"copy (select * from '{SRC}/{t}.parquet') to '{DST}/{t}.parquet' (format parquet)")
+        con.sql(f"copy (select * from {_src(t)}) to '{DST}/{t}.parquet' (format parquet)")
         print(t, "copied")
     for t, (own_keys, fks) in KEYED.items():
-        cols = [r[0] for r in con.sql(f"describe select * from '{SRC}/{t}.parquet'").fetchall()]
+        cols = [r[0] for r in con.sql(f"describe select * from {_src(t)}").fetchall()]
         parts = []
         for i in range(REPLICAS):
             sel = []
@@ -87,12 +93,18 @@ def main() -> None:
                     )
                 else:
                     sel.append(c)
-            parts.append(f"select {', '.join(sel)} from '{SRC}/{t}.parquet'")
-        con.sql(
-            f"copy ({' union all '.join(parts)}) to '{DST}/{t}.parquet' "
-            "(format parquet, row_group_size 1048576)"
-        )
-        print(t, con.sql(f"select count(*) from '{DST}/{t}.parquet'").fetchone()[0], "rows")
+            parts.append(f"select {', '.join(sel)} from {_src(t)}")
+        # one part file per replica inside a directory (see make_sf1)
+        tdir = f"{DST}/{t}.parquet"
+        if os.path.isfile(tdir):
+            os.remove(tdir)
+        os.makedirs(tdir, exist_ok=True)
+        for i, p in enumerate(parts):
+            con.sql(
+                f"copy ({p}) to '{tdir}/part-{i:02d}.parquet' "
+                "(format parquet, row_group_size 1048576)"
+            )
+        print(t, con.sql(f"select count(*) from read_parquet('{tdir}/*.parquet')").fetchone()[0], "rows")
     print("done ->", DST)
 
 

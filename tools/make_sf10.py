@@ -9,11 +9,16 @@ there. sf10 is the next rung: lineitem 60 M rows, events 10 M.
 
 Same union-replicate scheme as tools/make_sf1 (dense re-keyed
 replicas; each replica self-contained so join selectivity and group
-sizes scale exactly 10x), applied to the SF1 output — documents and
-embeddings inherit sf1's per-replica vocab permutation / orthogonal
-transform, and this pass re-keys ids only (text dedup ops are NOT
-bench targets at sf10; the simhash/winnow class is excluded from the
-sf10 row set precisely because its DuckDB side goes superlinear).
+sizes scale exactly 10x), applied to the SF1 output. Round 5:
+documents get a per-replica vocab permutation and embeddings a
+per-replica signed dimension permutation, exactly as in make_sf1 —
+the earlier id-only re-key replicated text verbatim and vectors
+identically across replicas, which made every near-dup detector's
+pair output quadratic BY CONSTRUCTION and gave every vector 9 exact
+clones. With the transforms, near-dup pair counts and vector
+neighborhoods scale linearly, so the sf10 rung can grade the dedup
+and embedding families too (their DuckDB comparator is still
+superlinear — engine-only curves live in SCALE.md).
 
 Run AFTER tools/make_sf1:
     python -m tools.make_sf1 && python -m tools.make_sf10
@@ -38,10 +43,9 @@ KEYED = {
     "orders": (["o_orderkey"], {"o_custkey": "customer"}),
     "lineitem": ([], {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"}),
     "events": (["event_id"], {}),
-    "documents": (["doc_id"], {}),
-    "embeddings": (["vec_id"], {}),
 }
 USER_CARD = 15000  # events.user_id cardinality at sf1
+SEED = 42
 
 
 def _src(t: str) -> str:
@@ -105,6 +109,61 @@ def main() -> None:
                 "(format parquet, row_group_size 1048576)"
             )
         print(t, con.sql(f"select count(*) from read_parquet('{tdir}/*.parquet')").fetchone()[0], "rows")
+
+    # documents / embeddings: same structure-preserving per-replica
+    # transforms as make_sf1 (round 5 — previously this pass re-keyed
+    # ids only, which replicated TEXT VERBATIM and VECTORS IDENTICALLY
+    # across the 10 sf10 replicas: every near-dup detector's pair
+    # output then grows quadratically by construction and every vector
+    # gains 9 exact clones — fixture artifacts, not engine behavior).
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tools.make_sf1 import _vocab_sub
+
+    docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+    n_docs = len(docs)
+    ddir = f"{DST}/documents.parquet"
+    if os.path.isfile(ddir):
+        os.remove(ddir)
+    os.makedirs(ddir, exist_ok=True)
+    for i in range(REPLICAS):
+        rep = docs.copy()
+        rep["doc_id"] = rep["doc_id"] + i * n_docs
+        if i > 0:
+            rng = np.random.default_rng([SEED, 3, i])
+            rep["text"] = _vocab_sub(rep["text"].tolist(), rng)
+            rep["n_chars"] = rep["text"].str.len().astype(docs["n_chars"].dtype)
+        pq.write_table(
+            pa.Table.from_pandas(rep, preserve_index=False),
+            f"{ddir}/part-{i:02d}.parquet",
+            row_group_size=8192,
+        )
+    print("documents", n_docs * REPLICAS, "rows")
+
+    emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+    n_vec = len(emb)
+    mat = np.stack(emb["embedding"].to_numpy())
+    dim = mat.shape[1]
+    edir = f"{DST}/embeddings.parquet"
+    if os.path.isfile(edir):
+        os.remove(edir)
+    os.makedirs(edir, exist_ok=True)
+    for i in range(REPLICAS):
+        rep = emb.copy()
+        rep["vec_id"] = rep["vec_id"] + i * n_vec
+        if i > 0:
+            rng = np.random.default_rng([SEED, 4, i])
+            perm = rng.permutation(dim)
+            signs = rng.choice([-1.0, 1.0], size=dim).astype(np.float32)
+            rep["embedding"] = list(mat[:, perm] * signs)
+        pq.write_table(
+            pa.Table.from_pandas(rep, preserve_index=False),
+            f"{edir}/part-{i:02d}.parquet",
+            row_group_size=4096,
+        )
+    print("embeddings", n_vec * REPLICAS, "rows")
     print("done ->", DST)
 
 

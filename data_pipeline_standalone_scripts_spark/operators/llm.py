@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import tracked_persist
+from .common import scan_splits_hint, tracked_persist
 
 CAT = "llm"
 
@@ -407,24 +407,46 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("ga", F.explode(F.expr("sequence(0, gb)")))
         .alias("b")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.ga") == F.col("b.ga"))
-            & (F.col("a.gb") == F.col("b.gb"))
-            & (
-                (F.col("a.ga") != F.col("b.gb"))
-                | (F.col("a.doc_id") < F.col("b.doc_id"))
-            ),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        )
-        .distinct()
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.ga") == F.col("b.ga"))
+        & (F.col("a.gb") == F.col("b.gb"))
+        & (
+            (F.col("a.ga") != F.col("b.gb"))
+            | (F.col("a.doc_id") < F.col("b.doc_id"))
+        ),
+    ).select(
+        F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+        F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
     )
+    # Candidate dedup partition sizing (round-5 sf1 finding): the
+    # collision stream is ~83 M thin rows PER sf0.1-worth of corpus
+    # (this corpus is 24%-dup-dense and true dups collide in ~7 of 16
+    # bands), so a distinct at the session's 32 shuffle partitions
+    # builds ~26 M-entry hash tables per task at sf1 — measured:
+    # GC-locker thrash and 512 MB page-allocation failures. Scaling
+    # the dedup's partition count with the corpus (explicit hash
+    # repartition on the pair key, reused by the deduplicating
+    # aggregate — still ONE exchange) removes the agg-memory cliff;
+    # sf0.1 plans are bit-identical (hint = 1). What remains at sf1
+    # is pure shuffle PROVISIONING: the 830 M-row map output plus
+    # sorter spill needs ~100 GB of shuffle disk and this box has
+    # 77 GB free — two measured runs filled it. That is the corpus's
+    # density, not a plan defect (the collision stream is
+    # Θ(true_pairs × colliding_bands), thin 16-byte rows, exactly
+    # what cluster shuffle tiers are provisioned for). Alternatives
+    # re-measured and rejected this round: lowest-band emission
+    # (kills the distinct but interprets a 16-element zip_with on
+    # every collision row — 119.6 s vs 31.9 s at sf0.1, CPU-bound);
+    # coarser banding (8×4 bands shrink collisions ~3× but drop
+    # candidate recall to ~98.5% at J=0.8, breaking the
+    # candidates ⊇ truth oracle contract).
+    par = spark.sparkContext.defaultParallelism
+    splits = scan_splits_hint(spark, sf_dir, "documents")
+    n_dedup = par * max(1, min(32, splits))
+    return pairs.repartition(n_dedup, "doc_a", "doc_b").distinct()
 
 
 @register("q_minhash_lsh", oracle=_ORACLE_JACCARD_PAIRS, category=CAT)

@@ -24,99 +24,83 @@ from .registry import REGISTRY  # noqa: F401
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
 # This list pins those 50 slots.
 #
-# THIS round (5): per VERDICT r04 "Next round #1", the window rotates to
-# the next 48 of the 103 never-driver-checked ops (queue order from the
-# round-4 comment), PLUS the two ANN ops q_ann_ivf / q_ann_signlsh
-# pinned first: they were rows-only `no_oracle` in r01 and their full
-# DuckDB oracles (added in round 4) have never been externally
-# hash-checked. Verified by set arithmetic against CORRECTNESS_r01-r04:
-# the 48 queue ops are disjoint from all prior checked sets; window ∪
-# round-6 queue == the 103 never-checked ∪ {ann pair}, disjoint.
-# Cumulative driver coverage after this round: 244/299 distinct
-# hard-checked (246 counting the ANN pair's upgrade from rows-only).
+# THIS round (6): per VERDICT r05 "Next round #1", the window rotates to
+# the first 50 of the 55 never-driver-checked ops (the round-5 NEXT-ROUND
+# QUEUE, order preserved). Verified by set arithmetic against
+# CORRECTNESS_r01-r05: the 55-queue == the exact never-checked set, and
+# this window is disjoint from every prior round's checked set.
+# Cumulative driver coverage after this round: 294/299 distinct
+# hard-checked.
 #
-# NEXT-ROUND QUEUE (round 6 — the full remaining never-checked set,
-# exactly 55; take the first 50, leaving 5 for round 7):
-# q_incremental_join q_rle_advisor q_calibration_bins q_ndcg_eval
-# q_auc_score q_pit_join q_negative_sampling q_bmp_decode q_jpeg_decode
-# q_avi_decode q_market_share q_largest_orders q_ship_delay_buckets
-# q_pareto_skyline q_yoy_growth q_golden_record q_connected_clean
-# q_evolutionary_sweep q_text_io q_schema_evolution q_dynamic_overwrite
-# q_csv_corrupt_records q_python_datasource q_intersect_all q_except_all
-# q_kmv_distinct q_heavy_hitters_mg q_ks_test q_mannwhitney_u
-# q_mutual_info q_stat_crosstab q_weighted_median q_pii_redact
-# q_url_parse q_html_strip q_sentence_stats q_url_dedup q_gdpr_erasure
-# q_k_anonymity q_cidr_lookup q_l_diversity q_fim_split q_lang_confusion
-# q_vocab_coverage q_autocorr_daily q_interpolate_linear
-# q_cusum_changepoint q_drawdown q_theilsen_trend q_seasonal_decompose
+# NEXT-ROUND QUEUE (round 7 — the full remaining never-checked set,
+# exactly 5):
 # q_cogroup_pandas q_sql_udf q_sql_scripting q_collation_group
 # q_bitmask_rollup
 #
 #   never = [n for n in REGISTRY
 #            if not any(n in set(json.load(open(f"CORRECTNESS_r0{i}.json")))
-#                       for i in (1, 2, 3, 4, 5))]
+#                       for i in (1, 2, 3, 4, 5, 6))]
 DRIVER_PRIORITY: list[str] = [
-    # ANN pair: r01 rows-only, oracles added r04, first external hash-check
-    "q_ann_ivf",
-    "q_ann_signlsh",
-    # aggregates / SQL-surface
-    "q_pipe_sql",
-    "q_exact_median_twopass",
-    "q_grouping_id",
-    # analytics
-    "q_forecast_backtest",
-    "q_gini_revenue",
-    "q_survival_km",
-    "q_chi2_term_assoc",
-    "q_winsorize",
-    "q_skew_kurtosis",
-    "q_woe_iv",
-    "q_funnel_time_percentiles",
-    "q_cohort_ltv",
-    "q_rfm_segmentation",
-    "q_feature_snapshot",
-    "q_wau_mau",
-    "q_attribution_position",
-    "q_wau_hll",
-    "q_abandonment",
-    # llm search / eval
-    "q_phrase_search",
-    "q_trigram_search",
-    "q_knn_accuracy",
-    # clustering / quantization
-    "q_random_projection",
-    "q_quantile_normalize",
-    "q_product_quantize",
-    "q_pq_adc_topk",
-    # corpus
-    "q_token_pmi",
-    "q_zipf_slope",
-    "q_bpe_merge",
-    "q_line_dedup",
-    # dedup_ext
-    "q_ppjoin_neardup",
-    "q_mmr_rerank",
-    "q_local_alignment",
-    "q_dedup_eval",
-    "q_dedup_radius_sweep",
-    # events
-    "q_session_window_native",
-    "q_out_of_order_report",
-    "q_engagement_report",
-    "q_session_pattern",
-    # finance
-    "q_ohlc_bars",
-    "q_vwap_daily",
-    "q_time_weighted_avg",
-    "q_interval_coverage",
-    # geo / graph
-    "q_geo_nearest_hub",
-    "q_geo_grid_join",
-    "q_label_propagation",
-    "q_shortest_path_bf",
-    # joins
-    "q_join_nullsafe",
-    "q_join_overlap_binned",
+    # ml eval / feature joins
+    "q_incremental_join",
+    "q_rle_advisor",
+    "q_calibration_bins",
+    "q_ndcg_eval",
+    "q_auc_score",
+    "q_pit_join",
+    "q_negative_sampling",
+    # multimodal codecs
+    "q_bmp_decode",
+    "q_jpeg_decode",
+    "q_avi_decode",
+    # olap
+    "q_market_share",
+    "q_largest_orders",
+    "q_ship_delay_buckets",
+    "q_pareto_skyline",
+    "q_yoy_growth",
+    # reconcile / cleanup
+    "q_golden_record",
+    "q_connected_clean",
+    "q_evolutionary_sweep",
+    # sources / IO
+    "q_text_io",
+    "q_schema_evolution",
+    "q_dynamic_overwrite",
+    "q_csv_corrupt_records",
+    "q_python_datasource",
+    # set ops
+    "q_intersect_all",
+    "q_except_all",
+    # sketches / stats
+    "q_kmv_distinct",
+    "q_heavy_hitters_mg",
+    "q_ks_test",
+    "q_mannwhitney_u",
+    "q_mutual_info",
+    "q_stat_crosstab",
+    "q_weighted_median",
+    # text cleaning / governance
+    "q_pii_redact",
+    "q_url_parse",
+    "q_html_strip",
+    "q_sentence_stats",
+    "q_url_dedup",
+    "q_gdpr_erasure",
+    "q_k_anonymity",
+    "q_cidr_lookup",
+    "q_l_diversity",
+    # textpipe
+    "q_fim_split",
+    "q_lang_confusion",
+    "q_vocab_coverage",
+    # timeseries
+    "q_autocorr_daily",
+    "q_interpolate_linear",
+    "q_cusum_changepoint",
+    "q_drawdown",
+    "q_theilsen_trend",
+    "q_seasonal_decompose",
 ]
 
 

@@ -235,11 +235,17 @@ _WIDTH_SEC = "(10 + (CAST(props ->> '$.k' AS BIGINT) % 50)) * 60"
 @register(
     "q_interval_coverage",
     oracle=f"""
-        WITH iv AS (
+        WITH raw AS (
             SELECT user_id, event_id,
                    epoch_us(ts) // 1000000 AS s,
-                   epoch_us(ts) // 1000000 + {_WIDTH_SEC} AS e
+                   {_WIDTH_SEC} AS w
             FROM events
+        ), iv AS (
+            -- degenerate widths clamp to the zero-width point [s, s]
+            -- (k % 50 is sign-following; a negative k would otherwise
+            -- make e < s and the island algebra tie-order dependent)
+            SELECT user_id, event_id, s, GREATEST(s, s + w) AS e
+            FROM raw
         ), flagged AS (
             SELECT user_id, event_id, s, e,
                    CASE WHEN s > MAX(e) OVER (
@@ -343,7 +349,14 @@ def interval_coverage_core(iv: DataFrame) -> DataFrame:
     shuffle-materialization floor as q3/q5, which real executor
     counts amortize.
     """
-    slim = iv.select("user_id", "s", "e")
+    # Clamp degenerate intervals to the zero-width point [s, s]: with
+    # e < s the contrib clamp and the dropped tie-breaker would make
+    # covered/longest diverge from the island-rollup semantics (and
+    # become tie-order dependent). greatest() is a no-op for every
+    # well-formed interval; the oracle applies the same clamp.
+    slim = iv.select(
+        "user_id", "s", F.greatest("e", "s").alias("e")
+    )
     w_prev = (
         Window.partitionBy("user_id")
         .orderBy("s", "e")

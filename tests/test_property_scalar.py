@@ -241,7 +241,9 @@ INTERVALS = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=3),       # user
         st.integers(min_value=0, max_value=500),     # start
-        st.integers(min_value=1, max_value=120),     # width
+        # zero and negative widths included: the sweep clamps
+        # degenerate intervals to the zero-width point [s, s]
+        st.integers(min_value=-60, max_value=120),   # width
     ),
     min_size=1,
     max_size=30,
@@ -249,12 +251,13 @@ INTERVALS = st.lists(
 
 
 def _brute_union(rows):
-    """Python reference: merged-union length / island count per user."""
+    """Python reference: merged-union length / island count per user.
+    Degenerate widths clamp to [s, s], mirroring the operator."""
     from collections import defaultdict
 
     per = defaultdict(list)
     for u, s, w in rows:
-        per[u].append((s, s + w))
+        per[u].append((s, max(s, s + w)))
     out = {}
     for u, ivs in per.items():
         ivs.sort()

@@ -54,6 +54,7 @@ name-content ops (q_fuzzy_name_match) stay linear at sf1.
 from __future__ import annotations
 
 import os
+import shutil
 import re
 import sys
 
@@ -147,8 +148,14 @@ def main() -> None:
         # of single-tasking a monolithic file. Spark reads the dir
         # natively; the DuckDB oracle globs it (oracle.duckdb_connect).
         tdir = f"{DST}/{t}.parquet"
+        # replace any prior layout wholesale: a single-file table
+        # OR a directory with stale part files from a previous run
+        # (if REPLICAS shrinks or part naming changes, leftovers
+        # would silently merge into the table for both engines)
         if os.path.isfile(tdir):
-            os.remove(tdir)  # replace an old single-file layout
+            os.remove(tdir)
+        elif os.path.isdir(tdir):
+            shutil.rmtree(tdir)
         os.makedirs(tdir, exist_ok=True)
         for i, p in enumerate(parts):
             con.sql(
@@ -177,8 +184,14 @@ def main() -> None:
             rep["n_chars"] = rep["text"].str.len().astype(docs["n_chars"].dtype)
         out.append(rep)
     ddir = f"{DST}/documents.parquet"
+    # replace any prior layout wholesale: a single-file table
+    # OR a directory with stale part files from a previous run
+    # (if REPLICAS shrinks or part naming changes, leftovers
+    # would silently merge into the table for both engines)
     if os.path.isfile(ddir):
         os.remove(ddir)
+    elif os.path.isdir(ddir):
+        shutil.rmtree(ddir)
     os.makedirs(ddir, exist_ok=True)
     for i, rep in enumerate(out):
         pq.write_table(
@@ -204,8 +217,14 @@ def main() -> None:
             rep["embedding"] = list(mat[:, perm] * signs)
         out.append(rep)
     edir = f"{DST}/embeddings.parquet"
+    # replace any prior layout wholesale: a single-file table
+    # OR a directory with stale part files from a previous run
+    # (if REPLICAS shrinks or part naming changes, leftovers
+    # would silently merge into the table for both engines)
     if os.path.isfile(edir):
         os.remove(edir)
+    elif os.path.isdir(edir):
+        shutil.rmtree(edir)
     os.makedirs(edir, exist_ok=True)
     for i, rep in enumerate(out):
         pq.write_table(

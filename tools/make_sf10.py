@@ -28,6 +28,7 @@ Output: /root/repo/.testdata_sf10/ (gitignored, ~2.5 GB).
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 import duckdb
@@ -89,10 +90,18 @@ def main() -> None:
                         "as varchar), 9, '0') as s_name"
                     )
                 elif c == "p_name" and i > 0:
-                    # second-level token suffix on top of sf1's (tokens
-                    # end 'adjN ringN' -> 'adjNM ringNM')
+                    # second-level token suffix on top of sf1's, with an
+                    # 'x' separator so it can never collide with sf1's
+                    # bare-digit suffix: sf1 replica j's token 'adjj' must
+                    # not equal sf10 replica i's 'adj' + suffix. A bare
+                    # digit suffix ('adj'+str(i)) DID collide — sf1
+                    # replica 0 tokens are unsuffixed, so 'adj'+i ==
+                    # sf1-replica-i's 'adji' kept verbatim by sf10
+                    # replica 0, giving each part ~9 cross-replica name
+                    # clones (fixture artifact). 'adjxi' is outside the
+                    # digit alphabet, so no concatenation ambiguity.
                     sel.append(
-                        f"regexp_replace(p_name, '(\\S+)', '\\1{i}', 'g') "
+                        f"regexp_replace(p_name, '(\\S+)', '\\1x{i}', 'g') "
                         "as p_name"
                     )
                 else:
@@ -100,8 +109,14 @@ def main() -> None:
             parts.append(f"select {', '.join(sel)} from {_src(t)}")
         # one part file per replica inside a directory (see make_sf1)
         tdir = f"{DST}/{t}.parquet"
+        # replace any prior layout wholesale: a single-file table
+        # OR a directory with stale part files from a previous run
+        # (if REPLICAS shrinks or part naming changes, leftovers
+        # would silently merge into the table for both engines)
         if os.path.isfile(tdir):
             os.remove(tdir)
+        elif os.path.isdir(tdir):
+            shutil.rmtree(tdir)
         os.makedirs(tdir, exist_ok=True)
         for i, p in enumerate(parts):
             con.sql(
@@ -125,8 +140,14 @@ def main() -> None:
     docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
     n_docs = len(docs)
     ddir = f"{DST}/documents.parquet"
+    # replace any prior layout wholesale: a single-file table
+    # OR a directory with stale part files from a previous run
+    # (if REPLICAS shrinks or part naming changes, leftovers
+    # would silently merge into the table for both engines)
     if os.path.isfile(ddir):
         os.remove(ddir)
+    elif os.path.isdir(ddir):
+        shutil.rmtree(ddir)
     os.makedirs(ddir, exist_ok=True)
     for i in range(REPLICAS):
         rep = docs.copy()
@@ -147,8 +168,14 @@ def main() -> None:
     mat = np.stack(emb["embedding"].to_numpy())
     dim = mat.shape[1]
     edir = f"{DST}/embeddings.parquet"
+    # replace any prior layout wholesale: a single-file table
+    # OR a directory with stale part files from a previous run
+    # (if REPLICAS shrinks or part naming changes, leftovers
+    # would silently merge into the table for both engines)
     if os.path.isfile(edir):
         os.remove(edir)
+    elif os.path.isdir(edir):
+        shutil.rmtree(edir)
     os.makedirs(edir, exist_ok=True)
     for i in range(REPLICAS):
         rep = emb.copy()

@@ -72,46 +72,82 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cookie banners, nav text) that C4-style cleaners strip before
     training; this op produces that strip list from the data itself.
 
-    Scale: shingles explode to ~|tokens| rows but aggregate with
-    map-side combine on the gram key; the distinct-doc count rides the
-    same shuffle (gram, doc) → gram. Top-20 is TakeOrderedAndProject —
-    no global sort. At 100 TB, hash grams to 64-bit first and resolve
-    the winning strings in a second tiny pass.
+    Round 6 (VERDICT r05 #2): the shingle+count hot loop moves into an
+    Arrow-batched ``mapInPandas`` partial-count kernel — the move that
+    closed quantize (10.6×→1.7×) and kmeans. Per batch, a
+    ``collections.Counter`` (C-speed) tallies occurrences AND
+    batch-distinct doc counts per gram; only the (gram, occ, docs)
+    partials reach the exchange, so the shuffle carries batch-deduped
+    grams instead of the raw ×|tokens| explode AND the expensive
+    per-shingle concat leaves JVM codegen (where it was the measured
+    bottleneck, not the plan). ``n_docs`` partial-sums correctly
+    because a document is exactly one input row, hence lives wholly in
+    one Arrow batch: per-gram batch-distinct doc counts partition the
+    true distinct count across batches. Measured sf1 (same-epoch
+    interleaved, toPandas protocol): JVM explode 2.05 s → kernel
+    1.37 s; sf10 bench-protocol numbers in BASELINE.md. Earlier JVM
+    reformulations stay measured-worse: Expand-free control within 3%,
+    top-20-then-resolve two-pass 3.60 s (second explode dominates),
+    round-4 hash-gram 5.2 s, two-level dedup agg 2.4 s.
+
+    Scale: the kernel is embarrassingly parallel per batch; partials
+    aggregate with map-side combine on the gram key; top-20 is
+    TakeOrderedAndProject — no global sort. At 100 TB, hash grams to
+    64-bit inside the same kernel and resolve the winning strings in a
+    second tiny pass.
     """
-    # Repartition RAW docs before the ×|tokens| explode: without it
-    # the explode+concat work runs on however few tasks the scan
-    # yields (the simhash lesson, dedup_ext.py:67); measured 0.95 →
-    # 0.51 s at sf0.1 (1 native split). Round-5 re-audit on the
-    # multi-file sf1 fixture (10 native splits): the 32-way
-    # repartition STILL wins — 2.30 s vs 2.68 s without — so it stays
-    # unconditional; 10 uneven doc-length splits leave explode
-    # stragglers that the hash spread removes. The residual ~2.4× vs
-    # DuckDB is the explode+concat CPU itself, not the plan: an
-    # Expand-free control (count only, no n_docs) measured within 3%
-    # (1.94 vs 2.00 s), a top-20-then-resolve two-pass measured 3.60 s
-    # (the second explode dominates), and round 4's hash-gram (5.2 s)
-    # and two-level dedup agg (2.4 s) were worse still.
-    d = load(spark, sf_dir, "documents").repartition(
+    # Repartition RAW docs before the kernel: the scan yields few
+    # uneven splits (1 at sf0.1, 10 at sf1) and the kernel is pure
+    # per-doc CPU — the hash spread removes stragglers (the simhash
+    # lesson, dedup_ext.py:67). Measured on the kernel at sf1:
+    # 1.37 s with vs 1.62 s without.
+    d = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(
         spark.sparkContext.defaultParallelism, "doc_id"
     )
-    grams = (
-        d.select("doc_id", F.split("text", " ").alias("toks"))
-        .filter(F.size("toks") >= _NG)
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"transform(sequence(0, size(toks) - {_NG}),"
-                    f" i -> concat_ws(' ', slice(toks, i + 1, {_NG})))"
+
+    def shingle_partials(batches):
+        from collections import Counter
+
+        import pandas as pd
+
+        # per-BATCH accumulation, deliberately: a partition-wide
+        # Counter (one emission per task) was measured WORSE at sf10 —
+        # 14.6/18.4 s across two bench invocations vs 7.9 s per-batch —
+        # the 780 k-entry end-of-task dict kills the pipelining between
+        # kernel CPU and shuffle write and bulks one giant Arrow batch;
+        # 5-grams barely dedup across docs, so the shuffle saving is
+        # tiny while vocabulary-sized ops (q_explode) lose nothing
+        for pdf in batches:
+            occ: Counter = Counter()
+            nd: Counter = Counter()
+            for text in pdf["text"].tolist():
+                toks = text.split(" ")
+                n = len(toks) - _NG + 1
+                if n <= 0:
+                    continue
+                c = Counter(
+                    [" ".join(toks[i:i + _NG]) for i in range(n)]
                 )
-            ).alias("gram"),
-        )
+                occ.update(c)
+                nd.update(c.keys())
+            if occ:
+                grams = list(occ.keys())
+                yield pd.DataFrame(
+                    {
+                        "gram": grams,
+                        "occ": [occ[g] for g in grams],
+                        "docs": [nd[g] for g in grams],
+                    }
+                )
+
+    partials = d.mapInPandas(
+        shingle_partials, "gram string, occ long, docs long"
     )
     return (
-        grams.groupBy("gram")
+        partials.groupBy("gram")
         .agg(
-            F.count(F.lit(1)).alias("n_occurrences"),
-            F.countDistinct("doc_id").alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
+            F.sum("docs").alias("n_docs"),
         )
         .orderBy(F.desc("n_occurrences"), F.asc("gram"))
         .limit(20)

@@ -350,21 +350,67 @@ def q_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_MINHASH = 32
 N_BANDS = 16  # 16 bands × 2 rows: P(candidate | s=0.8) ≈ 1 − (1−0.64)^16 ≈ 1 − 7e−8
 
+# Carter–Wegman 2-universal family for the 32 minhash functions:
+# h_i(x) = (A_i·x + B_i) mod M over M = 2^31 − 1 (Mersenne), with x a
+# 31-bit reduction of the portable 60-bit token hash. 31-bit inputs ×
+# 31-bit coefficients stay < 2^62 — exact in BIGINT arithmetic in
+# BOTH engines, which is what makes the whole candidate stage
+# SQL-replicable (the oracle embeds the same literals). Constants are
+# fixed draws (seed 20260815); independence ACROSS i is what makes
+# the 16 bands 16 independent chances — a structured slope family
+# (h1 + i·h2, tried first) correlated the per-i argmins and collapsed
+# banding recall to 0.82 on the sf0.01 corpus (measured, 25003/30328).
+MH_P = (1 << 31) - 1
+MH_A = [
+    188173298, 62257559, 1614569235, 1541888526, 1123302577, 1183693762,
+    941201756, 612741584, 1915815023, 145743896, 1042332867, 1469431004,
+    1586907769, 1724705302, 1367643000, 567634414, 1182429425, 1450717930,
+    1840887320, 92282880, 2033346063, 1574816041, 1426551802, 1173352587,
+    2087082879, 168846214, 1825997516, 891168107, 124724675, 334069098,
+    1102350415, 1146895920,
+]
+MH_B = [
+    219526903, 869419486, 1990932741, 1704402767, 1686331959, 1377364803,
+    290080262, 930729593, 55352767, 97832728, 726089930, 1645827621,
+    1153574288, 1936722475, 1186229689, 604467990, 574428062, 1312015206,
+    1286881531, 30543376, 1998600299, 448033446, 688987778, 71707707,
+    821772388, 983224251, 1706450687, 659952465, 1490355664, 1025317256,
+    1408183434, 50049223,
+]
+
 
 def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs (doc_a < doc_b) from banded MinHash.
 
-    Signature: h_i(doc) = min over tokens of xxhash64(i, token),
-    i = 0..31 — a deterministic hash family, computed in ONE pass
-    (32 min-aggregates over the exploded token relation, map-side
-    combined). Bands of 2 rows hash to a bucket key; a pair is a
-    candidate if any band collides. Exposed for the pytest
-    recall check (candidates ⊇ exact L7 pairs).
+    Signature (round 6): h_i(doc) = min over tokens of
+    (A_i·x + B_i) mod (2^31 − 1), i = 0..31, with x the 31-bit
+    reduction of the portable 60-bit md5 token hash and A_i/B_i fixed
+    literals (MH_A/MH_B above). Round 5 used xxhash64(i, token) —
+    NOT SQL-replicable, so q_dedup_eval's oracle had to hardcode its
+    minhash row to the truth set (VERDICT r05 "what's wrong" #1). The
+    Carter–Wegman family keeps one hash evaluation per token (md5;
+    the 32 multiply-add-mods are cheap codegen arithmetic), still ONE
+    pass of 32 min-aggregates with map-side combine, and lets the
+    DuckDB oracle recompute signatures, banding, and the candidate
+    set exactly. Recall on the fixtures stays 1 (pytest superset
+    check + q_minhash_lsh parity at sf0.001/0.01).
+
+    Bands of 2 rows join on their raw (band, s_{2b}, s_{2b+1}) values
+    (equivalent collision semantics to the old hashed-bucket key, one
+    hash cheaper, and portable). A pair is a candidate if any band
+    collides. Exposed for the pytest recall check (candidates ⊇ exact
+    L7 pairs).
     """
-    tok = _doc_tokens(spark, sf_dir)
-    sig = tok.groupBy("doc_id").agg(
+    tok = _doc_tokens(spark, sf_dir).withColumn("m", F.md5("token"))
+    x = F.expr(
+        f"cast(conv(substring(m, 1, 15), 16, 10) as long) % {MH_P}"
+    )
+    hashed = tok.select("doc_id", x.alias("x"))
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(F.xxhash64(F.lit(i), F.col("token"))).alias(f"h{i}")
+            F.min((F.lit(MH_A[i]) * F.col("x") + MH_B[i]) % MH_P).alias(
+                f"h{i}"
+            )
             for i in range(N_MINHASH)
         ]
     )
@@ -381,15 +427,17 @@ def minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every row to filter non-minimal bands) was measured SLOWER here
     # — 256 bytes/row × 83M dominates the saved distinct — unlike
     # SimHash, where the band check is bit arithmetic on one long.
+    # bucket = s_{2b}·2^31 + s_{2b+1}: injective packing of the two
+    # 31-bit band values into ONE long (62 bits) — same collision
+    # semantics as joining on the raw pair, single-long join key, and
+    # still exactly replicable in SQL
     bands = sig.select(
         "doc_id",
         F.posexplode(
             F.array(
                 *[
-                    F.xxhash64(
-                        F.lit(b),
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
-                    )
+                    F.col(f"h{b * rows_per_band}") * (1 << 31)
+                    + F.col(f"h{b * rows_per_band + 1}")
                     for b in range(N_BANDS)
                 ]
             )
@@ -824,29 +872,83 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dsum discipline) so the top-20 cut and the emitted scores are
     bit-stable. Ties break on doc_id.
 
-    Scale: corpus stats (N, Σdl) cross as a 1-row broadcast; the
-    per-term df table is query-sized (broadcast); tf explodes then
-    map-side-combines on (doc_id, token) restricted to the query set —
-    a narrow filter long before any shuffle. TopK is
-    TakeOrderedAndProject, no global sort. Round 5: dl rides THROUGH
-    the tf explode (max over the group — a per-doc constant) instead
-    of re-tokenizing the corpus a third time for a dl join; two
-    corpus passes (tf, stats), down from three (sf10 medians 2.05 →
-    1.96 s with a much tighter spread, outputs hash-identical).
+    Scale: corpus stats (N, Σdl) fold into scalar literals via a
+    bounded 1-row collect on the cache-materializing action; the
+    per-term df table is query-sized (broadcast); TopK is
+    TakeOrderedAndProject, no global sort. Round 6 (VERDICT r05 #2):
+    ONE corpus pass — an Arrow-batched ``mapInPandas`` kernel
+    tokenizes each doc once, emits (doc_id, token, tf, dl) rows only
+    for query terms plus ONE per-batch stats row (token NULL, tf =
+    batch doc count, dl = batch Σdl), so the corpus-wide (N, Σdl)
+    aggregate rides the same pass instead of re-tokenizing (round 5
+    had two passes, round 4 three). The kernel output is
+    tracked-persisted — it is tiny (≤ |query| rows per matching doc +
+    one row per batch) — and both the tf branch and the stats branch
+    read the cache. Python's set-membership token loop replaces the
+    JVM's full explode-then-filter, which materialized every token
+    before dropping non-query ones. Measured sf10 (in-session
+    medians): two-pass JVM 2.42 s → kernel 1.73 s; bench-protocol
+    numbers in BASELINE.md.
     """
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", F.size(F.split("text", " ")).alias("dl"), F.split("text", " ").alias("t")
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    qset = frozenset(BM25_QUERY)
+
+    def tf_partials(batches):
+        import pandas as pd
+
+        # per-BATCH emission keeps kernel CPU and downstream work
+        # pipelined (the partition-wide variant measured worse on the
+        # sibling kernels); one NULL-token stats partial per batch —
+        # exact because batches partition the corpus
+        for pdf in batches:
+            ids, tks, tfs, dls = [], [], [], []
+            n_docs = 0
+            sum_dl = 0
+            for doc_id, text in zip(
+                pdf["doc_id"].tolist(), pdf["text"].tolist()
+            ):
+                toks = text.split(" ")
+                n_docs += 1
+                sum_dl += len(toks)
+                cnt: dict = {}
+                for tok in toks:
+                    if tok in qset:
+                        cnt[tok] = cnt.get(tok, 0) + 1
+                for tok, tf_ in cnt.items():
+                    ids.append(doc_id)
+                    tks.append(tok)
+                    tfs.append(tf_)
+                    dls.append(len(toks))
+            ids.append(-1)
+            tks.append(None)
+            tfs.append(n_docs)
+            dls.append(sum_dl)
+            yield pd.DataFrame(
+                {"doc_id": ids, "token": tks, "tf": tfs, "dl": dls}
+            )
+
+    out = tracked_persist(
+        d.mapInPandas(tf_partials, "doc_id long, token string, tf long, dl long")
     )
-    tf = (
-        d.select("doc_id", "dl", F.explode("t").alias("token"))
-        .filter(F.col("token").isin(*BM25_QUERY))
-        .groupBy("doc_id", "token")
-        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    # Collect the 1-row corpus stats ON the cache-materializing action
+    # (the r4 lesson: two lazy broadcast consumers of one persisted
+    # frame race to materialize it — "Block already exists" warnings,
+    # kernel runs twice). After this collect the dfreq broadcast and
+    # the scoring pass read the warm cache. Bounded control-plane
+    # collect: exactly one row.
+    srow = (
+        out.filter(F.col("token").isNull())
+        .agg(F.sum("tf").alias("n"), F.sum("dl").alias("total_dl"))
+        .collect()[0]
     )
+    # empty-corpus guard: sums are NULL over zero batches; the tf
+    # branch is empty then, so the literals are never consumed
+    n_docs_total = int(srow["n"] or 0)
+    total_dl = int(srow["total_dl"] or 1)
+    tf = out.filter(F.col("token").isNotNull())
     dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    stats = d.agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("total_dl"))
     idf = F.log(
-        (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+        (F.lit(n_docs_total) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
     score = (
         idf
@@ -858,7 +960,12 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (
                 1.0
                 - BM25_B
-                + BM25_B * (F.col("dl").cast("double") * F.col("n") / F.col("total_dl"))
+                + BM25_B
+                * (
+                    F.col("dl").cast("double")
+                    * F.lit(n_docs_total)
+                    / F.lit(total_dl)
+                )
             )
         )
     )
@@ -866,7 +973,6 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     term = (micros + F.when(micros >= 0, F.lit(0.5)).otherwise(F.lit(-0.5))).cast("long")
     return (
         tf.join(F.broadcast(dfreq), "token")
-        .crossJoin(F.broadcast(stats))
         .select("doc_id", term.alias("m"))
         .groupBy("doc_id")
         .agg(F.sum("m").alias("msum"))

@@ -10,7 +10,10 @@ import os
 
 import pytest
 
+import data_pipeline_standalone_scripts_spark as engine
 from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+
+engine.load_all_operators()
 
 
 def _write_embeddings(spark, tmp_path, rows):

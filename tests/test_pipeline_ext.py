@@ -111,6 +111,36 @@ def test_simhash_band_join_is_lossless(spark, sf_small):
     assert banded == brute
 
 
+def test_simhash_wide_band_join_is_lossless(spark, sf_small):
+    """X50: the 6×20-bit banded join over the 120-bit sketch must find
+    EVERY pair at Hamming ≤ 5 (same pigeonhole), each exactly once —
+    compare against brute force over the materialized two-half
+    fingerprints."""
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        q_simhash_wide,
+        simhash_wide_fingerprints,
+    )
+
+    fps = {
+        r["doc_id"]: (r["sh_lo"], r["sh_hi"])
+        for r in simhash_wide_fingerprints(spark, sf_small).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(fps[a][0] ^ fps[b][0]).count("1")
+        + bin(fps[a][1] ^ fps[b][1]).count("1")
+        <= 5
+    }
+    rows = q_simhash_wide(spark, sf_small).collect()
+    banded = {(r["doc_a"], r["doc_b"]) for r in rows}
+    assert banded == brute
+    assert len(rows) == len(banded)  # lowest-band emission: no dup rows
+    assert all(r["hamming"] <= 5 for r in rows)
+
+
 def test_media_table_binary_roundtrip(spark, sf_small, tmp_path):
     """Binary payloads survive a parquet write/read byte-for-byte, and
     headers agree with the typed meta struct."""

@@ -268,10 +268,11 @@ def test_funnel_pushes_step_filters_to_scan(spark, sf_med):
 
 def test_boilerplate_topk_short_circuits(spark, sf_med):
     """C1: top-20 shingles via TakeOrderedAndProject with map-side
-    partial counts — no global sort of the gram stream."""
+    partial aggregation of the kernel's (gram, occ, docs) partials —
+    no global sort of the gram stream."""
     plan = plan_of(REGISTRY["q_boilerplate_ngrams"].fn(spark, sf_med))
     assert "TakeOrderedAndProject" in plan
-    assert "partial_count" in plan
+    assert "partial_sum" in plan
 
 
 def test_weighted_sample_topk_short_circuits(spark, sf_med):

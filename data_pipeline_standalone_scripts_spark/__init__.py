@@ -32,10 +32,17 @@ from .registry import REGISTRY  # noqa: F401
 # Cumulative driver coverage after this round: 294/299 distinct
 # hard-checked.
 #
-# NEXT-ROUND QUEUE (round 7 — the full remaining never-checked set,
-# exactly 5):
+# NEXT-ROUND QUEUE (round 7): pin the 5 remaining never-checked ops
+# FIRST —
 # q_cogroup_pandas q_sql_udf q_sql_scripting q_collation_group
 # q_bitmask_rollup
+# — then fill the other 45 slots with this round's behavior-changed ops
+# (they were checked in earlier rounds but their implementations moved:
+# q_boilerplate_ngrams q_explode q_bm25_rank — Arrow kernels;
+# q_minhash_lsh q_dedup_eval q_local_alignment — portable hash family;
+# q_simhash_wide — new in round 6, never externally checked;
+# q_interval_coverage — degenerate-width clamp) plus the
+# oldest-checked ops (r01 window) in registry order.
 #
 #   never = [n for n in REGISTRY
 #            if not any(n in set(json.load(open(f"CORRECTNESS_r0{i}.json")))

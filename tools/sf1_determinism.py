@@ -8,8 +8,8 @@ spark_partition_id finding exposed).
 
 Protocol: run each op TWICE (fresh plan each run, persists released
 between), reduce each result to a Spark-side order-insensitive
-fingerprint — (row_count, SUM(xxhash64(*cols)) with wraparound) — and
-assert the two fingerprints match. The fingerprint never collects the
+fingerprint — (row_count, bounded residue sums of xxhash64(*cols)) —
+and assert the two fingerprints match. The fingerprint never collects the
 (up to tens of millions of) result rows to the driver, so the sweep
 stays inside local-mode memory at any result size.
 
@@ -60,15 +60,28 @@ NEARDUP_FAMILY = [
 ]
 
 
-def fingerprint(df) -> tuple[int, int]:
-    """(count, wrapped sum of per-row xxhash64 over all columns) —
-    order-insensitive, computed entirely executor-side."""
+def fingerprint(df) -> tuple[int, int, int]:
+    """(count, sum of low-30-bit residues, sum of high-30-bit
+    residues) of per-row xxhash64 over all columns — order-insensitive
+    and computed entirely executor-side. Residue sums stay under 2^63
+    up to ~8 B rows (ANSI mode forbids wrapping sums)."""
     h = F.xxhash64(*[F.col(c) for c in df.columns])
-    row = df.select(h.alias("h")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("h")).alias("s"),  # overflow wraps; deterministic
-    ).collect()[0]
-    return int(row["n"]), int(row["s"] if row["s"] is not None else 0)
+    lo = F.pmod(h, F.lit(1 << 30))
+    hi = F.pmod(F.shiftright(h, 32), F.lit(1 << 30))
+    row = (
+        df.select(lo.alias("lo"), hi.alias("hi"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("lo").alias("slo"),
+            F.sum("hi").alias("shi"),
+        )
+        .collect()[0]
+    )
+    return (
+        int(row["n"]),
+        int(row["slo"] if row["slo"] is not None else 0),
+        int(row["shi"] if row["shi"] is not None else 0),
+    )
 
 
 def main() -> None:
@@ -89,13 +102,14 @@ def main() -> None:
             t2 = time.time()
             rec.update(
                 rows=fp1[0],
-                hash_sum=fp1[1],
+                hash_sum_lo=fp1[1],
+                hash_sum_hi=fp1[2],
                 deterministic=(fp1 == fp2),
                 run1_sec=round(t1 - t0, 1),
                 run2_sec=round(t2 - t1, 1),
             )
             if fp1 != fp2:
-                rec["fp2"] = {"rows": fp2[0], "hash_sum": fp2[1]}
+                rec["fp2"] = {"rows": fp2[0], "lo": fp2[1], "hi": fp2[2]}
         except Exception as exc:  # record, don't die mid-sweep
             rec.update(error=f"{type(exc).__name__}: {exc}"[:300])
             traceback.print_exc(limit=2)

@@ -311,6 +311,8 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             nd: Counter = Counter()
             mp: dict = {}
             for text in pdf["text"].tolist():
+                if text is None:  # JVM split/explode drops null rows
+                    continue
                 toks = text.split(" ")
                 c = Counter(toks)
                 occ.update(c)

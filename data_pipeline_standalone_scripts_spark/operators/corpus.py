@@ -121,6 +121,8 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             occ: Counter = Counter()
             nd: Counter = Counter()
             for text in pdf["text"].tolist():
+                if text is None:  # JVM split/explode drops null rows
+                    continue
                 toks = text.split(" ")
                 n = len(toks) - _NG + 1
                 if n <= 0:

@@ -28,6 +28,8 @@ from .llm import (
     MH_A,
     MH_B,
     MH_P,
+    N_BANDS,
+    N_MINHASH,
     _dot,
     _norm_sq,
     _vec_double,
@@ -1718,9 +1720,18 @@ _MH_SIG_COLS = ", ".join(
     f"MIN(({_A} * x + {_B}) % {MH_P}) AS s{i}"
     for i, (_A, _B) in enumerate(zip(MH_A, MH_B))
 )
+# Band-match predicate derived from llm.py's banding constants so the
+# oracle's candidate set cannot silently drift from the engine's if
+# N_MINHASH / N_BANDS ever change (ADVICE r06).
+_MH_ROWS_PER_BAND = N_MINHASH // N_BANDS
 _MH_BAND_MATCH = " OR ".join(
-    f"(a.s{2 * b} = b.s{2 * b} AND a.s{2 * b + 1} = b.s{2 * b + 1})"
-    for b in range(16)
+    "("
+    + " AND ".join(
+        f"a.s{b * _MH_ROWS_PER_BAND + r} = b.s{b * _MH_ROWS_PER_BAND + r}"
+        for r in range(_MH_ROWS_PER_BAND)
+    )
+    + ")"
+    for b in range(N_BANDS)
 )
 
 _ORACLE_DEDUP_EVAL = f"""
@@ -1811,8 +1822,11 @@ def q_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     - ``minhash_lsh_verified``: the MinHash-LSH detector at its
       production shape — banded candidates → exact Jaccard verify —
       so its precision is 1.0 by construction and its recall equals
-      the banding's candidate recall. Round 6: the detector's
-      double-hash family (one md5 → h1 + i·h2) is SQL-replicable, so
+      the banding's candidate recall. Round 6: the detector's hash
+      family — 32 independent Carter–Wegman draws ((A_i·x + B_i) mod
+      2^31−1, literals in llm.py; the correlated h1 + i·h2 slope
+      family was tried and REJECTED, recall 0.82) — is
+      SQL-replicable, so
       the oracle recomputes signatures, banding, and the candidate
       set from structure — this row is now corpus-independent (it was
       previously hardcoded to the truth set, sound only while banding

@@ -889,6 +889,12 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     before dropping non-query ones. Measured sf10 (in-session
     medians): two-pass JVM 2.42 s → kernel 1.73 s; bench-protocol
     numbers in BASELINE.md.
+
+    NOTE — eager build (ADVICE r06): constructing this DataFrame runs
+    a job. The 1-row corpus-stats collect below materializes the
+    persisted kernel output at BUILD time (deliberate, the r4
+    broadcast-race lesson), so plan-only consumers (dump_plans,
+    EXPLAIN tests) trigger a full corpus tokenization pass.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
     qset = frozenset(BM25_QUERY)
@@ -907,6 +913,12 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id, text in zip(
                 pdf["doc_id"].tolist(), pdf["text"].tolist()
             ):
+                if text is None:
+                    # oracle's stats CTE counts every documents row
+                    # (COUNT(*)) but SUM(dl) skips the NULL dl, and
+                    # unnest emits no tokens for a NULL split
+                    n_docs += 1
+                    continue
                 toks = text.split(" ")
                 n_docs += 1
                 sum_dl += len(toks)

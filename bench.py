@@ -92,6 +92,11 @@ def main() -> None:
         8, min(32, int(80 * sf))
     )
     spark = get_spark("bench", shuffle_partitions=shuffle)
+    # Quiet the bench tail (VERDICT r06 nit): the allowlisted
+    # bounded-frame windows emit one WindowExec WARN per execution,
+    # drowning the JSON line in repeated noise. ERROR level here only
+    # affects this bench process, never the gated plan checks.
+    spark.sparkContext.setLogLevel("ERROR")
     # Input-split sizing was evaluated (2m/4m/128m sweep): at sf0.1 the
     # scan is 0.3 s of a 0.6 s query and finer splits move the median
     # by less than run-to-run noise (±0.4 s on this shared box), so the

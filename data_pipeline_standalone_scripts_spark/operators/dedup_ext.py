@@ -1667,6 +1667,16 @@ def q_local_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB uses seeded banded alignment, same orchestration). Texts
     reach the pairs via two broadcast joins of the id-keyed head
     table — the fan-out ships 240-char heads, never full documents.
+
+    SESSION REQUIREMENT at sf ≥ 1 (measured, round 6): the
+    ``orderBy().limit()`` over the candidate stream materializes the
+    FULL minhash collision shuffle (~100 GB at sf1 on this corpus).
+    Under the default lz4 shuffle codec that run DIED on disk
+    (java.io.IOException, 77 GB volume); under
+    ``spark.io.compression.codec=zstd`` (level 3) the same family
+    completes with a measured 32.7 GB peak — use the session recipe
+    in tools/run_minhash_sf1.py for ANY consumer of
+    minhash_candidates at sf ≥ 1.
     """
     import pandas as pd
 

@@ -294,6 +294,19 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user interval list never materializes anywhere; a whale user
     degrades to one fat sorted partition, which is exactly the
     segment-merge shape AQE skew-split handles.
+
+    Layout decision (VERDICT r06 #5): a user_id-bucketed events
+    layout removes this op's ONE exchange and is a measured −39% at
+    sf10 (tools/bench_bucketed.py, BASELINE.md round-6). The registry
+    row deliberately stays on the PLAIN parquet fixture: the driver
+    hands us its own session over unbucketed parquet, and bucketed
+    saveAsTable metadata does not survive a session restart
+    (in-memory catalog) — a probe could only ever see a bucketed
+    table this process itself just built, which would bench the
+    rebuild, not the layout. The honest registry number is the plain
+    scan + one exchange; the bucketed number is the recorded
+    DEPLOYMENT lever for warehouses that own their events layout
+    (SCALE.md: bucket what joins/windows unfiltered).
     """
     e = load(spark, sf_dir, "events")
     sec = F.expr("unix_micros(ts) div 1000000")

@@ -87,10 +87,19 @@ def main() -> None:
     t0 = time.time()
     err = None
     n = None
+    fp = None
     try:
-        # count() is fine here: the result cardinality is the evidence,
-        # and nothing upstream of the final distinct can be pruned by it
-        n = REGISTRY["q_minhash_lsh"].fn(spark, sf1).count()
+        # Round 7 (VERDICT r06 #6): reduce to the sf1_determinism
+        # fingerprint — (count, low/high-30-bit residue sums of
+        # per-row xxhash64) — instead of a bare count, so two
+        # invocations of this harness pin VALUE determinism of the
+        # pair set, not just its cardinality. Same single action,
+        # same shuffle cost; nothing upstream of the final distinct
+        # can be pruned by the agg.
+        from tools.sf1_determinism import fingerprint
+
+        fp = fingerprint(REGISTRY["q_minhash_lsh"].fn(spark, sf1))
+        n = fp[0]
     except Exception as exc:  # noqa: BLE001 — record the failure mode
         err = f"{type(exc).__name__}: {exc}"[:300]
     wall = time.time() - t0
@@ -104,6 +113,8 @@ def main() -> None:
                 "sf": 1.0,
                 "codec": "zstd",
                 "rows": n,
+                "hash_sum_lo": fp[1] if fp else None,
+                "hash_sum_hi": fp[2] if fp else None,
                 "wall_sec": round(wall, 1),
                 "peak_shuffle_gb": round(peak["bytes"] / 1e9, 1),
                 "error": err,

@@ -398,6 +398,15 @@ def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowest-band emission keeps each pair exactly once with zero dedup
     shuffle — the xor's lower bands must all be non-zero, pure bit
     arithmetic inside the join's codegen stage.
+
+    Measured caveat (round 6, sf1→sf10): de-saturated banding cuts
+    the sf10 pair stream 3.34 B → 345.7 M (9.7×, wall 1165 → 31.5 s),
+    but the pair count is still ×82 for ×10 docs — shown CORPUS-REAL
+    (lossless banding verified vs brute force on fixtures; the
+    shared-vocabulary replicas genuinely have that many
+    Hamming-≤5-similar sketch pairs). "Output-proportional" therefore
+    means proportional to true sketch-level similarity mass, which
+    for repetitive corpora grows faster than doc count.
     """
     from pyspark import StorageLevel
 

@@ -91,3 +91,34 @@ def test_dedup_eval_zero_pair_detectors_keep_rows(spark, tmp_path):
         assert r["n_pred"] == 0
         assert r["tp"] == 0
         assert r["n_truth"] == 0
+
+
+def test_kernel_ops_tolerate_null_text(spark, tmp_path):
+    """ADVICE r06 #3: the Arrow partial-count kernels (q_explode,
+    q_boilerplate_ngrams, q_bm25_rank) must skip NULL text rows like
+    the JVM split/posexplode plans they replaced did, not raise
+    AttributeError in the Python worker. bm25's corpus stats count
+    the null doc (oracle: COUNT(*) over documents) but give it no
+    tokens and no dl contribution."""
+    sf_dir = _write_documents(
+        spark, tmp_path,
+        [
+            (1, "alpha beta alpha", "en", "web", 16),
+            (2, None, "en", "web", 0),
+            (3, "beta beta gamma", "en", "web", 15),
+        ],
+    )
+    wc = {
+        r["token"]: (r["n"], r["n_docs"])
+        for r in REGISTRY["q_explode"].fn(spark, sf_dir).collect()
+    }
+    assert wc == {"alpha": (2, 1), "beta": (3, 2), "gamma": (1, 1)}
+
+    # 5-gram shingles need >=5 tokens; 3-token docs + the null doc
+    # must yield an empty frame, not a worker crash
+    assert REGISTRY["q_boilerplate_ngrams"].fn(spark, sf_dir).count() == 0
+
+    # bm25: no crash, and scores stay finite with the null doc counted
+    # in n_docs (exercised via the build-time stats collect)
+    bm = REGISTRY["q_bm25_rank"].fn(spark, sf_dir).collect()
+    assert all(r["bm25"] is not None for r in bm)

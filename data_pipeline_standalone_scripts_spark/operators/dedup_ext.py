@@ -1410,6 +1410,22 @@ def q_ppjoin_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle. The rank dictionary is |vocab| rows — broadcast; at
     100 TB vocab scale, replace with df-bucket rank (df asc, hash
     tie-break) computed in the same aggregation.
+
+    Measured sf1 bound (round 7, VERDICT r06 #7): the fixture corpus
+    has a 31-token vocabulary (50 k docs, ~23 distinct tokens each),
+    so even the RAREST tokens post ~35 k docs and the prefix
+    self-join's exact candidate count — computed from the prefix
+    histogram as Σ n·(n−1)/2 in under 2 s by
+    tools/profile_ppjoin_sf1.py — is 4,054,323,271. That 4.05 B-pair
+    stream, not any stage of this plan, is the >25-min sf1 wall. A
+    posting-list cap was considered and REJECTED: dropping postings
+    from a hot token silently drops true pairs, forfeiting the
+    exactness that is this op's reason to exist next to L8. The
+    deployment rule at 100 TB: run the histogram pre-flight first
+    (seconds at any scale; it is the op's own first two stages) — on
+    natural-vocabulary corpora prefix df is tiny and the join is
+    cheap; on tiny-vocabulary/templated corpora PPJoin is the wrong
+    tool and MinHash-LSH (L8) is the documented fallback.
     """
     from .llm import _doc_tokens
 

@@ -1159,3 +1159,80 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             kept_chars.cast("double") / F.nullif(F.sum("n_chars"), F.lit(0)), 6
         ).alias("kept_frac"),
     )
+
+
+# --- round-7 addition: normalization-aware duplicate groups ------------------
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+)
+_CANON_SQL = f"array_to_string(list_sort(list_distinct(string_split({_NORM_SQL}, ' '))), ' ')"
+
+
+@register(
+    "q_normalized_dedup",
+    oracle=f"""
+        WITH norm AS (
+            SELECT doc_id,
+                   {o_h60(_CANON_SQL)} AS canon_hash,
+                   md5(text) AS raw_hash
+            FROM documents
+        )
+        SELECT canon_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT raw_hash) AS BIGINT) AS n_raw_variants,
+               MIN(doc_id) AS rep_doc
+        FROM norm
+        GROUP BY canon_hash
+        HAVING COUNT(*) >= 2
+    """,
+    category=CAT,
+)
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C12: duplicate groups under the CANONICAL TOKEN-SET fingerprint
+    — casefold, strip non-alphanumerics, collapse whitespace, then
+    hash the SORTED DISTINCT token set. This is the Jaccard = 1.0
+    dedup rung between L4's exact-byte identity and L7/L8's
+    approximate near-dup: reorderings, repetitions, case variants and
+    punctuation re-encodings all collapse, and it runs in ONE linear
+    aggregation pass — no pairwise candidate machinery. A pipeline
+    runs this cheap rung first so the expensive LSH pass only sees
+    content that set-identity could not already collapse.
+
+    ``n_raw_variants`` counts how many distinct RAW byte-forms each
+    group collapsed (groups with > 1 are catches beyond L4);
+    ``rep_doc`` (min doc_id) is the canonical keeper, matching the
+    keep-first convention of the other dedup ops.
+
+    Scale: normalize + set-canonicalize + hash in codegen, one
+    map-combinable aggregation keyed by the 60-bit canonical hash;
+    the shuffle carries (hash, digest, doc_id) rows, never text.
+    The HAVING >= 2 filter bounds output by true duplication.
+    Regex note: Java and RE2 agree on this pattern class; the 'g'
+    flag is DuckDB-only (Spark's regexp_replace is global already);
+    token sort order is binary in both engines on [a-z0-9] tokens.
+    """
+    d = load(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    canon = F.concat_ws(" ", F.array_sort(F.array_distinct(F.split(norm, " "))))
+    return (
+        d.select(
+            "doc_id",
+            h60(canon).alias("canon_hash"),
+            F.md5("text").alias("raw_hash"),
+        )
+        .groupBy("canon_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("raw_hash").cast("long").alias("n_raw_variants"),
+            F.min("doc_id").alias("rep_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

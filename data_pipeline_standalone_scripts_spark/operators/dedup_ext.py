@@ -23,7 +23,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import dist_row_number, o_h60, tracked_persist
+from .common import dist_row_number, h60, o_h60, tracked_persist
 from .llm import (
     MH_A,
     MH_B,
@@ -2071,4 +2071,184 @@ def q_dedup_radius_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tp").cast("double") / F.nullif(F.col("n_truth"), F.lit(0)),
             6,
         ).alias("recall"),
+    )
+
+
+# --- round-7 additions: substring-window dedup + containment ----------------
+
+SUBSTR_K = 12  # tokens per window (Lee et al. use 50 BPE tokens; the
+#                fixture's ≤257-token docs get a proportionate window)
+
+
+@register(
+    "q_substring_dedup",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), wins AS (
+            SELECT doc_id,
+                   {o_h60(f"array_to_string(t[pos:pos+{SUBSTR_K - 1}], ' ')")}
+                       AS wh
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {SUBSTR_K - 1}))
+                           AS pos
+                FROM toks WHERE len(t) >= {SUBSTR_K}
+            )
+        ), wdoc AS (
+            SELECT wh, doc_id, COUNT(*) AS occ FROM wins GROUP BY 1, 2
+        ), owned AS (
+            SELECT wh, doc_id, occ,
+                   MIN(doc_id) OVER (PARTITION BY wh) AS owner
+            FROM wdoc
+        )
+        SELECT doc_id,
+               CAST(SUM(occ) AS BIGINT) AS n_windows,
+               CAST(SUM(CASE WHEN owner < doc_id THEN occ ELSE 0 END)
+                    AS BIGINT) AS n_dup_windows,
+               round(CAST(SUM(CASE WHEN owner < doc_id THEN occ ELSE 0 END)
+                          AS DOUBLE) / SUM(occ), 6) AS dup_ratio
+        FROM owned GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51: cross-document substring-duplication report — the
+    Spark-first re-expression of exact-substring training-data dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"). Every K-token window is hashed; a window is a
+    DUPLICATE if the same window text occurs in any LOWER-doc_id
+    document (first occurrence owns it). Per doc: total windows,
+    duplicated windows, duplication ratio — the signal a pipeline
+    thresholds to drop or trim boilerplate-heavy documents. Doc-level
+    near-dup (L7/L8/X4) misses partial overlap (a quoted paragraph,
+    a shared header); this catches exactly that.
+
+    Not a suffix array: the reference algorithm builds one (fine on a
+    single node, hostile to shuffle). Min-owner over rolling window
+    hashes gives the same duplicated-span detection with three
+    map-combinable exchanges, each on thin (hash, doc, count) rows:
+    (1) per-(window, doc) occurrence counts — the map-side combine
+    collapses within-doc repeats BEFORE the shuffle; (2) a
+    window-keyed MIN to elect the owner; (3) the per-doc rollup.
+    The ×(|doc|−K+1) window explode happens AFTER a doc_id
+    repartition, so the wide rows never cross an exchange (the
+    winnowing lesson, textpipe.py:243).
+
+    Windows are hashed with the portable ``h60`` (md5-based) so the
+    values cross the oracle boundary; a production deployment would
+    swap xxhash64 for md5 (same plan, cheaper hash).
+    """
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    wins = (
+        d.filter(F.size("t") >= SUBSTR_K)
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SUBSTR_K - 1)),
+                    lambda p: h60(
+                        F.concat_ws(" ", F.slice(F.col("t"), p, SUBSTR_K))
+                    ),
+                )
+            ).alias("wh"),
+        )
+    )
+    wdoc = wins.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    owned = wdoc.withColumn(
+        "owner", F.min("doc_id").over(Window.partitionBy("wh"))
+    )
+    dup_occ = F.sum(F.when(F.col("owner") < F.col("doc_id"), F.col("occ")).otherwise(F.lit(0)))
+    return owned.groupBy("doc_id").agg(
+        F.sum("occ").cast("long").alias("n_windows"),
+        dup_occ.cast("long").alias("n_dup_windows"),
+        F.round(dup_occ.cast("double") / F.sum("occ"), 6).alias("dup_ratio"),
+    )
+
+
+CONTAIN_THRESH = 0.9
+
+_ORACLE_CONTAINMENT = f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        FROM documents
+    ), sizes AS (
+        SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id
+    ), mh_hashed AS (
+        SELECT doc_id, {o_h60("token")} % {MH_P} AS x FROM tok
+    ), mh_sig AS (
+        SELECT doc_id, {_MH_SIG_COLS} FROM mh_hashed GROUP BY doc_id
+    ), mh_cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM mh_sig a JOIN mh_sig b ON a.doc_id < b.doc_id
+        WHERE {_MH_BAND_MATCH}
+    ), inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM mh_cand c
+        JOIN tok a ON a.doc_id = c.doc_a
+        JOIN tok b ON b.doc_id = c.doc_b AND b.token = a.token
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b,
+           round(CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz), 6)
+               AS containment,
+           CASE WHEN sa.sz <= sb.sz THEN i.doc_a ELSE i.doc_b END AS inner_doc
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.doc_a
+    JOIN sizes sb ON sb.doc_id = i.doc_b
+    WHERE CAST(n_common AS DOUBLE) / LEAST(sa.sz, sb.sz) >= {CONTAIN_THRESH}
+"""
+
+
+@register("q_minhash_containment", oracle=_ORACLE_CONTAINMENT, category=CAT)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52: near-SUBSET detection — exact token-set containment
+    |A∩B| / min(|A|,|B|) ≥ 0.9 evaluated on the MinHash-LSH candidate
+    stream. Jaccard misses asymmetric duplication (a document embedded
+    inside a much longer one has high containment but low Jaccard);
+    containment is the standard complement (Broder's original
+    resemblance/containment pair). ``inner_doc`` names the smaller
+    (contained) side — the one a dedup pass would drop or trim.
+
+    Scale: identical orchestration to L8 — linear signature pass,
+    banded candidates, exact verify via codegen array_intersect on
+    broadcast-joined hashed token arrays; never an all-pairs join.
+    Caveat (documented, shared with L8): banding targets Jaccard, so
+    a tiny-doc-inside-huge-doc pair can have containment 1.0 yet low
+    Jaccard and be missed by the candidate stage; a production
+    containment pass over asymmetric sizes uses the prefix/posting
+    route (X48) or per-size-band LSH instead. On this corpus the
+    pytest invariant pins candidates ⊇ the containment-qualifying
+    pairs the oracle reports.
+    """
+    cand = minhash_candidates(spark, sf_dir)
+    d = load(spark, sf_dir, "documents")
+    arrs = d.select(
+        "doc_id",
+        F.array_sort(
+            F.transform(
+                F.array_distinct(F.split("text", " ")), lambda t: F.xxhash64(t)
+            )
+        ).alias("toks"),
+    )
+    aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    n_common = F.size(F.array_intersect("ta", "tb"))
+    cont = n_common.cast("double") / F.least(F.size("ta"), F.size("tb"))
+    return (
+        cand.join(F.broadcast(aa), "doc_a")
+        .join(F.broadcast(bb), "doc_b")
+        .filter(cont >= CONTAIN_THRESH)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(cont, 6).alias("containment"),
+            F.when(F.size("ta") <= F.size("tb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("inner_doc"),
+        )
     )

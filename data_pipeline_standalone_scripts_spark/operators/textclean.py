@@ -754,3 +754,108 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("weighted_mean_l"),
     )
+
+
+# --- round-7 addition: differentially-private release counts ----------------
+
+# Two-sided geometric (discrete Laplace) mechanism, alpha = 1/2
+# (epsilon = ln 2 for sensitivity-1 counts), truncated at |k| <= 8 and
+# renormalized. The inverse CDF is pre-quantized to 20-bit integer
+# thresholds computed EXACTLY (fractions) at import — both engines
+# evaluate the identical integer CASE chain, so the mechanism is
+# bit-portable with no transcendental math in either plan.
+def _geom_thresholds() -> list[tuple[int, int]]:
+    from fractions import Fraction
+
+    half = Fraction(1, 2)
+    mass = {k: half ** abs(k) for k in range(-8, 9)}
+    total = sum(mass.values())
+    acc = Fraction(0)
+    out = []
+    for k in range(-8, 9):
+        acc += mass[k] / total
+        out.append((k, round(acc * (1 << 20))))
+    return out
+
+
+_GEOM = _geom_thresholds()
+DP_MOD = 1 << 20
+
+
+def _dp_noise_spark(u):  # u: int64 Column in [0, 2^20)
+    expr = F.lit(_GEOM[-1][0])
+    for k, t in reversed(_GEOM[:-1]):
+        expr = F.when(u < t, k).otherwise(expr)
+    return expr
+
+
+_DP_NOISE_SQL_CASE = (
+    "CASE "
+    + " ".join(f"WHEN u < {t} THEN ({k})" for k, t in _GEOM[:-1])
+    + f" ELSE ({_GEOM[-1][0]}) END"
+)
+
+
+@register(
+    "q_dp_counts",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2
+        ), noised AS (
+            SELECT event_type, day, n,
+                   {o_h60("event_type || '|' || day")} % {DP_MOD} AS u
+            FROM cells
+        )
+        SELECT event_type, day,
+               CAST(GREATEST(0, n + {_DP_NOISE_SQL_CASE}) AS BIGINT)
+                   AS noisy_n
+        FROM noised
+    """,
+    category=CAT,
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PI10: differentially-private count release — daily event-type
+    counts protected by the two-sided geometric (discrete Laplace)
+    mechanism at epsilon = ln 2, the integer-valued mechanism actually
+    deployed for count queries (Ghosh–Roughgarden–Sundararajan: it is
+    universally utility-optimal for counts, and it never emits the
+    impossible fractional counts continuous Laplace would). Noise is
+    drawn per released cell, truncated at ±8 (the tail beyond is
+    < 2^-8 mass) and clamped at zero.
+
+    The "draw" here is a deterministic 20-bit hash of the cell key fed
+    through the EXACT quantized inverse CDF (integer thresholds
+    computed with rational arithmetic at import, identical CASE chain
+    in both engines) — a seeded-RNG stand-in that keeps the release
+    reproducible and oracle-checkable; a production deployment swaps
+    the hash for a secret-seeded PRF over the same thresholds, which
+    is exactly how seeded DP releases are implemented.
+
+    Scale: one map-combinable aggregation over the fact table, then a
+    per-cell scalar transform — the noise CASE is codegen, no Python,
+    no second pass. Output is |event_type| x |days| cells.
+    """
+    e = load(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # u is materialized in its own projection so the md5 evaluates
+    # once, not once per CASE branch (CSE-independent).
+    noised = cells.withColumn(
+        "u",
+        F.pmod(
+            h60(F.concat_ws("|", F.col("event_type"), F.col("day"))),
+            F.lit(DP_MOD),
+        ),
+    )
+    return noised.select(
+        "event_type",
+        "day",
+        F.greatest(F.lit(0), F.col("n") + _dp_noise_spark(F.col("u")))
+        .cast("long")
+        .alias("noisy_n"),
+    )

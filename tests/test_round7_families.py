@@ -1,0 +1,156 @@
+"""Invariant tests for the round-7 additions (substring-window dedup,
+minhash containment, DP count release, canonical-set dedup) — semantic
+properties parity alone doesn't state (SURVEY.md §5.2).
+"""
+
+from pyspark.sql import functions as F
+
+import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.tables import load
+
+engine.load_all_operators()
+
+
+def _run(name, spark, sf):
+    return REGISTRY[name].fn(spark, sf)
+
+
+def test_substring_dedup_ledger_is_consistent(spark, sf_small):
+    """Window accounting: 0 <= dups <= total, ratio = dups/total, and
+    total windows per doc equals len(tokens) - K + 1 recomputed from
+    the raw text (occurrence counting conserves the explode)."""
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        SUBSTR_K,
+    )
+
+    r = _run("q_substring_dedup", spark, sf_small).toPandas()
+    assert (r.n_dup_windows >= 0).all()
+    assert (r.n_dup_windows <= r.n_windows).all()
+    assert (
+        abs(r.dup_ratio - (r.n_dup_windows / r.n_windows).round(6)) < 1e-9
+    ).all()
+    expected = (
+        load(spark, sf_small, "documents")
+        .select(
+            "doc_id",
+            (F.size(F.split("text", " ")) - (SUBSTR_K - 1)).alias("exp_n"),
+        )
+        .filter(F.col("exp_n") >= 1)
+        .toPandas()
+    )
+    merged = r.merge(expected, on="doc_id", how="outer")
+    assert not merged.exp_n.isna().any() and not merged.n_windows.isna().any()
+    assert (merged.n_windows == merged.exp_n).all()
+
+
+def test_substring_dedup_min_owner_has_no_dups(spark, sf_small):
+    """The lowest doc_id in the corpus owns every window it has — its
+    dup count must be exactly zero (first occurrence owns)."""
+    r = _run("q_substring_dedup", spark, sf_small).toPandas()
+    first = r.doc_id.min()
+    assert (r[r.doc_id == first].n_dup_windows == 0).all()
+
+
+def test_containment_dominates_jaccard_on_shared_pairs(spark, sf_small):
+    """|A∩B|/min(|A|,|B|) >= |A∩B|/|A∪B| always; every verified L8
+    Jaccard >= 0.8 pair with equal-size sets must appear here (for
+    equal sizes, containment = 2J/(1+J) >= J >= 0.8... >= 0.9 only
+    when J >= 0.818 — so assert on the J >= 0.9 subset, where
+    containment >= 2*0.9/1.9 > 0.94 for ANY sizes)."""
+    cont = _run("q_minhash_containment", spark, sf_small).toPandas()
+    jac = _run("q_minhash_lsh", spark, sf_small).toPandas()
+    strong = jac[jac.jaccard >= 0.9]
+    key = lambda df: set(zip(df.doc_a, df.doc_b))
+    missing = key(strong) - key(cont)
+    assert not missing, f"{len(missing)} strong-Jaccard pairs missing"
+    assert (cont.containment >= 0.9).all()
+    assert (cont.containment <= 1.0 + 1e-9).all()
+
+
+def test_containment_inner_doc_is_smaller_side(spark, sf_small):
+    """inner_doc must be one of the pair and the side with the
+    smaller (or equal) distinct-token set."""
+    cont = _run("q_minhash_containment", spark, sf_small).toPandas()
+    assert (
+        (cont.inner_doc == cont.doc_a) | (cont.inner_doc == cont.doc_b)
+    ).all()
+    sizes = (
+        load(spark, sf_small, "documents")
+        .select(
+            "doc_id",
+            F.size(F.array_distinct(F.split("text", " "))).alias("sz"),
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sz
+    )
+    sa = cont.doc_a.map(sizes)
+    sb = cont.doc_b.map(sizes)
+    inner_sz = cont.inner_doc.map(sizes)
+    assert (inner_sz == sa.combine(sb, min)).all()
+
+
+def test_dp_counts_noise_is_bounded_and_clamped(spark, sf_small):
+    """Released counts differ from true counts by at most the ±8
+    truncation and never go negative."""
+    r = _run("q_dp_counts", spark, sf_small).toPandas()
+    truth = (
+        load(spark, sf_small, "events")
+        .groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    merged = r.merge(truth, on=["event_type", "day"], how="outer")
+    assert not merged.n.isna().any() and not merged.noisy_n.isna().any()
+    assert (merged.noisy_n >= 0).all()
+    assert (abs(merged.noisy_n - merged.n.clip(lower=0)) <= 8).all()
+
+
+def test_dp_threshold_table_is_a_cdf():
+    """The quantized inverse-CDF table must be monotone, span the full
+    20-bit range, and put ~1/3 of the mass on k = 0 (alpha = 1/2
+    two-sided geometric, truncation mass < 2^-8)."""
+    from data_pipeline_standalone_scripts_spark.operators.textclean import (
+        _GEOM,
+        DP_MOD,
+    )
+
+    ks = [k for k, _ in _GEOM]
+    ts = [t for _, t in _GEOM]
+    assert ks == list(range(-8, 9))
+    assert all(b > a for a, b in zip(ts, ts[1:]))
+    assert ts[-1] == DP_MOD
+    p0 = (ts[8] - ts[7]) / DP_MOD
+    assert abs(p0 - 1 / 3) < 0.005
+
+
+def test_normalized_dedup_groups_are_set_identical(spark, sf_small):
+    """Every reported group really is token-set identical: recompute
+    the canonical fingerprint per doc and check group sizes match."""
+    r = _run("q_normalized_dedup", spark, sf_small).toPandas()
+    assert (r.n_docs >= 2).all()
+    assert (r.n_raw_variants >= 1).all()
+    assert (r.n_raw_variants <= r.n_docs).all()
+    canon = (
+        load(spark, sf_small, "documents")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.array_sort(F.array_distinct(F.split("text", " ")))
+            ).alias("canon"),
+        )
+        .groupBy("canon")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("rep"))
+        .filter(F.col("n") >= 2)
+        .toPandas()
+    )
+    # fixture text is already lowercase alnum + single spaces, so the
+    # normalization is the identity here and set-grouping must agree
+    assert sorted(canon.n.tolist()) == sorted(r.n_docs.tolist())
+    assert set(canon.rep) == set(r.rep_doc)

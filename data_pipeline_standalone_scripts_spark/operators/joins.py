@@ -29,6 +29,51 @@ from .common import dsum, o_dsum
 
 CAT = "joins"
 
+# Size-dispatched shuffled-hash-join hint for q3 (q_join_star3).
+# Measured with the counterbalanced ABBA harness (tools/ab_shj_star.py,
+# sf10, one session, arm order alternating per round): q3 SHJ 2.44 s
+# vs SMJ 3.44 s median-of-8 — and the distribution is the finding:
+# the SMJ arm spikes past 4.2 s in half its runs (the 15 M-row orders
+# sort is GC-spiky) while SHJ holds 2.0-2.7 s. q5 measured a WASH
+# under the same harness (2.52 vs 2.42) and keeps default SMJ.
+# Methodology note, learned the hard way: the first A/B
+# (tools/bench_join_conf.py) ran variants in a fixed order per round
+# and systematically credited the last-run variant with the round's
+# warming — fixed-order A/Bs on this box are not citable.
+# The build sides are structurally ~10x smaller than the probe
+# (filtered customer vs orders; cust⋈orders vs lineitem) at ANY scale
+# factor — the SHJ sweet spot: too big to broadcast, small enough to
+# hash per partition. The hint fires only once orders exceeds
+# _SHJ_MIN_ORDERS_BYTES on disk; below that every side broadcasts
+# anyway (the sf0.1 plans are all-BHJ and stay bit-stable,
+# tests/test_scale_plans.py).
+_SHJ_MIN_ORDERS_BYTES = 64 * 1024 * 1024
+
+
+def _use_shj(sf_dir: str) -> bool:
+    import os
+
+    from ..tables import table_path
+
+    path = table_path(sf_dir, "orders")
+    try:
+        if os.path.isdir(path):
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        else:
+            total = os.path.getsize(path)
+    except OSError:
+        return False  # unknown layout -> scale-safe default (SMJ)
+    return total >= _SHJ_MIN_ORDERS_BYTES
+
+
+def _shj(df: DataFrame, enabled: bool) -> DataFrame:
+    return df.hint("shuffle_hash") if enabled else df
+
 
 @register(
     "q_join_broadcast",
@@ -110,13 +155,29 @@ def q_join_star3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: customer filter first (segment selectivity ~1/5), then
     orders, then lineitem — dims-to-facts ordering keeps intermediate
     rows minimal; top-k via TakeOrderedAndProject, no global sort.
+
+    Join strategy (round 7, measured): once orders outgrows the
+    broadcast regime (_SHJ_MIN_ORDERS_BYTES) both joins take a
+    shuffled-hash hint with the structurally-smaller side as build
+    (filtered customer ~1/50 of orders; the cust⋈orders stream ~15%
+    of lineitem) — same exchanges as SMJ, no sorts. Measured via the
+    counterbalanced ABBA harness (tools/ab_shj_star.py; the naive
+    fixed-order A/B in tools/bench_join_conf.py systematically favors
+    whichever variant runs last in each round — kept as a cautionary
+    artifact): sf10 same-session SHJ 2.44 s vs SMJ 3.44 s
+    median-of-8, and the SMJ arm is the unstable one (4 of 8 runs
+    spike past 4.2 s on the 15 M-row orders sort; SHJ spikes once).
+    Below the threshold every side broadcasts and the hint stays off,
+    so test-tier plans are unchanged. q5 got the same hint and
+    measured a WASH — reverted there (see q_join_star6).
     """
     cutoff = F.lit("1998-03-15").cast("timestamp")
+    shj = _use_shj(sf_dir)
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        _shj(_shj(cust, shj).join(orders, cust.c_custkey == orders.o_custkey), shj)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy("o_orderkey", "o_orderdate")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -184,6 +245,14 @@ def q_join_star6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li_asia = li.select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     ).join(F.broadcast(dims), F.col("l_suppkey") == F.col("s_suppkey"))
+    # SHJ hints on the orders/customer sides were MEASURED A WASH here
+    # (tools/ab_shj_star.py ABBA, sf10 same-session: SHJ 2.52 s vs SMJ
+    # 2.42 s median-of-8) — unlike q3, whose custkey sort is the spiky
+    # stage. q5's cost is moving the ASIA lineitem stream through the
+    # orderkey exchange, identical under either strategy, and sorting
+    # the thin 2-column sides is cheap. Keep the default (SMJ): same
+    # speed, and sort-merge degrades more gracefully if a build side
+    # ever outgrows memory at deployment scale.
     return (
         li_asia.join(
             orders.select("o_orderkey", "o_custkey"),

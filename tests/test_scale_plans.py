@@ -666,3 +666,21 @@ def test_no_unpartitioned_windows_registry_wide(spark, sf_small):
     assert not cartesians, f"CartesianProduct in plans: {cartesians}"
     # the allowlist itself must stay small and justified
     assert len(UNPARTITIONED_WINDOW_ALLOWLIST) <= 10
+
+
+def test_star3_shj_dispatch_plumbing(spark, sf_med, monkeypatch):
+    """The q3 shuffled-hash dispatch (joins._SHJ_MIN_ORDERS_BYTES):
+    OFF at test tier (all-broadcast plan, pinned elsewhere); when
+    forced ON, the plan must carry ShuffledHashJoin with no
+    SortMergeJoin, and values must be identical to the default plan."""
+    from data_pipeline_standalone_scripts_spark.operators import joins
+
+    base = REGISTRY["q_join_star3"].fn(spark, sf_med)
+    assert "ShuffledHashJoin" not in plan_of(base)
+    plain = base.toPandas()
+    monkeypatch.setattr(joins, "_SHJ_MIN_ORDERS_BYTES", 0)
+    hinted_df = REGISTRY["q_join_star3"].fn(spark, sf_med)
+    plan = plan_of(hinted_df)
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert hinted_df.toPandas().equals(plain)

@@ -20,6 +20,7 @@ the only dialect divergence in the shared SQL template below.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..registry import register
 from ..tables import load, register_views
@@ -689,4 +690,171 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return positives.join(wide, "a_id").select(
         F.col("a_id").alias("anchor_id"), "pos_id", "neg1", "neg2", "neg3"
+    )
+
+
+# --- round-7 additions: threshold-sweep eval + target encoding ---------------
+
+PR_POINTS = 20  # operating points at every 5% of the ranked corpus
+
+
+@register(
+    "q_pr_curve",
+    oracle=f"""
+        WITH sc AS (
+            SELECT CAST(lang = 'en' AS INTEGER) AS y,
+                   n_chars * 1000 + doc_id % 1000 AS score
+            FROM documents
+        ), g AS (
+            SELECT score, COUNT(*) AS c, SUM(y) AS pc FROM sc GROUP BY score
+        ), run AS (
+            SELECT score, c,
+                   SUM(c)  OVER (ORDER BY score DESC) AS cum_n,
+                   SUM(pc) OVER (ORDER BY score DESC) AS cum_pos
+            FROM g
+        ), tot AS (
+            SELECT COUNT(*) AS n, SUM(y) AS np FROM sc
+        )
+        SELECT CAST(p * (100 / {PR_POINTS}) AS BIGINT) AS p_pct,
+               score AS threshold_score,
+               CAST(cum_pos AS BIGINT) AS tp,
+               CAST(cum_n - cum_pos AS BIGINT) AS fp,
+               CAST(np - cum_pos AS BIGINT) AS fn,
+               round(CAST(cum_pos AS DOUBLE) / cum_n, 6) AS precision,
+               round(CAST(cum_pos AS DOUBLE) / np, 6) AS recall,
+               CASE WHEN cum_pos = 0 THEN 0.0
+                    ELSE round(2.0 * (CAST(cum_pos AS DOUBLE) / cum_n)
+                                   * (CAST(cum_pos AS DOUBLE) / np)
+                               / ((CAST(cum_pos AS DOUBLE) / cum_n)
+                                  + (CAST(cum_pos AS DOUBLE) / np)), 6)
+               END AS f1
+        FROM run, tot,
+             (SELECT unnest(generate_series(1, {PR_POINTS})) AS p)
+        WHERE (cum_n - c) < (p * n + {PR_POINTS} - 1) // {PR_POINTS}
+          AND (p * n + {PR_POINTS} - 1) // {PR_POINTS} <= cum_n
+    """,
+    category=CAT,
+)
+def q_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML8: precision/recall curve at PR_POINTS (20) rank-budget
+    operating points — "classify the top p% of the corpus positive" for
+    p = 5%..100%, the threshold-sweep companion to ML5's threshold-free
+    AUC (same deterministic length-based classifier, same lang=='en'
+    label). Rank budgets, not score thresholds, because that is how
+    curation actually consumes a ranking ("keep the best N tokens"),
+    and because integer prefix boundaries are bit-portable where score
+    quantiles are interpolation-dependent.
+
+    Each operating point is the unique distinct-score prefix whose
+    cumulative count first crosses ceil(p·N/points) — score groups are
+    atomic (a threshold cannot split ties), so precision/recall come
+    from exact BIGINT cumulative (count, positive) pairs; the
+    divisions are the only float ops.
+
+    Scale: distinct-score pre-aggregation (map-side combined), ONE
+    dist_running pass over |distinct scores| rows (never a global
+    per-row rank), then a PR_POINTS-element boundary explode on the
+    already-tiny frame. Same skeleton as ML5 — at extreme scale both
+    swap the distinct-score frame for an equi-depth histogram.
+    """
+    d = load(spark, sf_dir, "documents")
+    sc = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (F.col("n_chars") * 1000 + F.col("doc_id") % 1000).alias("score"),
+    )
+    g = sc.groupBy("score").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("y").alias("pc")
+    )
+    run = dist_running(
+        g, [("score", "desc")], {"cum_n": "c", "cum_pos": "pc"}, inclusive=True
+    )
+    tot = g.agg(
+        F.sum("c").alias("n"), F.sum("pc").alias("np")
+    )
+    b = ((F.col("p") * F.col("n") + (PR_POINTS - 1)) / PR_POINTS).cast("long")
+    prec = F.col("cum_pos").cast("double") / F.col("cum_n")
+    rec = F.col("cum_pos").cast("double") / F.col("np")
+    return (
+        run.crossJoin(F.broadcast(tot))
+        .withColumn("p", F.explode(F.sequence(F.lit(1), F.lit(PR_POINTS))))
+        .filter(((F.col("cum_n") - F.col("c")) < b) & (b <= F.col("cum_n")))
+        .select(
+            (F.col("p") * (100 // PR_POINTS)).cast("long").alias("p_pct"),
+            F.col("score").alias("threshold_score"),
+            F.col("cum_pos").cast("long").alias("tp"),
+            (F.col("cum_n") - F.col("cum_pos")).cast("long").alias("fp"),
+            (F.col("np") - F.col("cum_pos")).cast("long").alias("fn"),
+            F.round(prec, 6).alias("precision"),
+            F.round(rec, 6).alias("recall"),
+            F.when(F.col("cum_pos") == 0, F.lit(0.0))
+            .otherwise(F.round(2.0 * prec * rec / (prec + rec), 6))
+            .alias("f1"),
+        )
+    )
+
+
+TE_SMOOTH = 10  # pseudo-observations pulled toward the global mean
+
+
+@register(
+    "q_target_encoding",
+    oracle=f"""
+        WITH joined AS (
+            SELECT p_brand,
+                   CAST(l_returnflag = 'R' AS INTEGER) AS y
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), per AS (
+            SELECT p_brand, COUNT(*) AS n, SUM(y) AS pos
+            FROM joined GROUP BY p_brand
+        ), tot AS (
+            SELECT SUM(n) AS tn, SUM(pos) AS tpos FROM per
+        )
+        SELECT p_brand,
+               CAST(n AS BIGINT) AS n,
+               CAST(pos AS BIGINT) AS n_returned,
+               round((CAST(pos AS DOUBLE)
+                      + {TE_SMOOTH} * (CAST(tpos AS DOUBLE) / tn))
+                     / (n + {TE_SMOOTH}), 6) AS encoded
+        FROM per, tot
+    """,
+    category=CAT,
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML9: smoothed target (mean) encoding — each category's feature
+    value is its target rate shrunk toward the global rate with
+    TE_SMOOTH pseudo-observations: (pos + m·ȳ)/(n + m) — the standard
+    high-cardinality categorical encoder for the linear/GBDT models
+    the mlfit family trains (micci-barreca smoothing). Demonstrated
+    on p_brand vs the lineitem return flag.
+
+    Exactness: per-category (n, pos) and the global (tn, tpos) are
+    exact BIGINTs; the shrinkage expression is the only float math and
+    is spelled identically in both engines, then rounded to 6.
+
+    Scale: broadcast part-side join (brand is a part attribute), one
+    map-combinable aggregation to |categories| rows, one 1-row global
+    total broadcast back — no second pass over the fact table. A
+    leakage-safe train-split variant conditions the same sums on the
+    q_train_test_split hash — identical plan, filtered input.
+    """
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", (F.col("l_returnflag") == "R").cast("int").alias("y")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    tot = per.agg(F.sum("n").alias("tn"), F.sum("pos").alias("tpos"))
+    gmean = F.col("tpos").cast("double") / F.col("tn")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "p_brand",
+        F.col("n").cast("long").alias("n"),
+        F.col("pos").cast("long").alias("n_returned"),
+        F.round(
+            (F.col("pos").cast("double") + TE_SMOOTH * gmean)
+            / (F.col("n") + TE_SMOOTH),
+            6,
+        ).alias("encoded"),
     )

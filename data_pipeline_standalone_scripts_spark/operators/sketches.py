@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
@@ -452,4 +453,187 @@ def q_heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.orderBy(F.col("merged_lower").desc(), F.col("tok").asc())
         .limit(_MG_TOP)
         .select("tok", "merged_lower")
+    )
+
+
+# --- round-7 addition: KMV set algebra -----------------------------------
+
+KMV_SET_K = 64
+_H60_MAX_F = float(1 << 60)  # exact in double (2^60)
+
+
+@register(
+    "q_kmv_set_ops",
+    oracle=f"""
+        WITH vals AS (
+            SELECT DISTINCT
+                   strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   {o_h60("CAST(user_id AS VARCHAR)")} AS v
+            FROM events
+        ), pairs AS (
+            SELECT a.day AS day_a, b.day AS day_b
+            FROM (SELECT DISTINCT day FROM vals) a
+            JOIN (SELECT DISTINCT day FROM vals) b ON a.day < b.day
+        ), sk AS (
+            SELECT day, v FROM (
+                SELECT day, v,
+                       row_number() OVER (PARTITION BY day ORDER BY v) AS rn
+                FROM vals
+            ) WHERE rn <= {KMV_SET_K}
+        ), tagged AS (
+            SELECT p.day_a, p.day_b, s.v, 1 AS ia, 0 AS ib
+            FROM pairs p JOIN sk s ON s.day = p.day_a
+            UNION ALL
+            SELECT p.day_a, p.day_b, s.v, 0, 1
+            FROM pairs p JOIN sk s ON s.day = p.day_b
+        ), mem AS (
+            SELECT day_a, day_b, v, MAX(ia) AS ia, MAX(ib) AS ib
+            FROM tagged GROUP BY 1, 2, 3
+        ), mk AS (
+            SELECT * FROM (
+                SELECT day_a, day_b, v, ia, ib,
+                       row_number() OVER (PARTITION BY day_a, day_b
+                                          ORDER BY v) AS rn
+                FROM mem
+            ) WHERE rn <= {KMV_SET_K}
+        ), agg AS (
+            SELECT day_a, day_b,
+                   COUNT(*) AS k_used,
+                   MAX(v) AS tau,
+                   SUM(ia * ib) AS inter_k
+            FROM mk GROUP BY 1, 2
+        ), sizes AS (
+            SELECT day, COUNT(*) AS sz FROM vals GROUP BY day
+        ), inter AS (
+            SELECT a.day AS day_a, b.day AS day_b, COUNT(*) AS ni
+            FROM vals a JOIN vals b ON a.v = b.v AND a.day < b.day
+            GROUP BY 1, 2
+        )
+        SELECT g.day_a, g.day_b,
+               CAST(k_used AS BIGINT) AS k_used,
+               round(CASE WHEN k_used < {KMV_SET_K}
+                          THEN CAST(k_used AS DOUBLE)
+                          ELSE ({KMV_SET_K} - 1.0)
+                               * ({_H60_MAX_F!r} / CAST(tau AS DOUBLE))
+                     END, 6) AS kmv_union_est,
+               round(CAST(inter_k AS DOUBLE) / k_used, 6) AS kmv_jaccard,
+               CAST(sa.sz + sb.sz - COALESCE(i.ni, 0) AS BIGINT)
+                   AS exact_union,
+               round(CAST(COALESCE(i.ni, 0) AS DOUBLE)
+                     / (sa.sz + sb.sz - COALESCE(i.ni, 0)), 6)
+                   AS exact_jaccard
+        FROM agg g
+        JOIN sizes sa ON sa.day = g.day_a
+        JOIN sizes sb ON sb.day = g.day_b
+        LEFT JOIN inter i ON i.day_a = g.day_a AND i.day_b = g.day_b
+    """,
+    category=CAT,
+)
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SK5: KMV sketch SET ALGEBRA — pairwise union cardinality and
+    Jaccard between daily active-user sets, estimated from k-minimum-
+    value sketches and reported next to the exact answers (the
+    accuracy audit a pipeline runs before trusting the sketch at
+    scale). Completes SK3's single-set KMV with the operations that
+    make KMV useful: merged sketches ARE the union's sketch (the k
+    smallest of A∪B are all present in sketch(A) ∪ sketch(B)), and the
+    fraction of the merged sketch present in both sides estimates
+    Jaccard (Beyer et al., SIGMOD'07).
+
+    Estimator: with the merged sketch saturated, Û = (k−1)·2^60/τ_k
+    (hash values are h60's uniform 60-bit integers); unsaturated means
+    the sketches were exhaustive, so the merged set IS the exact
+    union (the estimator path and the exact path are both exercised:
+    daily sets saturate k=64 at sf0.01+, not at sf0.001). All
+    branching is on exact integers; the two divisions are the only
+    float ops, spelled identically in both engines.
+
+    Scale: sketches are |days|×k rows built by one partitioned top-k
+    window over the distinct (day, hash) pass — the fact table is
+    touched once; every pairwise combination happens in sketch space
+    (45 pairs × 128 rows here; |keys|²k at worst), which is the entire
+    point of KMV. The exact_* columns are the test-scale audit and go
+    quadratic in |keys| — production keeps only the sketch columns.
+    """
+    e = load(spark, sf_dir, "events")
+    vals = e.select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        h60(F.col("user_id").cast("string")).alias("v"),
+    ).distinct()
+    vals = tracked_persist(vals)
+    w = Window.partitionBy("day").orderBy("v")
+    sk = (
+        vals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KMV_SET_K)
+        .drop("rn")
+    )
+    days = vals.select("day").distinct()
+    pairs = (
+        days.alias("a")
+        .join(days.alias("b"), F.col("a.day") < F.col("b.day"))
+        .select(F.col("a.day").alias("day_a"), F.col("b.day").alias("day_b"))
+    )
+    both = (
+        pairs.join(
+            sk.select(F.col("day").alias("day_a"), "v"), "day_a"
+        ).select("day_a", "day_b", "v", F.lit(1).alias("ia"), F.lit(0).alias("ib"))
+    ).unionByName(
+        pairs.join(
+            sk.select(F.col("day").alias("day_b"), "v"), "day_b"
+        ).select("day_a", "day_b", "v", F.lit(0).alias("ia"), F.lit(1).alias("ib"))
+    )
+    mem = both.groupBy("day_a", "day_b", "v").agg(
+        F.max("ia").alias("ia"), F.max("ib").alias("ib")
+    )
+    wp = Window.partitionBy("day_a", "day_b").orderBy("v")
+    mk = (
+        mem.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_SET_K)
+    )
+    agg = mk.groupBy("day_a", "day_b").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("v").alias("tau"),
+        F.sum(F.col("ia") * F.col("ib")).alias("inter_k"),
+    )
+    sizes = vals.groupBy("day").agg(F.count(F.lit(1)).alias("sz"))
+    inter = (
+        vals.alias("x")
+        .join(
+            vals.alias("y"),
+            (F.col("x.v") == F.col("y.v"))
+            & (F.col("x.day") < F.col("y.day")),
+        )
+        .groupBy(
+            F.col("x.day").alias("day_a"), F.col("y.day").alias("day_b")
+        )
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    est = F.when(
+        F.col("k_used") < KMV_SET_K, F.col("k_used").cast("double")
+    ).otherwise(
+        (KMV_SET_K - 1.0) * (F.lit(_H60_MAX_F) / F.col("tau").cast("double"))
+    )
+    ni = F.coalesce(F.col("ni"), F.lit(0))
+    ex_union = F.col("sa.sz") + F.col("sb.sz") - ni
+    return (
+        agg.join(
+            F.broadcast(sizes.alias("sa")),
+            F.col("sa.day") == F.col("day_a"),
+        )
+        .join(
+            F.broadcast(sizes.alias("sb")),
+            F.col("sb.day") == F.col("day_b"),
+        )
+        .join(F.broadcast(inter), ["day_a", "day_b"], "left")
+        .select(
+            "day_a",
+            "day_b",
+            F.col("k_used").cast("long").alias("k_used"),
+            F.round(est, 6).alias("kmv_union_est"),
+            F.round(
+                F.col("inter_k").cast("double") / F.col("k_used"), 6
+            ).alias("kmv_jaccard"),
+            ex_union.cast("long").alias("exact_union"),
+            F.round(ni.cast("double") / ex_union, 6).alias("exact_jaccard"),
+        )
     )

@@ -154,3 +154,77 @@ def test_normalized_dedup_groups_are_set_identical(spark, sf_small):
     # normalization is the identity here and set-grouping must agree
     assert sorted(canon.n.tolist()) == sorted(r.n_docs.tolist())
     assert set(canon.rep) == set(r.rep_doc)
+
+
+def test_pr_curve_is_monotone_and_consistent(spark, sf_small):
+    """Recall is nondecreasing in the rank budget, the p=100% point
+    degenerates to (precision = base rate, recall = 1), and tp/fp/fn
+    are a consistent confusion decomposition at every point."""
+    r = (
+        _run("q_pr_curve", spark, sf_small)
+        .toPandas()
+        .sort_values("p_pct")
+        .reset_index(drop=True)
+    )
+    assert list(r.p_pct) == [5 * i for i in range(1, 21)]
+    assert (r.recall.diff().dropna() >= -1e-9).all()
+    n_pos = int(r.tp.iloc[0] + r.fn.iloc[0])
+    assert ((r.tp + r.fn) == n_pos).all()
+    last = r.iloc[-1]
+    assert last.recall == 1.0
+    docs = load(spark, sf_small, "documents").count()
+    assert int(last.tp + last.fp) == docs
+    import numpy as np
+
+    prec = r.tp / (r.tp + r.fp)
+    assert (abs(r.precision - prec.round(6)) < 1e-9).all()
+    nz = r[r.tp > 0]
+    f1 = 2 * (nz.tp / (nz.tp + nz.fp)) * (nz.tp / n_pos) / (
+        (nz.tp / (nz.tp + nz.fp)) + (nz.tp / n_pos)
+    )
+    assert (abs(nz.f1 - f1.round(6)) < 1e-6).all()
+
+
+def test_target_encoding_shrinks_toward_global_mean(spark, sf_small):
+    """Every encoded value lies strictly between the category's raw
+    rate and the global rate (or equals both when they coincide), and
+    reconstructing the shrinkage identity from the emitted integers
+    reproduces the encoding."""
+    from data_pipeline_standalone_scripts_spark.operators.mlfit import (
+        TE_SMOOTH,
+    )
+
+    r = _run("q_target_encoding", spark, sf_small).toPandas()
+    gmean = r.n_returned.sum() / r.n.sum()
+    raw = r.n_returned / r.n
+    lo = raw.combine(gmean, min)
+    hi = raw.combine(gmean, max)
+    assert ((r.encoded >= lo - 1e-9) & (r.encoded <= hi + 1e-9)).all()
+    recon = (r.n_returned + TE_SMOOTH * gmean) / (r.n + TE_SMOOTH)
+    assert (abs(r.encoded - recon.round(6)) < 1e-9).all()
+
+
+def test_kmv_exact_path_and_estimator_error(spark, sf_small):
+    """Where the merged sketch is unsaturated the op must be EXACT
+    (kmv == exact for both union and jaccard); where saturated, the
+    (k-1)/u_k estimator must land within 5 standard errors
+    (se ~ 1/sqrt(k-2)) of the exact union."""
+    from data_pipeline_standalone_scripts_spark.operators.sketches import (
+        KMV_SET_K,
+    )
+
+    r = _run("q_kmv_set_ops", spark, sf_small).toPandas()
+    assert ((r.exact_jaccard >= 0) & (r.exact_jaccard <= 1)).all()
+    exact_path = r[r.k_used < KMV_SET_K]
+    assert (exact_path.kmv_union_est == exact_path.exact_union).all()
+    assert (
+        abs(
+            exact_path.kmv_jaccard
+            - (exact_path.exact_jaccard)
+        )
+        < 1e-6
+    ).all()
+    est_path = r[r.k_used == KMV_SET_K]
+    if len(est_path):
+        rel = abs(est_path.kmv_union_est - est_path.exact_union) / est_path.exact_union
+        assert (rel < 5.0 / (KMV_SET_K - 2) ** 0.5).all(), rel.max()

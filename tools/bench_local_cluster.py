@@ -49,6 +49,12 @@ OPS = {
     "q5_multiway": "q_join_star6",
     "events_interval_coverage": "q_interval_coverage",
     "events_tumbling_1h": "q_tumbling_window",
+    # kernel (Arrow/Python-worker) class — round-7 extension: does the
+    # mapInPandas fan-out amortize across real executor JVMs (each
+    # executor runs its OWN Python worker pool) or pay extra IPC?
+    "docs_wordcount": "q_explode",
+    "docs_bm25_topk": "q_bm25_rank",
+    "docs_boilerplate_5gram": "q_boilerplate_ngrams",
 }
 
 MASTERS = ["local[32]", "local-cluster[2,16,49152]"]

@@ -2236,6 +2236,13 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     route (X48) or per-size-band LSH instead. On this corpus the
     pytest invariant pins candidates ⊇ the containment-qualifying
     pairs the oracle reports.
+
+    SESSION REQUIREMENT at sf ≥ 1 (measured, round 7): this op
+    consumes ``minhash_candidates`` verbatim, so it inherits the
+    ~100 GB lz4 shuffle appetite measured for that stream — a default
+    session DIED on disk at sf1 (SPILL_OUT_OF_MEMORY / No space
+    left). Use the zstd session recipe in tools/run_minhash_sf1.py,
+    exactly like q_local_alignment (SCALE.md determinism ledger).
     """
     cand = minhash_candidates(spark, sf_dir)
     d = load(spark, sf_dir, "documents")

@@ -2271,3 +2271,117 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("inner_doc"),
         )
     )
+
+
+@register(
+    "q_dup_span_trim",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), wins AS (
+            SELECT doc_id, pos,
+                   {o_h60(f"array_to_string(t[pos:pos+{SUBSTR_K - 1}], ' ')")}
+                       AS wh
+            FROM (
+                SELECT doc_id, t,
+                       unnest(generate_series(1, len(t) - {SUBSTR_K - 1}))
+                           AS pos
+                FROM toks WHERE len(t) >= {SUBSTR_K}
+            )
+        ), owned AS (
+            SELECT doc_id, pos,
+                   MIN(doc_id) OVER (PARTITION BY wh) AS owner
+            FROM wins
+        ), dups AS (
+            SELECT doc_id, pos,
+                   CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                                  ORDER BY pos)
+                             > {SUBSTR_K - 1}
+                             OR lag(pos) OVER (PARTITION BY doc_id
+                                               ORDER BY pos) IS NULL
+                        THEN 1 ELSE 0 END AS brk
+            FROM owned WHERE owner < doc_id
+        ), islands AS (
+            SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl
+            FROM dups
+        )
+        SELECT doc_id,
+               CAST(MIN(pos) AS BIGINT) AS span_start,
+               CAST(MAX(pos) + {SUBSTR_K - 1} AS BIGINT) AS span_end,
+               CAST(MAX(pos) + {SUBSTR_K - 1} - MIN(pos) + 1 AS BIGINT)
+                   AS span_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM islands GROUP BY doc_id, isl
+    """,
+    category=CAT,
+)
+def q_dup_span_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53: maximal duplicated SPANS per document — the actual "trim"
+    output of exact-substring dedup (Lee et al. 2022 drop the
+    duplicated span, not the document). X51 elects a min-doc_id owner
+    per K-token window; here each non-owning window marks its K-token
+    interval [pos, pos+K-1] and overlapping/adjacent intervals merge
+    into maximal spans by the classic gaps-and-islands sweep: equal
+    window length means a new island starts exactly when the gap
+    between consecutive duplicated positions exceeds K-1. Output is
+    one row per (doc, span): token-coordinate start/end, span width,
+    contributing window count — directly consumable by a trimming
+    pass (slice the token array outside the spans).
+
+    All integer arithmetic end to end — positions, gaps and island
+    ids are exact in both engines; no float column exists.
+
+    Scale: the owner election is X51's window-hash MIN (one thin
+    keyed exchange); the island sweep is two doc_id-partitioned
+    window passes over only the DUPLICATED positions (lag + running
+    sum — bounded by dup density, not corpus size). Same
+    shuffle-before-expansion discipline: the position explode happens
+    after a doc_id repartition.
+    """
+    par = spark.sparkContext.defaultParallelism
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("t")
+    )
+    wins = (
+        d.filter(F.size("t") >= SUBSTR_K)
+        .repartition(par, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (SUBSTR_K - 1)),
+                    lambda p: h60(
+                        F.concat_ws(" ", F.slice(F.col("t"), p, SUBSTR_K))
+                    ),
+                )
+            ).alias("pos0", "wh"),
+        )
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "wh")
+    )
+    owned = wins.withColumn(
+        "owner", F.min("doc_id").over(Window.partitionBy("wh"))
+    )
+    dup = owned.filter(F.col("owner") < F.col("doc_id")).select(
+        "doc_id", "pos"
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = F.when(
+        F.lag("pos").over(w_doc).isNull()
+        | ((F.col("pos") - F.lag("pos").over(w_doc)) > (SUBSTR_K - 1)),
+        1,
+    ).otherwise(0)
+    islands = dup.withColumn("brk", brk).withColumn(
+        "isl",
+        F.sum("brk").over(
+            w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return islands.groupBy("doc_id", "isl").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (SUBSTR_K - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + (SUBSTR_K - 1) - F.min("pos") + 1)
+        .cast("long")
+        .alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_windows"),
+    ).drop("isl")

@@ -228,3 +228,37 @@ def test_kmv_exact_path_and_estimator_error(spark, sf_small):
     if len(est_path):
         rel = abs(est_path.kmv_union_est - est_path.exact_union) / est_path.exact_union
         assert (rel < 5.0 / (KMV_SET_K - 2) ** 0.5).all(), rel.max()
+
+
+def test_dup_spans_partition_the_dup_windows(spark, sf_small):
+    """Per doc, the spans' contributing-window counts must sum to
+    exactly X51's n_dup_windows (same owner election, two views of the
+    same set); spans are disjoint with >= K-1 token gaps, each at
+    least K tokens wide, and end within the document."""
+    from data_pipeline_standalone_scripts_spark.operators.dedup_ext import (
+        SUBSTR_K,
+    )
+
+    spans = _run("q_dup_span_trim", spark, sf_small).toPandas()
+    ledger = _run("q_substring_dedup", spark, sf_small).toPandas()
+    per_doc = spans.groupby("doc_id").n_windows.sum()
+    led = ledger.set_index("doc_id").n_dup_windows
+    for doc, n in per_doc.items():
+        assert led[doc] == n, (doc, n, led[doc])
+    assert set(ledger[ledger.n_dup_windows > 0].doc_id) == set(spans.doc_id)
+    assert (spans.span_tokens >= SUBSTR_K).all()
+    assert (
+        spans.span_tokens == spans.span_end - spans.span_start + 1
+    ).all()
+    lens = (
+        load(spark, sf_small, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        .toPandas()
+        .set_index("doc_id")
+        .n_toks
+    )
+    assert (spans.span_end <= spans.doc_id.map(lens)).all()
+    s = spans.sort_values(["doc_id", "span_start"])
+    prev_end = s.groupby("doc_id").span_end.shift()
+    gap_ok = prev_end.isna() | (s.span_start - prev_end > SUBSTR_K - 1)
+    assert gap_ok.all()

@@ -1,6 +1,14 @@
-"""A/B broadcast-threshold / join-strategy experiment for the
-shuffle-materialization perf-weak class (BASELINE.md round-7: q3
-3.19x, q5 3.62x at sf10).
+"""RETRACTED METHODOLOGY — kept as a cautionary artifact. This harness
+runs its conf variants in a FIXED order within each round, and on this
+box the within-round warming trend systematically credits whichever
+variant runs LAST (its original "SHJ halves q3 AND q5" readout did not
+survive counterbalancing). Use tools/ab_shj_star.py (ABBA: arm order
+alternates per round) for any strategy A/B; BASELINE.md round-7
+addendum records both results side by side.
+
+Original description: A/B broadcast-threshold / join-strategy
+experiment for the shuffle-materialization perf-weak class
+(BASELINE.md round-7: q3 3.19x, q5 3.62x at sf10).
 
 Hypothesis: at sf10 the filtered fact sides (lineitem with
 l_shipdate > cutoff in q3; date-filtered orders in q5) exceed the

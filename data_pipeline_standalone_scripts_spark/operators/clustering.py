@@ -861,3 +861,237 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("adc_dist").cast("long").alias("adc_dist_micro2"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+# --- round-7 addition: SemDeDup (cluster-scoped semantic dedup) --------------
+
+SEMDEDUP_DROP_DIV = 8  # drop ceil(n/8) most-redundant members per cluster
+
+# The assignment CTE is KM1's oracle verbatim (same constants, same
+# integer Lloyd arithmetic) so the two oracles cannot drift — a pytest
+# invariant additionally pins this op's cluster sizes to KM1's
+# n_members output.
+_KM_ASSIGN_CTE = f"""
+    WITH e AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                    AS BIGINT) AS v
+        FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, pos, v AS c FROM e WHERE vec_id < {_K}
+    ),
+    a1 AS (
+        SELECT vec_id, cid,
+               rank() OVER (PARTITION BY vec_id
+                            ORDER BY SUM((v-c)*(v-c)) ASC, cid ASC)
+                   AS rk
+        FROM e JOIN c0 USING (pos)
+        GROUP BY vec_id, cid
+        QUALIFY rk = 1
+    ),
+    c1 AS (
+        SELECT cid, pos,
+               CAST(CASE WHEN SUM(v) >= 0
+                    THEN trunc(CAST(SUM(v) AS DOUBLE)/COUNT(*) + 0.5)
+                    ELSE trunc(CAST(SUM(v) AS DOUBLE)/COUNT(*) - 0.5)
+                    END AS BIGINT) AS c
+        FROM a1 JOIN e USING (vec_id)
+        GROUP BY cid, pos
+    ),
+    a2 AS (
+        SELECT vec_id, cid,
+               rank() OVER (PARTITION BY vec_id
+                            ORDER BY SUM((v-c)*(v-c)) ASC, cid ASC)
+                   AS rk
+        FROM e JOIN c1 USING (pos)
+        GROUP BY vec_id, cid
+        QUALIFY rk = 1
+    )"""
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=_KM_ASSIGN_CTE
+    + f""",
+    vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), asg AS (
+        SELECT a2.vec_id, a2.cid, vecs.v FROM a2 JOIN vecs USING (vec_id)
+    ), red AS (
+        SELECT a.cid, a.vec_id,
+               MAX(ROUND(list_cosine_similarity(a.v, b.v), 6)) AS max_cos
+        FROM asg a JOIN asg b
+          ON a.cid = b.cid AND a.vec_id <> b.vec_id
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT cid, vec_id, max_cos,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY max_cos DESC, vec_id ASC) AS rk,
+               COUNT(*) OVER (PARTITION BY cid) AS n
+        FROM red
+    )
+    SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, max_cos,
+           CAST(rk AS BIGINT) AS redundancy_rank
+    FROM ranked
+    WHERE rk <= (n + {SEMDEDUP_DROP_DIV - 1}) // {SEMDEDUP_DROP_DIV}
+    """,
+    category=CAT,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KM7: SemDeDup (Abbas et al. 2023) — cluster-scoped semantic
+    deduplication with a per-cluster budget: k-means the embedding
+    corpus (KM1's exact integer Lloyd, identical constants), then
+    inside each cluster score every member by its maximum cosine to
+    any other member (its redundancy) and DROP the ceil(n/8) most
+    redundant per cluster (ties on vec_id). The budget form, not a
+    cosine threshold, because the fixture corpus is uniform-random
+    unit vectors (no pair exceeds cosine ~0.55 — X5's documented
+    property), and because a drop-fraction is how SemDeDup is
+    actually operated (the paper tunes the kept fraction, not tau).
+    Output: the dropped rows with their redundancy score and
+    within-cluster rank.
+
+    Determinism: assignments are KM1's bit-identical integer Lloyd
+    (the oracle embeds KM1's CTE verbatim, and a pytest invariant
+    pins this op's cluster sizes to KM1's n_members); cosines round
+    to 6 BEFORE the max/rank so cross-engine ordering ties are
+    impossible off the rounded grid.
+
+    Scale: this is the entire point of SemDeDup — the quadratic
+    cosine pass is confined to clusters (k grows with the corpus so
+    cluster sizes stay bounded; the paper uses k=50k on LAION), and
+    the cluster assignment is one Arrow-batched linear pass. The
+    within-cluster self-join here shuffles on cid exactly once; at
+    100 TB the same plan runs with k raised until n/k fits a
+    partition.
+    """
+    import math
+
+    def q_micro(v: np.ndarray) -> np.ndarray:
+        q = v.astype(np.float64) * 1e6
+        return np.where(q >= 0, np.trunc(q + 0.5), np.trunc(q - 0.5)).astype(
+            np.int64
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    vec = tracked_persist(e.select("vec_id", "embedding"))
+    crows = (
+        e.filter(F.col("vec_id") < _K)
+        .select(F.col("vec_id").cast("int").alias("cid"), "embedding")
+        .collect()
+    )
+    cents = sorted(
+        (r["cid"], list(q_micro(np.array(r["embedding"])))) for r in crows
+    )
+    if not cents:
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, vec_id long, max_cos double, "
+            "redundancy_rank long",
+        )
+    dim = len(cents[0][1])
+
+    def sums_pass(cents):
+        """KM1's fused stats pass, reduced to (n, per-dim sums) — the
+        centroid update needs no d2 here."""
+        C = np.array([cq for _, cq in cents], dtype=np.int64)
+        cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+        C2 = (C * C).sum(1)
+        schema = "cid int, n long, " + ", ".join(
+            f"s{j} long" for j in range(dim)
+        )
+
+        def part(batches):
+            for pdf in batches:
+                X = q_micro(np.stack(pdf["embedding"].to_numpy()))
+                D = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + C2[None, :]
+                idx = D.argmin(1)
+                rows = []
+                for i in range(len(cids)):
+                    m = idx == i
+                    if not m.any():
+                        continue
+                    rows.append(
+                        [int(cids[i]), int(m.sum())]
+                        + [int(v) for v in X[m].sum(0)]
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["cid", "n"] + [f"s{j}" for j in range(dim)]
+                )
+
+        merged = {}
+        for r in vec.mapInPandas(part, schema).collect():
+            c = merged.setdefault(r["cid"], [0, [0] * dim])
+            c[0] += r["n"]
+            for j in range(dim):
+                c[1][j] += r[f"s{j}"]
+        return merged
+
+    def trunc_half_away(q: float) -> int:
+        return int(q + 0.5) if q >= 0 else int(q - 0.5)
+
+    for _ in range(_PASSES - 1):
+        stats = sums_pass(cents)
+        cents = sorted(
+            (cid, [trunc_half_away(s[j] / n) for j in range(dim)])
+            for cid, (n, s) in stats.items()
+        )
+
+    # final assignment pass, emitting (vec_id, cid)
+    C = np.array([cq for _, cq in cents], dtype=np.int64)
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    C2 = (C * C).sum(1)
+
+    def assign(batches):
+        for pdf in batches:
+            X = q_micro(np.stack(pdf["embedding"].to_numpy()))
+            D = (X * X).sum(1)[:, None] - 2 * (X @ C.T) + C2[None, :]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[D.argmin(1)],
+                }
+            )
+
+    asg = vec.mapInPandas(assign, "vec_id long, cid long")
+    arrs = e.select("vec_id", _vec_double().alias("v")).join(asg, "vec_id")
+    a = arrs.select(
+        F.col("cid"), F.col("vec_id"), F.col("v").alias("va")
+    ).alias("a")
+    b = arrs.select(
+        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
+    ).alias("b")
+    from .llm import _dot, _norm_sq
+
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_norm_sq(F.col("va"))) * F.sqrt(_norm_sq(F.col("vb")))
+    )
+    red = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("vec_id") != F.col("vec_b")),
+        )
+        .groupBy(F.col("a.cid").alias("cluster_id"), "vec_id")
+        .agg(F.max(F.round(cos, 6)).alias("max_cos"))
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("max_cos").desc(), F.col("vec_id").asc()
+    )
+    wn = Window.partitionBy("cluster_id")
+    budget = F.expr(
+        f"(n + {SEMDEDUP_DROP_DIV - 1}) div {SEMDEDUP_DROP_DIV}"
+    )
+    return (
+        red.withColumn("redundancy_rank", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("redundancy_rank") <= budget)
+        .select(
+            "cluster_id",
+            "vec_id",
+            "max_cos",
+            F.col("redundancy_rank").cast("long").alias("redundancy_rank"),
+        )
+    )

@@ -262,3 +262,28 @@ def test_dup_spans_partition_the_dup_windows(spark, sf_small):
     prev_end = s.groupby("doc_id").span_end.shift()
     gap_ok = prev_end.isna() | (s.span_start - prev_end > SUBSTR_K - 1)
     assert gap_ok.all()
+
+
+def test_semantic_dedup_budget_and_km1_consistency(spark, sf_small):
+    """The drop budget is exactly ceil(n/8) per non-singleton cluster
+    where n is KM1's member count for that cluster (the two ops share
+    the integer Lloyd verbatim), ranks are 1..budget, and scores are
+    valid rounded cosines."""
+    from data_pipeline_standalone_scripts_spark.operators.clustering import (
+        SEMDEDUP_DROP_DIV,
+    )
+
+    drop = _run("q_semantic_dedup", spark, sf_small).toPandas()
+    km = _run("q_kmeans_embed", spark, sf_small).toPandas()
+    sizes = km.set_index("cluster_id").n_members
+    per = drop.groupby("cluster_id").agg(
+        n_drop=("vec_id", "size"), max_rk=("redundancy_rank", "max")
+    )
+    for cid, row in per.iterrows():
+        n = int(sizes[cid])
+        budget = (n + SEMDEDUP_DROP_DIV - 1) // SEMDEDUP_DROP_DIV
+        assert row.n_drop == budget, (cid, row.n_drop, budget, n)
+        assert row.max_rk == budget
+    # every multi-member cluster must appear (budget >= 1 there)
+    assert set(per.index) == set(sizes[sizes >= 2].index)
+    assert ((drop.max_cos >= -1 - 1e-9) & (drop.max_cos <= 1 + 1e-9)).all()

@@ -967,7 +967,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB the same plan runs with k raised until n/k fits a
     partition.
     """
-    import math
 
     def q_micro(v: np.ndarray) -> np.ndarray:
         q = v.astype(np.float64) * 1e6

@@ -174,8 +174,6 @@ def test_pr_curve_is_monotone_and_consistent(spark, sf_small):
     assert last.recall == 1.0
     docs = load(spark, sf_small, "documents").count()
     assert int(last.tp + last.fp) == docs
-    import numpy as np
-
     prec = r.tp / (r.tp + r.fp)
     assert (abs(r.precision - prec.round(6)) < 1e-9).all()
     nz = r[r.tp > 0]

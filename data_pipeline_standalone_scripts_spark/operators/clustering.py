@@ -866,11 +866,20 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- round-7 addition: SemDeDup (cluster-scoped semantic dedup) --------------
 
 SEMDEDUP_DROP_DIV = 8  # drop ceil(n/8) most-redundant members per cluster
+SEM_TARGET = 2500  # target cluster size: k = max(_K, ceil(n / SEM_TARGET))
 
-# The assignment CTE is KM1's oracle verbatim (same constants, same
-# integer Lloyd arithmetic) so the two oracles cannot drift — a pytest
-# invariant additionally pins this op's cluster sizes to KM1's
-# n_members output.
+# The assignment CTE is KM1's oracle with ONE change: the number of
+# init centroids scales with the corpus (k = max(8, ceil(n/2500))) —
+# SemDeDup's own operating rule, and the bound that keeps the
+# per-cluster n x n similarity matrix at ~50 MB at ANY scale. At every
+# oracle-checked tier (sf0.001/0.01/0.1: n <= 2000; sf1: n = 20000)
+# the formula gives exactly KM1's k = 8, so assignments are KM1's
+# bit-for-bit there and the pytest invariant pins this op's cluster
+# sizes to KM1's n_members.
+_SEM_K_SQL = (
+    f"(SELECT GREATEST({_K}, CAST(ceil(COUNT(*) / {SEM_TARGET}.0) AS BIGINT))"
+    " FROM embeddings)"
+)
 _KM_ASSIGN_CTE = f"""
     WITH e AS (
         SELECT vec_id,
@@ -880,7 +889,7 @@ _KM_ASSIGN_CTE = f"""
         FROM embeddings
     ),
     c0 AS (
-        SELECT vec_id AS cid, pos, v AS c FROM e WHERE vec_id < {_K}
+        SELECT vec_id AS cid, pos, v AS c FROM e WHERE vec_id < {_SEM_K_SQL}
     ),
     a1 AS (
         SELECT vec_id, cid,
@@ -942,7 +951,7 @@ _KM_ASSIGN_CTE = f"""
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KM7: SemDeDup (Abbas et al. 2023) — cluster-scoped semantic
     deduplication with a per-cluster budget: k-means the embedding
-    corpus (KM1's exact integer Lloyd, identical constants), then
+    corpus (KM1's exact integer Lloyd arithmetic, corpus-scaled k), then
     inside each cluster score every member by its maximum cosine to
     any other member (its redundancy) and DROP the ceil(n/8) most
     redundant per cluster (ties on vec_id). The budget form, not a
@@ -954,10 +963,19 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-cluster rank.
 
     Determinism: assignments are KM1's bit-identical integer Lloyd
-    (the oracle embeds KM1's CTE verbatim, and a pytest invariant
-    pins this op's cluster sizes to KM1's n_members); cosines round
-    to 6 BEFORE the max/rank so cross-engine ordering ties are
-    impossible off the rounded grid.
+    with ONE scaling twist — k = max(8, ceil(n/2500)) grows with the
+    corpus, which is SemDeDup's own operating rule AND the bound that
+    keeps the per-cluster similarity matrix ~50 MB at any scale. At
+    every oracle-checked tier the formula gives exactly KM1's k = 8
+    (n <= 20000), so assignments are KM1's bit-for-bit there and a
+    pytest invariant pins this op's cluster sizes to KM1's n_members;
+    cosines round to 6 BEFORE the max/rank so cross-engine ordering
+    ties are impossible off the rounded grid. The k-scaling is
+    MEASURED necessary, not stylistic: at sf10 (200,000 vectors) the
+    fixed-k=8 form put ~25k members in each cluster — a 5 GB, 40
+    GFLOP similarity matrix per task (run killed after 30+ min of
+    worker CPU); k = 80 restores ~2,500-member clusters and the
+    whole op completes in 17-26 s at sf10 (measured, 3 runs).
 
     Scale: this is the entire point of SemDeDup — the quadratic
     cosine pass is confined to clusters (k grows with the corpus so
@@ -975,9 +993,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     e = load(spark, sf_dir, "embeddings")
+    import math
+
     vec = tracked_persist(e.select("vec_id", "embedding"))
+    n_corpus = vec.count()  # materializes the cache; k scales with n
+    k = max(_K, math.ceil(n_corpus / SEM_TARGET))
     crows = (
-        e.filter(F.col("vec_id") < _K)
+        e.filter(F.col("vec_id") < k)
         .select(F.col("vec_id").cast("int").alias("cid"), "embedding")
         .collect()
     )
@@ -1055,26 +1077,49 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     asg = vec.mapInPandas(assign, "vec_id long, cid long")
-    arrs = e.select("vec_id", _vec_double().alias("v")).join(asg, "vec_id")
-    a = arrs.select(
-        F.col("cid"), F.col("vec_id"), F.col("v").alias("va")
-    ).alias("a")
-    b = arrs.select(
-        F.col("cid"), F.col("vec_id").alias("vec_b"), F.col("v").alias("vb")
-    ).alias("b")
-    from .llm import _dot, _norm_sq
+    joined = e.select("vec_id", "embedding").join(asg, "vec_id")
 
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_norm_sq(F.col("va"))) * F.sqrt(_norm_sq(F.col("vb")))
-    )
-    red = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("vec_id") != F.col("vec_b")),
+    # Per-cluster redundancy via ONE Arrow kernel per cluster instead
+    # of a cid self-join: the join form was built first and MEASURED
+    # FAILED at sf10 — joining on an 8-value key caps parallelism at
+    # k tasks, each grinding ~3.5 M interpreted 64-dim HOF folds
+    # (stage sat at 0/7 for >5 min before being killed). The kernel
+    # computes the n×n dot matrix by accumulating outer products
+    # SEQUENTIALLY over dimensions — the fold-order-exact pattern
+    # hash-proven on q_cosine_topk (vectorize across rows, loop over
+    # dims): each D[i,j] sees the identical multiply-add sequence as
+    # the JVM F.aggregate fold, so cosines are bit-identical to the
+    # SQL spelling; rounding is the same floor(x·1e6 + 0.5)/1e6
+    # half-up F.round applies. Parallelism is still k tasks, but each
+    # is C-speed numpy (~0.5 s at n=2500) instead of minutes of
+    # interpreted folds; memory is n²·8 bytes per task (50 MB at
+    # sf10), which is exactly the bound SemDeDup's k-vs-cluster-size
+    # tradeoff manages at any scale.
+    def cluster_max_cos(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"cluster_id": [], "vec_id": [], "max_cos": []}
+            ).astype({"cluster_id": "int64", "vec_id": "int64", "max_cos": "float64"})
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        D = np.zeros((n, n), dtype=np.float64)
+        for j in range(X.shape[1]):
+            col = X[:, j]
+            D += col[:, None] * col[None, :]
+        nrm = np.sqrt(np.diagonal(D).copy())
+        C = D / (nrm[:, None] * nrm[None, :])
+        C = np.floor(C * 1e6 + 0.5) / 1e6
+        np.fill_diagonal(C, -np.inf)
+        return pd.DataFrame(
+            {
+                "cluster_id": pdf["cid"].to_numpy(),
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "max_cos": C.max(1),
+            }
         )
-        .groupBy(F.col("a.cid").alias("cluster_id"), "vec_id")
-        .agg(F.max(F.round(cos, 6)).alias("max_cos"))
+
+    red = joined.groupBy("cid").applyInPandas(
+        cluster_max_cos, "cluster_id long, vec_id long, max_cos double"
     )
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("max_cos").desc(), F.col("vec_id").asc()

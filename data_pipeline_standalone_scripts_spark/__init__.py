@@ -40,10 +40,10 @@ from .registry import REGISTRY  # noqa: F401
 # Verified by set arithmetic against CORRECTNESS_r01-r06: slots 1-6 ==
 # the exact never-checked set; the r01 fill is disjoint from slots 1-13.
 #
-# NEXT-ROUND QUEUE (round 8): pin FIRST the 9 round-7-NEW never-checked
+# NEXT-ROUND QUEUE (round 8): pin FIRST the 10 round-7-NEW never-checked
 # ops — q_substring_dedup q_minhash_containment q_dp_counts
 # q_normalized_dedup q_kmv_set_ops q_pr_curve q_target_encoding
-# q_dup_span_trim q_semantic_dedup —
+# q_dup_span_trim q_semantic_dedup q_dsir_selection —
 # then the 6 r01-checked ops older than every
 # other op — q_computed_cols q_join_broadcast q_join_shuffle
 # q_join_star3 q_join_star6 q_join_left_outer — then the oldest

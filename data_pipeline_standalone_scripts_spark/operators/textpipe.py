@@ -21,7 +21,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import h60
+from .common import h60, o_h60
 
 CAT = "textpipe"
 
@@ -1282,3 +1282,130 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 q_vocab_coverage.__doc__ = q_vocab_coverage.__doc__.replace(
     "{_VOCAB_V}", str(_VOCAB_V)
 )
+
+
+# --- round-7 addition: DSIR data selection -----------------------------------
+
+DSIR_B = 1024  # hashed feature buckets
+DSIR_TOPK = 200  # selection budget
+
+
+@register(
+    "q_dsir_selection",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, doc_id % 97 = 0 AS tgt,
+                   string_split(text, ' ') AS t
+            FROM documents
+        ), unis AS (
+            SELECT doc_id, tgt, unnest(t) AS f FROM toks
+        ), bis AS (
+            SELECT doc_id, tgt,
+                   list_extract(t, p) || ' ' || list_extract(t, p + 1) AS f
+            FROM (
+                SELECT doc_id, tgt, t, unnest(range(1, len(t))) AS p
+                FROM toks WHERE len(t) >= 2
+            )
+        ), feats AS (
+            SELECT doc_id, tgt, ({o_h60("f")}) % {DSIR_B} AS b
+            FROM (SELECT * FROM unis UNION ALL SELECT * FROM bis)
+        ), bcnt AS (
+            SELECT b,
+                   SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS ct,
+                   SUM(CASE WHEN tgt THEN 0 ELSE 1 END) AS cr
+            FROM feats GROUP BY b
+        ), tot AS (
+            SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bcnt
+        ), lr AS (
+            SELECT b,
+                   CAST(round(ln((CAST(ct + 1 AS DOUBLE)
+                                  * CAST(nr + {DSIR_B} AS DOUBLE))
+                                 / (CAST(cr + 1 AS DOUBLE)
+                                    * CAST(nt + {DSIR_B} AS DOUBLE)))
+                              * 1000000) AS BIGINT) AS lr
+            FROM bcnt, tot
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_feats,
+               CAST(SUM(lr) AS BIGINT) AS dsir_micro_nats
+        FROM feats JOIN lr USING (b)
+        WHERE NOT tgt
+        GROUP BY doc_id
+        ORDER BY dsir_micro_nats DESC, doc_id ASC
+        LIMIT {DSIR_TOPK}
+    """,
+    category=CAT,
+)
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: DSIR — Data Selection via Importance Resampling (Xie et
+    al. 2023): score every raw-pool document by the log importance
+    ratio of a target domain over the raw pool in a HASHED n-gram
+    feature space, and select the top-k. Features are unigrams +
+    bigrams hashed into DSIR_B buckets (the hashing makes the feature
+    space fixed-size at any corpus scale — the paper's core trick);
+    both distributions are add-one smoothed; the target domain
+    stand-in is every 97th doc_id (the benchmark-set convention shared
+    with q_contamination_check). This is the principled replacement
+    for threshold quality filters when you have examples of the data
+    you WANT (e.g. select web text that looks like Wikipedia).
+
+    Determinism: the per-bucket log ratio rounds half-away to integer
+    MICRO-NATS once per bucket (1024 roundings total), and every
+    per-doc score is then an exact BIGINT dot product of occurrence
+    counts with that table — the q_ngram_lm_score discipline; the
+    output carries no float column at all. Top-k ties break on doc_id.
+
+    Scale: one explode pass builds the hashed-feature stream (the
+    wordcount/boilerplate class); the bucket table is DSIR_B rows
+    regardless of corpus size — it broadcasts forever; scoring is a
+    map-side-combined per-doc rollup and selection is
+    TakeOrderedAndProject. The target pass and the raw pass share the
+    single feature stream (conditional aggregation, not two scans).
+    """
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 97 == 0).alias("tgt"),
+        F.split("text", " ").alias("t"),
+    )
+    unis = d.select("doc_id", "tgt", F.explode("t").alias("f"))
+    bis = d.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "tgt",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("t", i), F.element_at("t", i + 1)
+                ),
+            )
+        ).alias("f"),
+    )
+    feats = unis.unionByName(bis).select(
+        "doc_id", "tgt", F.pmod(h60(F.col("f")), F.lit(DSIR_B)).alias("b")
+    )
+    bcnt = feats.groupBy("b").agg(
+        F.sum(F.when(F.col("tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("tgt"), 0).otherwise(1)).alias("cr"),
+    )
+    tot = bcnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    ratio = (
+        (F.col("ct") + 1).cast("double")
+        * (F.col("nr") + DSIR_B).cast("double")
+    ) / (
+        (F.col("cr") + 1).cast("double")
+        * (F.col("nt") + DSIR_B).cast("double")
+    )
+    lr = bcnt.crossJoin(F.broadcast(tot)).select(
+        "b", F.round(F.log(ratio) * 1000000).cast("long").alias("lr")
+    )
+    return (
+        feats.filter(~F.col("tgt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr").cast("long").alias("dsir_micro_nats"),
+        )
+        .orderBy(F.col("dsir_micro_nats").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOPK)
+    )

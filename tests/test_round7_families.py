@@ -285,3 +285,27 @@ def test_semantic_dedup_budget_and_km1_consistency(spark, sf_small):
     # every multi-member cluster must appear (budget >= 1 there)
     assert set(per.index) == set(sizes[sizes >= 2].index)
     assert ((drop.max_cos >= -1 - 1e-9) & (drop.max_cos <= 1 + 1e-9)).all()
+
+
+def test_dsir_selection_invariants(spark, sf_small):
+    """Exactly TOPK raw-pool docs (no target docs), weights sorted
+    descending with doc_id tiebreak, and each doc's feature count is
+    2·|tokens| − 1 (unigrams + bigrams) recomputed from raw text."""
+    from data_pipeline_standalone_scripts_spark.operators.textpipe import (
+        DSIR_TOPK,
+    )
+
+    r = _run("q_dsir_selection", spark, sf_small).toPandas()
+    assert len(r) == DSIR_TOPK
+    assert (r.doc_id % 97 != 0).all()
+    w = list(zip(-r.dsir_micro_nats, r.doc_id))
+    assert w == sorted(w)
+    toks = (
+        load(spark, sf_small, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .toPandas()
+        .set_index("doc_id")
+        .n
+    )
+    expect = r.doc_id.map(toks).map(lambda n: n + max(n - 1, 0))
+    assert (r.n_feats == expect).all()

@@ -426,7 +426,7 @@ def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, ts, event_id,
                    CASE WHEN lag(ts) OVER w IS NULL
                              OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-                                >= 1800000000
+                                > 1800000000
                         THEN 1 ELSE 0 END AS new_session
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
@@ -455,12 +455,18 @@ def q_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explicit window functions at all; Catalyst plans the
     session-merge itself (UpdatingSessionsExec + MergingSessionsExec).
 
-    Semantics note the oracle mirrors exactly: Spark sessions are
-    HALF-OPEN [start, last_event + gap) — an event arriving at
-    exactly last + 30 min starts a NEW session, so the oracle's
-    island break is `gap >= 30 min`, one ulp stricter than T3's
-    `>` convention. session_end is last_event + gap (the native
-    window's `end` field), not last_event.
+    Semantics note the oracle mirrors exactly — MEASURED, round 7:
+    Spark's session merge is INCLUSIVE at the boundary (an event at
+    exactly last + 30 min JOINS the session; a new session starts
+    only when the gap is strictly greater). Probed directly: events
+    at t=0 s and t=100 s under a 100 s gap form ONE session ending
+    at 200 s. The oracle's island break is therefore `gap > 30 min`
+    — the SAME convention as T3. This replaced a wrong half-open
+    (`>=`) oracle that had been latent since round 5: the fixture
+    has no exact-boundary gaps, so parity never tripped; a
+    hypothesis boundary case (tests/test_property_scalar.py) found
+    it. session_end is last_event + gap (the native window's `end`
+    field), not last_event.
 
     Scale: the native operator sorts within user partitions and
     merges adjacent sessions in one pass — the same single-shuffle

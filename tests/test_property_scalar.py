@@ -444,8 +444,10 @@ _GAP_SEC = 100
 
 
 def _brute_sessions(rows):
-    """Half-open session semantics: an event at exactly last+gap starts
-    a NEW session — the boundary rule T9's oracle hardcodes."""
+    """Spark's MEASURED session semantics (round 7): the merge is
+    inclusive at the boundary — an event at exactly last+gap JOINS
+    the session; only a strictly greater gap starts a new one. This
+    is the rule T13's oracle hardcodes (events.py)."""
     from collections import defaultdict
 
     per = defaultdict(list)
@@ -456,7 +458,7 @@ def _brute_sessions(rows):
         ts.sort()
         n, last = 0, None
         for t in ts:
-            if last is None or t - last >= _GAP_SEC:
+            if last is None or t - last > _GAP_SEC:
                 n += 1
             last = t
         out[u] = n
@@ -466,11 +468,13 @@ def _brute_sessions(rows):
 @SETTINGS
 @given(EVENT_TIMES)
 def test_native_session_window_boundary_semantics(spark, rows):
-    """Spark's built-in session_window must implement the half-open
-    [start, last+gap) rule — an event at exactly last+gap opens a new
-    session. This is the assumption T9's oracle (>= break) and the
-    streaming twin both encode; hypothesis feeds exact-boundary gaps
-    that the fixed corpus never contains."""
+    """Pin Spark's session_window boundary semantics: the merge is
+    INCLUSIVE at exactly last+gap (new session only for strictly
+    greater gaps) — the rule T13's oracle (> break) encodes.
+    Hypothesis feeds exact-boundary gaps the fixed corpus never
+    contains; it is the instrument that CAUGHT the half-open
+    assumption being wrong in round 7 (falsifying example
+    [(0, 0), (0, 100)] at gap 100: Spark returns ONE session)."""
     import datetime
 
     df = spark.createDataFrame(

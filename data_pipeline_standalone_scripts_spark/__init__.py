@@ -24,91 +24,87 @@ from .registry import REGISTRY  # noqa: F401
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
 # This list pins those 50 slots.
 #
-# THIS round (7): per VERDICT r06 "Next round #1". Composition:
-#   slots 1-6   the 6 ops the driver has NEVER hash-checked
-#               (q_cogroup_pandas q_sql_udf q_sql_scripting
-#                q_collation_group q_bitmask_rollup q_simhash_wide)
-#               — closes cumulative external coverage at 300/300.
-#   slots 7-13  the round-6 behavior-changed ops, for external
-#               re-certification of the rewrites:
-#               q_boilerplate_ngrams q_explode q_bm25_rank (Arrow
-#               partial-count kernels), q_minhash_lsh q_dedup_eval
-#               q_local_alignment (Carter-Wegman portable hash family),
-#               q_interval_coverage (degenerate-width clamp).
-#   slots 14-50 the oldest-checked ops (last checked round 1), in
-#               registry order.
-# Verified by set arithmetic against CORRECTNESS_r01-r06: slots 1-6 ==
-# the exact never-checked set; the r01 fill is disjoint from slots 1-13.
-#
-# NEXT-ROUND QUEUE (round 8): pin FIRST the 10 round-7-NEW never-checked
-# ops — q_substring_dedup q_minhash_containment q_dp_counts
-# q_normalized_dedup q_kmv_set_ops q_pr_curve q_target_encoding
-# q_dup_span_trim q_semantic_dedup q_dsir_selection —
-# then the 6 r01-checked ops older than every
-# other op — q_computed_cols q_join_broadcast q_join_shuffle
-# q_join_star3 q_join_star6 q_join_left_outer — then the oldest
-# r02-checked ops in registry order, plus any op whose behavior
-# changes in round 7 (as of 2026-08-15 there are none: round 7 only
-# ADDED ops; the q3/q5 session-conf change, if adopted, alters plans
-# not values).
+# THIS round (8): per VERDICT r07 "Next round #1". Composition:
+#   slots 1-10  the 10 round-7-new ops the driver has NEVER hash-checked
+#               (q_substring_dedup q_minhash_containment q_dup_span_trim
+#                q_normalized_dedup q_dp_counts q_kmv_set_ops q_pr_curve
+#                q_target_encoding q_semantic_dedup q_dsir_selection)
+#               — closes cumulative external coverage at 310/310.
+#   next slots  round-8 NEW ops (q_fits_decode q_atrous_filter — unknown
+#               names are ignored by reorder() until registered) and the
+#               behavior-changed rows needing external re-certification:
+#               q_session_window_native (9854116 boundary-semantics fix),
+#               q_join_star3 (r7 SHJ size-dispatch), q_evolutionary_sweep
+#               (r8 T2w->T2 oracle upgrade), q_funnel_conversion /
+#               q_retention_cohort (r8 single-pass rewrites).
+#   then        the 6 ops last checked in round 1 (q_computed_cols
+#               q_join_broadcast q_join_shuffle q_join_star6
+#               q_join_left_outer; q_join_star3 already above), then the
+#               oldest round-2-checked ops in registry order to fill 50.
+# Verified by set arithmetic against CORRECTNESS_r01-r07: slots 1-10 ==
+# the exact never-checked set; the backfill is disjoint from the front.
 #
 #   last = {}  # op -> latest round checked
-#   for i in (1, 2, 3, 4, 5, 6):
+#   for i in (1, 2, 3, 4, 5, 6, 7):
 #       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r0{i}.json")), i))
 DRIVER_PRIORITY: list[str] = [
-    # never externally checked (cumulative coverage -> 300/300)
-    "q_cogroup_pandas",
-    "q_sql_udf",
-    "q_sql_scripting",
-    "q_collation_group",
-    "q_bitmask_rollup",
-    "q_simhash_wide",
-    # round-6 behavior-changed (re-certify rewrites externally)
-    "q_boilerplate_ngrams",
-    "q_explode",
-    "q_bm25_rank",
-    "q_minhash_lsh",
-    "q_dedup_eval",
-    "q_local_alignment",
-    "q_interval_coverage",
+    # never externally checked (cumulative coverage -> 310/310)
+    "q_substring_dedup",
+    "q_minhash_containment",
+    "q_dup_span_trim",
+    "q_normalized_dedup",
+    "q_dp_counts",
+    "q_kmv_set_ops",
+    "q_pr_curve",
+    "q_target_encoding",
+    "q_semantic_dedup",
+    "q_dsir_selection",
+    # round-8 new ops (no-ops until their modules register them)
+    "q_fits_decode",
+    "q_atrous_filter",
+    # behavior-changed ops, for external re-certification
+    "q_session_window_native",
+    "q_join_star3",
+    "q_evolutionary_sweep",
+    "q_funnel_conversion",
+    "q_retention_cohort",
     # oldest-checked (round 1), registry order
-    "q_agg_pricing_summary",
-    "q_agg_distinct",
-    "q_agg_approx_distinct",
-    "q_agg_having",
-    "q_agg_rollup",
-    "q_agg_cube",
-    "q_agg_grouping_sets",
-    "q_agg_conditional",
-    "q_agg_stats",
-    "q_agg_percentile",
-    "q_agg_minmax_by",
-    "q_pivot",
-    "q_agg_approx_percentile",
-    "q_text_stats",
-    "q_text_quality_filter",
-    "q_dedup_exact",
-    "q_ngram_counts",
-    "q_tf_idf",
-    "q_jaccard_neardup",
-    "q_cosine_topk",
-    "q_knn_label_vote",
-    "q_multimodal_struct",
-    "q_embedding_norm_filter",
-    "q_simhash_neardup",
-    "q_cosine_neardup_pairs",
-    "q_shingle_jaccard",
-    "q_tumbling_window",
-    "q_sliding_window",
-    "q_dedup_keyed",
-    "q_late_data_watermark",
-    "q_stateful_running",
-    "q_stream_join",
-    "q_event_funnel",
-    "q_filter_simple",
-    "q_filter_compound",
-    "q_filter_null_like",
-    "q_case_when",
+    "q_computed_cols",
+    "q_join_broadcast",
+    "q_join_shuffle",
+    "q_join_star6",
+    "q_join_left_outer",
+    # oldest round-2-checked, registry order (fills the 50 window)
+    "q_agg_collect",
+    "q_lang_distribution",
+    "q_centroid_per_label",
+    "q_session_window",
+    "q_join_full_outer",
+    "q_join_semi",
+    "q_join_anti",
+    "q_join_cross",
+    "q_join_theta_range",
+    "q_join_asof",
+    "q_join_interval",
+    "q_order_multi",
+    "q_topk_global",
+    "q_sample_deterministic",
+    "q_scan_project",
+    "q_scan_count",
+    "q_sink_roundtrip",
+    "q_csv_json_io",
+    "q_partitioned_prune",
+    "q_orc_io",
+    "q_union_all",
+    "q_union_distinct",
+    "q_intersect",
+    "q_except",
+    "q_lang_id",
+    "q_fingerprint_winnow",
+    "q_python_udf",
+    "q_pandas_udf_scalar",
+    "q_pandas_udaf",
+    "q_apply_in_pandas",
 ]
 
 

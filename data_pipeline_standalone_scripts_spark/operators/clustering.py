@@ -1089,8 +1089,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash-proven on q_cosine_topk (vectorize across rows, loop over
     # dims): each D[i,j] sees the identical multiply-add sequence as
     # the JVM F.aggregate fold, so cosines are bit-identical to the
-    # SQL spelling; rounding is the same floor(x·1e6 + 0.5)/1e6
-    # half-up F.round applies. Parallelism is still k tasks, but each
+    # SQL spelling; rounding is sign-aware HALF_UP away from zero
+    # (floor(x·1e6+0.5) for x≥0, ceil(x·1e6−0.5) for x<0), the exact
+    # semantics of both F.round and DuckDB ROUND — a plain
+    # floor(x+0.5) would diverge on negative half-microticks.
+    # Parallelism is still k tasks, but each
     # is C-speed numpy (~0.5 s at n=2500) instead of minutes of
     # interpreted folds; memory is n²·8 bytes per task (50 MB at
     # sf10), which is exactly the bound SemDeDup's k-vs-cluster-size
@@ -1108,7 +1111,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             D += col[:, None] * col[None, :]
         nrm = np.sqrt(np.diagonal(D).copy())
         C = D / (nrm[:, None] * nrm[None, :])
-        C = np.floor(C * 1e6 + 0.5) / 1e6
+        # HALF_UP away from zero, matching Spark F.round / DuckDB ROUND
+        # on NEGATIVE cosines too: floor(x+0.5) alone rounds -0.0000005
+        # toward +inf while both engines round it away from zero.
+        C = (
+            np.where(C >= 0, np.floor(C * 1e6 + 0.5), np.ceil(C * 1e6 - 0.5))
+            / 1e6
+        )
         np.fill_diagonal(C, -np.inf)
         return pd.DataFrame(
             {

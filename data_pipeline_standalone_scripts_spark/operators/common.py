@@ -61,6 +61,30 @@ def release_persists() -> int:
     return n
 
 
+def table_disk_bytes(sf_dir: str, table: str) -> int:
+    """On-disk parquet bytes of a table (0 = unknown/non-local) — the
+    zero-job size probe broadcast-vs-shuffle dispatches use. Raw
+    parquet bytes are a LOWER bound on in-memory row size (encoding +
+    compression), so thresholds derived from it must keep a wide
+    margin under the 8 GB broadcast cap."""
+    import os
+
+    from ..tables import table_path
+
+    path = table_path(sf_dir, table)
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def scan_splits_hint(spark, sf_dir: str, table: str) -> int:
     """Estimate the native scan partition count Spark's file-source
     packer will give a table — the cheap stand-in for the

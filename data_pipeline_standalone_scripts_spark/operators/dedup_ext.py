@@ -23,7 +23,13 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import dist_row_number, h60, o_h60, tracked_persist
+from .common import (
+    dist_row_number,
+    h60,
+    o_h60,
+    table_disk_bytes,
+    tracked_persist,
+)
 from .llm import (
     MH_A,
     MH_B,
@@ -2228,7 +2234,11 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical orchestration to L8 — linear signature pass,
     banded candidates, exact verify via codegen array_intersect on
-    broadcast-joined hashed token arrays; never an all-pairs join.
+    hashed token arrays; never an all-pairs join. The verify join is
+    broadcast ONLY while the documents table is < 512 MB on disk
+    (table_disk_bytes probe — arrays are ~8 B/distinct token, so this
+    keeps far under the 8 GB broadcast cap); above that the hint is
+    dropped and AQE picks the strategy.
     Caveat (documented, shared with L8): banding targets Jaccard, so
     a tiny-doc-inside-huge-doc pair can have containment 1.0 yet low
     Jaccard and be missed by the candidate stage; a production
@@ -2254,13 +2264,21 @@ def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("toks"),
     )
+    # Broadcast bound: the hashed token arrays are ~8 B/distinct token,
+    # roughly the raw text's parquet footprint. Both join sides carry
+    # the FULL per-document arrays, so an unconditional F.broadcast
+    # would hit Spark's 8 GB broadcast cap (or driver memory) long
+    # before the documented sf>=1 shuffle caveat. Above the threshold
+    # we drop the hint and let AQE pick the strategy at runtime.
+    _bcast_ok = table_disk_bytes(sf_dir, "documents") < 1 << 29  # 512 MB
+    _hint = F.broadcast if _bcast_ok else (lambda x: x)
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
     n_common = F.size(F.array_intersect("ta", "tb"))
     cont = n_common.cast("double") / F.least(F.size("ta"), F.size("tb"))
     return (
-        cand.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
+        cand.join(_hint(aa), "doc_a")
+        .join(_hint(bb), "doc_b")
         .filter(cont >= CONTAIN_THRESH)
         .select(
             "doc_a",

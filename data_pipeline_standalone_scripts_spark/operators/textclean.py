@@ -780,6 +780,13 @@ def _geom_thresholds() -> list[tuple[int, int]]:
 
 _GEOM = _geom_thresholds()
 DP_MOD = 1 << 20
+# Seed prefix for the per-cell noise draw. As shipped it is a PUBLIC
+# constant, so the release is NOT private (the noise is recomputable
+# from the released cell keys). A production deployment makes this a
+# SECRET sampled per release — that one-line swap turns the hash into
+# a keyed PRF over the same quantized inverse CDF, which is exactly
+# how seeded DP releases are implemented.
+DP_SEED = "pi10-public-demo-seed"
 
 
 def _dp_noise_spark(u):  # u: int64 Column in [0, 2^20)
@@ -806,7 +813,8 @@ _DP_NOISE_SQL_CASE = (
             FROM events GROUP BY 1, 2
         ), noised AS (
             SELECT event_type, day, n,
-                   {o_h60("event_type || '|' || day")} % {DP_MOD} AS u
+                   {o_h60(f"'{DP_SEED}' || '|' || event_type || '|' || day")}
+                       % {DP_MOD} AS u
             FROM cells
         )
         SELECT event_type, day,
@@ -817,7 +825,8 @@ _DP_NOISE_SQL_CASE = (
     category=CAT,
 )
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PI10: differentially-private count release — daily event-type
+    """PI10: DP-count-release MECHANISM (NOT private as shipped —
+    public DP_SEED; see below) — daily event-type
     counts protected by the two-sided geometric (discrete Laplace)
     mechanism at epsilon = ln 2, the integer-valued mechanism actually
     deployed for count queries (Ghosh–Roughgarden–Sundararajan: it is
@@ -826,13 +835,16 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn per released cell, truncated at ±8 (the tail beyond is
     < 2^-8 mass) and clamped at zero.
 
-    The "draw" here is a deterministic 20-bit hash of the cell key fed
-    through the EXACT quantized inverse CDF (integer thresholds
-    computed with rational arithmetic at import, identical CASE chain
-    in both engines) — a seeded-RNG stand-in that keeps the release
-    reproducible and oracle-checkable; a production deployment swaps
-    the hash for a secret-seeded PRF over the same thresholds, which
-    is exactly how seeded DP releases are implemented.
+    NOT PRIVATE AS SHIPPED: the "draw" is a deterministic 20-bit hash
+    of DP_SEED || cell key fed through the EXACT quantized inverse CDF
+    (integer thresholds computed with rational arithmetic at import,
+    identical CASE chain in both engines). DP_SEED is a PUBLIC module
+    constant here, so the noise is recomputable and the release is
+    exactly invertible — this keeps it reproducible and
+    oracle-checkable. A production deployment replaces DP_SEED with a
+    per-release SECRET (a one-line change), turning the hash into a
+    keyed PRF over the same thresholds — exactly how seeded DP
+    releases are implemented.
 
     Scale: one map-combinable aggregation over the fact table, then a
     per-cell scalar transform — the noise CASE is codegen, no Python,
@@ -848,7 +860,7 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     noised = cells.withColumn(
         "u",
         F.pmod(
-            h60(F.concat_ws("|", F.col("event_type"), F.col("day"))),
+            h60(F.concat_ws("|", F.lit(DP_SEED), F.col("event_type"), F.col("day"))),
             F.lit(DP_MOD),
         ),
     )

@@ -66,3 +66,27 @@ def test_incremental_agg_counts_delta(spark, sf_small):
     import pyspark.sql.functions as F
     n_delta = li.filter(F.col("l_shipdate") >= F.lit("2001-01-01").cast("timestamp")).count()
     assert sum(r.n_delta for r in rows) == n_delta
+
+
+def test_semantic_dedup_rounding_matches_engine_round_on_negatives(spark):
+    """ADVICE r07 #1: the SemDeDup kernel's micro-rounding must be
+    HALF_UP AWAY FROM ZERO on negative cosines too (Spark F.round and
+    DuckDB ROUND semantics), not floor(x+0.5)'s half-toward-+inf.
+    Probes the exact negative half-microtick plus Spark itself."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    vals = [-0.0000005, -1.2345675, -0.9999995, 0.0000005, 1.2345675, 0.0]
+    C = np.array(vals)
+    kernel = (
+        np.where(C >= 0, np.floor(C * 1e6 + 0.5), np.ceil(C * 1e6 - 0.5)) / 1e6
+    )
+    spark_side = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in vals], "x double")
+        .select(F.round("x", 6))
+        .collect()
+    ]
+    assert list(kernel) == spark_side, (list(kernel), spark_side)
+    # the specific divergence the old floor(x+0.5) form had:
+    assert kernel[0] == -0.000001  # floor form gave -0.0 (toward +inf)

@@ -62,28 +62,44 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO week of their first event; each cell counts distinct cohort
     members active N weeks later (the classic retention triangle).
 
-    Scale: first-touch is a map-side-combined MIN per user; the join
-    back to the fact is user-keyed (at 100 TB: the cohort table is
-    |users| rows — broadcast if it fits, else it shares the fact's
-    user_id partitioning). COUNT(DISTINCT user) per cell re-shuffles
-    on (cohort, offset, user) then collapses — two exchanges total,
-    both over per-user-grain rows.
+    Scale — single-pass form (round 8, VERDICT r07 #2, the funnel's
+    trick): ONE events scan and ONE user_id exchange. The per-user
+    aggregate keeps min(ts) plus the distinct active-DAY set (bounded:
+    ≤365/user/year, partial-merged map-side); cohort week and the
+    deduplicated week-offset array are then codegen transforms, and
+    the exploded (user × active-week) rows — already distinct by
+    construction, so a plain COUNT replaces COUNT(DISTINCT) — collapse
+    in a second exchange at per-user-week grain, far below event
+    grain. Replaces the r4 form's 2 scans + 3 event-grain exchanges
+    (user-min, join-back, distinct-collapse); the r6 audit's
+    alternatives predate this shape. MEASURED (round 8,
+    tools/bench_funnel_ab ABBA, sf10, 10 reps, values equal): 1.03x —
+    a wash on local[32] where the page cache makes the second scan
+    free; kept anyway because at real scale the fact scan dominates
+    and this shape pays it once and never exchanges at event grain.
     """
     e = load(spark, sf_dir, "events")
-    first = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    per_user = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week"),
+        F.collect_set(F.date_trunc("day", "ts")).alias("days"),
     )
-    return (
-        e.join(first, "user_id")
-        .groupBy(
-            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
-            F.expr(
-                "cast(datediff(date_trunc('day', ts), cohort_week) div 7"
-                " as bigint)"
-            ).alias("week_offset"),
-        )
-        .agg(F.countDistinct("user_id").alias("n_users"))
+    cells = per_user.select(
+        "cohort_week",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    "days",
+                    lambda d: (F.datediff(d, F.col("cohort_week")) / 7)
+                    .cast("int")
+                    .cast("bigint"),
+                )
+            )
+        ).alias("week_offset"),
     )
+    return cells.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_users"))
 
 
 @register(
@@ -212,45 +228,50 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequential funnel, not a bag-of-events intersection — that
     distinction is what q_event_funnel's windowed variant shares).
 
-    Scale: each step is a user-keyed MIN over a type-filtered slice
-    (filter pushed to the scan), joined user-to-user — three shuffles
-    over per-user rows that all reuse one user_id partitioning. The
-    3-row rate window is free.
+    Scale — single-pass form (round 8, VERDICT r07 #2): ONE events
+    scan (type IN-filter pushed to parquet) and ONE user_id exchange.
+    The per-user aggregate keeps min(view ts) plus the click/purchase
+    timestamp arrays; the sequential cascade is then two codegen
+    array_min(filter(...)) folds — t1 = first click AFTER t0,
+    t2 = first purchase AFTER t1 — replacing the r4 form's three
+    type-filtered groupBy-MIN passes chained by joins (3 scans +
+    3 shuffles). MEASURED (round 8, tools/bench_funnel_ab ABBA,
+    sf10, values equal): single-pass median 3.64 s vs 7.14 s r4 form
+    = 0.51x. Per-user arrays hold only that user's clicks/
+    purchases (bounded fan-in per user at any corpus scale; partial
+    objectHashAggregate keeps map-side memory flat). The 3-row step
+    table and its rate window are free.
     """
     e = load(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
+    per_user = (
+        e.filter(F.col("event_type").isin("view", "click", "purchase"))
         .groupBy("user_id")
-        .agg(F.min("ts").alias("t0"))
-    )
-    c = (
-        e.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("t0"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
-    )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
-    )
-    steps = (
-        v.agg(F.lit("1_view").alias("step"), F.count(F.lit(1)).alias("n_users"))
-        .unionByName(
-            c.agg(
-                F.lit("2_click").alias("step"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t0"),
+            F.collect_list(
+                F.when(F.col("event_type") == "click", F.col("ts"))
+            ).alias("clicks"),
+            F.collect_list(
+                F.when(F.col("event_type") == "purchase", F.col("ts"))
+            ).alias("purchases"),
         )
-        .unionByName(
-            p.agg(
-                F.lit("3_purchase").alias("step"),
-                F.count(F.lit(1)).alias("n_users"),
-            )
+        .withColumn(
+            "t1",
+            F.array_min(F.filter("clicks", lambda x: x > F.col("t0"))),
         )
+        .withColumn(
+            "t2",
+            F.array_min(F.filter("purchases", lambda x: x > F.col("t1"))),
+        )
+    )
+    counts = per_user.agg(
+        F.count("t0").alias("n0"),
+        F.count("t1").alias("n1"),
+        F.count("t2").alias("n2"),
+    )
+    steps = counts.selectExpr(
+        "stack(3, '1_view', n0, '2_click', n1, '3_purchase', n2)"
+        " AS (step, n_users)"
     )
     w = Window.orderBy("step")
     nd = F.col("n_users").cast("double")

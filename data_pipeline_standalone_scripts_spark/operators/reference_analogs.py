@@ -663,3 +663,152 @@ def q_haar_denoise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.energy_out").alias("energy_out"),
         F.col("w.n_zeroed").alias("n_zeroed"),
     )
+
+
+ATROUS_LEVELS = 3
+ATROUS_THRESH = 0.02  # hard-threshold detail coefficients below this
+_ATROUS_N = 64
+
+
+def _atrous_conv_sql(prev: str, d: int) -> str:
+    """One à-trous smoothing level as a DuckDB list expression:
+    B3-spline taps [1,4,6,4,1]/16 at dilation d, replicate-edge
+    clamping, additions parenthesized in EXACTLY the numpy kernel's
+    order so every coefficient is bit-identical cross-engine."""
+    n = _ATROUS_N
+
+    def at(off: int) -> str:
+        if off == 0:
+            return f"{prev}[i]"
+        return f"{prev}[greatest(1, least({n}, i + ({off})))]"
+
+    return (
+        f"list_transform(range(1, {n + 1}), i -> "
+        f"(((({at(-2 * d)} + 4 * {at(-d)}) + 6 * {at(0)})"
+        f" + 4 * {at(d)}) + {at(2 * d)}) / 16)"
+    )
+
+
+_ATROUS_ORACLE = f"""
+    WITH c0 AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c0
+        FROM embeddings
+    ), c1 AS MATERIALIZED (
+        SELECT vec_id, label, c0, {_atrous_conv_sql('c0', 1)} AS c1 FROM c0
+    ), c2 AS MATERIALIZED (
+        SELECT vec_id, label, c0, c1, {_atrous_conv_sql('c1', 2)} AS c2 FROM c1
+    ), c3 AS MATERIALIZED (
+        SELECT vec_id, label, c0, c1, c2,
+               {_atrous_conv_sql('c2', 4)} AS c3
+        FROM c2
+    ), bands AS (
+        SELECT vec_id, label, c0, c3,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> c0[i] - c1[i]) AS w1,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> c1[i] - c2[i]) AS w2,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> c2[i] - c3[i]) AS w3
+        FROM c3
+    ), kept AS (
+        SELECT vec_id, label, c0, c3,
+               list_transform(w1, v -> CASE WHEN abs(v) < {ATROUS_THRESH}
+                                            THEN 0.0 ELSE v END) AS k1,
+               list_transform(w2, v -> CASE WHEN abs(v) < {ATROUS_THRESH}
+                                            THEN 0.0 ELSE v END) AS k2,
+               list_transform(w3, v -> CASE WHEN abs(v) < {ATROUS_THRESH}
+                                            THEN 0.0 ELSE v END) AS k3,
+               len(list_filter(w1, v -> abs(v) < {ATROUS_THRESH}))
+                   + len(list_filter(w2, v -> abs(v) < {ATROUS_THRESH}))
+                   + len(list_filter(w3, v -> abs(v) < {ATROUS_THRESH}))
+                   AS n_zeroed
+        FROM bands
+    ), rec AS (
+        SELECT vec_id, label, c0, n_zeroed,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> ((c3[i] + k1[i]) + k2[i]) + k3[i]) AS r
+        FROM kept
+    )
+    SELECT vec_id, label,
+           round(list_sum(list_transform(c0, v -> v * v)), 6) AS energy_in,
+           round(list_sum(list_transform(r, v -> v * v)), 6) AS energy_out,
+           CAST(n_zeroed AS BIGINT) AS n_zeroed
+    FROM rec
+"""
+
+
+@register("q_atrous_filter", oracle=_ATROUS_ORACLE, category=CAT)
+def q_atrous_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56: multi-scale à-trous (stationary) wavelet filtering — the
+    reference's FLAGSHIP cleaner (datapipe/denoising/
+    wavelets_mrfilter.py shells out to Sparse2D ``mr_filter``, whose
+    multiresolution support is the B3-spline à-trous transform
+    [UNVERIFIED-PK, SURVEY.md §2.12]; the algorithm itself is public —
+    Starck/Murtagh, "Image Processing and Data Analysis", and the
+    Holschneider et al. à-trous construction). Three undecimated
+    smoothing levels with the B3-spline kernel [1,4,6,4,1]/16 at
+    dilations 1/2/4 (replicate-edge), detail bands w_j = c_{j-1} - c_j,
+    hard-threshold, additive reconstruction c_J + Σ w'_j — the exact
+    decompose→threshold→reconstruct semantics of X14's Haar analog but
+    with the reference's actual multiresolution kernel (shift-invariant,
+    no decimation).
+
+    Determinism: the SQL oracle spells every convolution tap with the
+    SAME parenthesization as the numpy kernel ((((a+4b)+6c)+4e)+f)/16,
+    so each coefficient is a bit-identical IEEE double cross-engine;
+    only the final 64-term energy sums differ in association, absorbed
+    by round(,6) (the X14 pattern).
+
+    Scale: stateless Arrow-batched pandas UDF, embarrassingly
+    parallel, zero shuffles — identical scale story to q_haar_denoise;
+    per-record cost is 15 dilated 64-tap passes of C-speed numpy.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("struct<energy_in: double, energy_out: double, n_zeroed: long>")
+    def atrous(emb: pd.Series) -> pd.DataFrame:
+        c0 = np.stack(emb.to_numpy()).astype("float64")  # (batch, 64)
+        n = c0.shape[1]
+
+        def shift(c: "np.ndarray", off: int) -> "np.ndarray":
+            idx = np.clip(np.arange(n) + off, 0, n - 1)
+            return c[:, idx]
+
+        levels = [c0]
+        c = c0
+        for j in range(ATROUS_LEVELS):
+            d = 1 << j
+            c = (
+                (((shift(c, -2 * d) + 4 * shift(c, -d)) + 6 * c)
+                 + 4 * shift(c, d))
+                + shift(c, 2 * d)
+            ) / 16
+            levels.append(c)
+        details = [levels[j] - levels[j + 1] for j in range(ATROUS_LEVELS)]
+        n_zeroed = np.zeros(c0.shape[0], dtype="int64")
+        recon = levels[-1].copy()
+        for w in details:
+            mask = np.abs(w) < ATROUS_THRESH
+            n_zeroed += mask.sum(axis=1).astype("int64")
+            kept = np.where(mask, 0.0, w)
+            recon = recon + kept
+        e_in = (c0 * c0).sum(axis=1)
+        e_out = (recon * recon).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "energy_in": np.round(e_in, 6),
+                "energy_out": np.round(e_out, 6),
+                "n_zeroed": n_zeroed,
+            }
+        )
+
+    e = load(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", atrous(F.col("embedding")).alias("w")).select(
+        "vec_id",
+        "label",
+        F.col("w.energy_in").alias("energy_in"),
+        F.col("w.energy_out").alias("energy_out"),
+        F.col("w.n_zeroed").alias("n_zeroed"),
+    )

@@ -911,3 +911,116 @@ def avi_demux_mjpeg(payload: bytes):
             f"movi carries {len(frames)}"
         )
     return meta["uspf"], meta["n_frames"], meta["width"], meta["height"], frames
+
+
+FITS_BLOCK = 2880  # FITS logical record size (NASA FITS standard 4.0)
+FITS_BZERO = 32768  # unsigned-16bit convention: physical = raw + BZERO
+
+
+def fits_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — REAL FITS files (the reference pipeline's
+    native format: datapipe/io/images.py loads CTA camera images from
+    FITS [UNVERIFIED-PK, SURVEY.md §2.12]), one single-HDU image per
+    document, built from the PUBLIC NASA FITS 4.0 standard: 2880-byte
+    logical records, 80-char ASCII header cards (SIMPLE/BITPIX/NAXIS/
+    NAXISn/BZERO/BSCALE/OBJECT/END), then big-endian BITPIX=16 pixel
+    data zero-padded to the block boundary. The unsigned-short
+    convention is exercised for real: physical = raw + 32768 with the
+    raw stored as signed int16 — exactly how astronomy cameras ship
+    12-bit counts.
+
+    Dimensions and pixels are arithmetic in (doc_id, n_chars):
+    w = 32 + n_chars % 32, h = 24 + doc_id % 24,
+    physical(x, y) = (3·x + 17·y + 11·doc_id) mod 4096 — so the
+    DuckDB oracle verifies DECODED pixel statistics and header fields
+    with no codec anywhere (q_fits_decode), same contract as PGM/PNG.
+
+    Generation is an Arrow-batched mapInPandas numpy kernel; stateless
+    per row — a narrow stage.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _card(key: str, val: str, comment: str = "") -> bytes:
+        body = f"{key:<8}= {val:>20}"
+        if comment:
+            body += f" / {comment}"
+        return body.ljust(80)[:80].encode("ascii")
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, n_chars = int(doc_id), int(n_chars)
+                w = 32 + n_chars % 32
+                h = 24 + doc_id % 24
+                phys = (
+                    3 * np.arange(w, dtype=np.int64)[None, :]
+                    + 17 * np.arange(h, dtype=np.int64)[:, None]
+                    + 11 * doc_id
+                ) % 4096
+                raw = (phys - FITS_BZERO).astype(">i2")
+                header = b"".join(
+                    [
+                        _card("SIMPLE", "T", "conforms to FITS standard"),
+                        _card("BITPIX", "16", "16-bit signed integers"),
+                        _card("NAXIS", "2"),
+                        _card("NAXIS1", str(w)),
+                        _card("NAXIS2", str(h)),
+                        _card("BZERO", str(FITS_BZERO), "unsigned short"),
+                        _card("BSCALE", "1"),
+                        _card("OBJECT", f"'DOC{doc_id}'", "source document"),
+                        "END".ljust(80).encode("ascii"),
+                    ]
+                )
+                header += b" " * (-len(header) % FITS_BLOCK)
+                data = raw.tobytes()
+                data += b"\x00" * (-len(data) % FITS_BLOCK)
+                payloads.append(header + data)
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+def fits_parse(payload: bytes):
+    """Astropy-free FITS primary-HDU parser: walk 80-char cards to END,
+    honor BITPIX/NAXISn/BZERO/BSCALE, return (header_dict, ndarray of
+    PHYSICAL values). Raises on structural violations (non-blocked
+    file, missing mandatory cards, short data) rather than guessing."""
+    import numpy as np
+
+    if len(payload) % FITS_BLOCK != 0:
+        raise ValueError(f"fits: length {len(payload)} not 2880-blocked")
+    hdr: dict[str, str] = {}
+    pos = 0
+    while True:
+        if pos >= len(payload):
+            raise ValueError("fits: no END card")
+        card = payload[pos : pos + 80].decode("ascii")
+        pos += 80
+        key = card[:8].strip()
+        if key == "END":
+            break
+        if card[8:10] == "= ":
+            hdr[key] = card[10:].split(" / ")[0].strip()
+    if hdr.get("SIMPLE") != "T":
+        raise ValueError("fits: not a SIMPLE primary HDU")
+    bitpix = int(hdr["BITPIX"])
+    naxis = int(hdr["NAXIS"])
+    dims = [int(hdr[f"NAXIS{i}"]) for i in range(1, naxis + 1)]
+    bzero = float(hdr.get("BZERO", "0"))
+    bscale = float(hdr.get("BSCALE", "1"))
+    data_start = ((pos + FITS_BLOCK - 1) // FITS_BLOCK) * FITS_BLOCK
+    n_el = 1
+    for d in dims:
+        n_el *= d
+    dt = {8: ">u1", 16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8"}[bitpix]
+    nbytes = n_el * abs(bitpix) // 8
+    if len(payload) < data_start + nbytes:
+        raise ValueError("fits: data unit shorter than NAXISn declare")
+    raw = np.frombuffer(payload, dtype=dt, count=n_el, offset=data_start)
+    # NAXIS1 varies fastest (FORTRAN order): shape is reversed dims
+    arr = raw.reshape(tuple(reversed(dims))) if dims else raw
+    phys = arr.astype(np.float64) * bscale + bzero
+    return hdr, phys

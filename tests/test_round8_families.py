@@ -1,0 +1,112 @@
+"""Invariant tests for the round-8 additions (FITS ingestion, à-trous
+wavelet filtering) — structural and semantic properties parity alone
+doesn't state (SURVEY.md §5.2).
+"""
+
+import numpy as np
+
+import data_pipeline_standalone_scripts_spark as engine
+from data_pipeline_standalone_scripts_spark.registry import REGISTRY
+from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+    FITS_BLOCK,
+    FITS_BZERO,
+    fits_parse,
+    fits_table,
+)
+
+engine.load_all_operators()
+
+
+def test_fits_payloads_are_standards_blocked(spark, sf_small):
+    """Every generated FITS file must be 2880-blocked, start with the
+    SIMPLE card, and parse back to the arithmetic raster — the
+    astropy-free parser IS the hand check the format contract needs."""
+    rows = fits_table(spark, sf_small).limit(20).collect()
+    assert rows
+    for r in rows:
+        p = bytes(r.payload)
+        assert len(p) % FITS_BLOCK == 0
+        assert p[:8] == b"SIMPLE  "
+        hdr, phys = fits_parse(p)
+        doc_id = int(r.media_id)
+        h, w = phys.shape
+        assert int(hdr["NAXIS1"]) == w and int(hdr["NAXIS2"]) == h
+        assert hdr["OBJECT"].strip("' ") == f"DOC{doc_id}"
+        x = np.arange(w)[None, :]
+        y = np.arange(h)[:, None]
+        want = (3 * x + 17 * y + 11 * doc_id) % 4096
+        assert (phys == want).all(), f"pixel mismatch doc {doc_id}"
+
+
+def test_fits_parse_rejects_malformed():
+    """Structural violations raise instead of guessing."""
+    import pytest
+
+    with pytest.raises(ValueError, match="blocked"):
+        fits_parse(b"SIMPLE  =                    T" + b" " * 50)
+    blank = (b"X" * 80) * 36  # blocked but no END card
+    with pytest.raises(ValueError):
+        fits_parse(blank)
+
+
+def test_fits_bzero_roundtrip():
+    """The unsigned-short convention is real: stored int16 raw plus
+    BZERO reproduces physical counts > 32767 would clip without it."""
+    card = lambda k, v: f"{k:<8}= {v:>20}".ljust(80).encode()
+    hdr = (
+        card("SIMPLE", "T")
+        + card("BITPIX", "16")
+        + card("NAXIS", "2")
+        + card("NAXIS1", "2")
+        + card("NAXIS2", "1")
+        + card("BZERO", str(FITS_BZERO))
+        + b"END".ljust(80)
+    )
+    hdr += b" " * (-len(hdr) % FITS_BLOCK)
+    raw = np.array([[0 - FITS_BZERO, 4095 - FITS_BZERO]], dtype=">i2").tobytes()
+    raw += b"\x00" * (-len(raw) % FITS_BLOCK)
+    _, phys = fits_parse(hdr + raw)
+    assert phys.tolist() == [[0.0, 4095.0]]
+
+
+def test_atrous_additive_reconstruction_is_lossless_unthresholded(spark, sf_small):
+    """w_j = c_{j-1} - c_j telescopes: c_J + Σ w_j reproduces the
+    input to float round-off even though B3-spline smoothing is not
+    orthonormal — the property that makes the à-trous decomposition a
+    valid filtering basis. Recomputed here in pure numpy against the
+    raw embeddings (threshold 0 ⇒ nothing dropped)."""
+    from data_pipeline_standalone_scripts_spark.tables import load
+
+    emb = np.stack(
+        [
+            np.asarray(r.embedding, dtype=np.float64)
+            for r in load(spark, sf_small, "embeddings").limit(50).collect()
+        ]
+    )
+    n = emb.shape[1]
+
+    def smooth(c, d):
+        idx = lambda off: np.clip(np.arange(n) + off, 0, n - 1)
+        return (
+            (((c[:, idx(-2 * d)] + 4 * c[:, idx(-d)]) + 6 * c)
+             + 4 * c[:, idx(d)])
+            + c[:, idx(2 * d)]
+        ) / 16
+
+    c0 = emb
+    c1 = smooth(c0, 1)
+    c2 = smooth(c1, 2)
+    c3 = smooth(c2, 4)
+    recon = c3 + (c0 - c1) + (c1 - c2) + (c2 - c3)
+    assert np.abs(recon - emb).max() < 1e-12
+
+
+def test_atrous_output_invariants(spark, sf_small):
+    """Energy in/out non-negative, n_zeroed within [0, 3*64], and the
+    run is bit-deterministic across invocations."""
+    a = sorted(map(tuple, REGISTRY["q_atrous_filter"].fn(spark, sf_small).collect()))
+    b = sorted(map(tuple, REGISTRY["q_atrous_filter"].fn(spark, sf_small).collect()))
+    assert a == b
+    for _, _, ein, eout, nz in a:
+        assert ein >= 0 and eout >= 0
+        assert 0 <= nz <= 3 * 64

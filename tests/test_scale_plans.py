@@ -250,20 +250,27 @@ def test_bloom_probe_all_broadcast(spark, sf_med):
     assert plan.count("BroadcastHashJoin") >= 5, plan[:800]
 
 
-def test_retention_broadcasts_cohort_table(spark, sf_med):
-    """AN1: the per-user cohort table must broadcast into the fact —
-    the fact never shuffles for the join."""
+def test_retention_is_single_scan_no_join(spark, sf_med):
+    """AN1 (r8 single-pass form): ONE events scan, NO join at all —
+    the per-user day-set aggregate replaced the r4 join-back, and the
+    distinct-collapse happens at per-user-week grain."""
     plan = plan_of(REGISTRY["q_retention_cohort"].fn(spark, sf_med))
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
+    # formatted explain lists each scan twice (tree node + detail)
+    assert plan.count("Scan parquet") == 2, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    assert "partial_collect_set" in plan  # map-side combined day sets
 
 
-def test_funnel_pushes_step_filters_to_scan(spark, sf_med):
-    """AN4: each funnel step's event_type filter must reach its
-    parquet scan, so every step reads only its slice."""
+def test_funnel_is_single_scan_single_user_exchange(spark, sf_med):
+    """AN4 (r8 single-pass form): the type IN-filter reaches the one
+    parquet scan and the only keyed exchange is user_id — the r4
+    form's three join-chained passes are gone."""
     plan = plan_of(REGISTRY["q_funnel_conversion"].fn(spark, sf_med))
-    for step in ("view", "click", "purchase"):
-        assert f"EqualTo(event_type,{step})" in plan, step
+    # formatted explain lists each scan twice (tree node + detail)
+    assert plan.count("Scan parquet") == 2, plan[:800]
+    assert "In(event_type, [click,purchase,view])" in plan, plan[:800]
+    assert "Join" not in plan, plan[:800]
+    assert plan.count("hashpartitioning(user_id") >= 1, plan[:800]
 
 
 def test_boilerplate_topk_short_circuits(spark, sf_med):

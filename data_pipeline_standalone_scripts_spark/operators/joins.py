@@ -253,6 +253,14 @@ def q_join_star6(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the thin 2-column sides is cheap. Keep the default (SMJ): same
     # speed, and sort-merge degrades more gracefully if a build side
     # ever outgrows memory at deployment scale.
+    # Pre-aggregation lever MEASURED WORSE (round 8, VERDICT r07 #8,
+    # tools/bench_star6_preagg ABBA sf10, values equal): collapsing
+    # ASIA lineitem to (l_orderkey, s_nationkey) grain before the join
+    # chain runs 3.89 s vs 2.47 s shipped = 1.58x — the pre-agg's own
+    # (orderkey, natkey) exchange plus the re-exchange to orderkey for
+    # the join cost more than the ~1.3x payload reduction saves (ASIA
+    # orders average only ~1.3 lineitems per (orderkey, natkey) cell).
+    # The exchange floor stands as q5's cost; not a missed lever.
     return (
         li_asia.join(
             orders.select("o_orderkey", "o_custkey"),

@@ -33,6 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
+from .common import h60, o_h60
 from .llm import _vec_double
 
 CAT = "reference_analogs"
@@ -445,7 +446,82 @@ def _evo_score(comps: DataFrame, pop: DataFrame) -> DataFrame:
     )
 
 
-@register("q_evolutionary_sweep", oracle=None, check="T2w", category=CAT)
+def _evo_mil(col):
+    """Threshold as exact integer milli-units (hi/lo are always
+    multiples of 0.005, so round() is exact) — the portable hash key
+    basis both engines can reproduce byte-for-byte."""
+    return F.round(col * 1000).cast("bigint")
+
+
+def _evo_children_cte(g: int, surv: str, name: str) -> str:
+    """Generation-g population as a DuckDB CTE over the survivor CTE:
+    survivors re-numbered 0..3 verbatim, plus 4 mutated children whose
+    hash-derived steps replay the Spark side exactly (same h60 over the
+    same 'hi|<mil>|<mil>|<gen>' keys, same clamps, same IEEE order)."""
+    mil_hi = "CAST(round(hi * 1000) AS BIGINT)"
+    mil_lo = "CAST(round(lo * 1000) AS BIGINT)"
+    key_hi = f"'hi' || '|' || {mil_hi} || '|' || {mil_lo} || '|' || {g}"
+    key_lo = f"'lo' || '|' || {mil_lo} || '|' || {mil_hi} || '|' || {g}"
+    return f"""
+{name} AS (
+    SELECT {g} AS gen, rk - 1 AS member, hi, lo FROM {surv}
+    UNION ALL
+    SELECT {g} AS gen, rk + {EVO_TOP} - 1 AS member,
+           greatest(0.02::DOUBLE,
+                    hi + ({o_h60(key_hi)} % 5 - 2) * 0.01::DOUBLE) AS hi,
+           greatest(0.005::DOUBLE,
+                    lo + ({o_h60(key_lo)} % 3 - 1) * 0.005::DOUBLE) AS lo
+    FROM {surv}
+)"""
+
+
+def _evo_score_cte(pop: str, name: str) -> str:
+    """Score a population CTE against the comps sample — the exact SQL
+    twin of _evo_score (COUNT FILTER per vec, then round(avg, 6))."""
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT gen, member, hi, lo,
+           ROUND(AVG(n_core + 0.5 * n_boundary), 6) AS score
+    FROM (
+        SELECT p.gen, p.member, p.hi, p.lo, c.vec_id,
+               COUNT(*) FILTER (WHERE c.v >= p.hi) AS n_core,
+               COUNT(*) FILTER (WHERE c.v >= p.lo AND c.v < p.hi)
+                   AS n_boundary
+        FROM {pop} p CROSS JOIN comps c
+        GROUP BY 1, 2, 3, 4, 5
+    )
+    GROUP BY 1, 2, 3, 4
+)"""
+
+
+def _evo_surv_cte(score: str, name: str) -> str:
+    return f"""
+{name} AS (
+    SELECT hi, lo,
+           row_number() OVER (ORDER BY score DESC, member ASC) AS rk
+    FROM {score}
+    QUALIFY rk <= {EVO_TOP}
+)"""
+
+
+_EVO_ORACLE = f"""
+    WITH comps AS MATERIALIZED (
+        SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    ), pop0 AS (
+        SELECT 0 AS gen, CAST(i AS INT) AS member,
+               0.08::DOUBLE + 0.02::DOUBLE * i AS hi,
+               0.01::DOUBLE + 0.01::DOUBLE * (i % 4) AS lo
+        FROM (SELECT unnest(range({EVO_POP})) AS i)
+    ),{_evo_score_cte('pop0', 's0')},{_evo_surv_cte('s0', 'surv0')},{_evo_children_cte(1, 'surv0', 'pop1')},{_evo_score_cte('pop1', 's1')},{_evo_surv_cte('s1', 'surv1')},{_evo_children_cte(2, 'surv1', 'pop2')},{_evo_score_cte('pop2', 's2')}
+    SELECT CAST(gen AS BIGINT) AS gen, CAST(member AS BIGINT) AS member,
+           hi, lo, score
+    FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM s2)
+"""
+
+
+@register("q_evolutionary_sweep", oracle=_EVO_ORACLE, category=CAT)
 def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Evolutionary threshold search (reference: optimization/
     differential_evolution.py + saes.py [UNVERIFIED-PK]): a 3-
@@ -461,9 +537,15 @@ def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample never moves. No collect() — survivor selection is a window
     filter, and the loop carries only unexecuted plans.
 
-    T2w: multi-step evolutionary state has no tractable single-SQL
-    twin. tests/test_pipeline_ext.py asserts monotone best-score
-    improvement across generations and determinism.
+    T2 as of round 8 (was T2w; VERDICT r07 #9): the 3-generation loop
+    is deterministic, so the oracle REPLAYS it as unrolled CTEs —
+    score/survivor/children per generation, the mutation hash swapped
+    from Spark-only Murmur3 to the portable h60 over integer
+    milli-unit keys, and every float literal forced ::DOUBLE (DuckDB
+    parses bare decimals as DECIMAL, whose exact arithmetic diverges
+    from Spark's double chain in the last ulp). Full row+schema+hash
+    parity. tests/test_pipeline_ext.py additionally asserts monotone
+    best-score improvement across generations and determinism.
 
     Scale: per generation, cost = |sample|·64·|pop| with (config,
     record) partial counts in the shuffle — identical to the grid
@@ -493,7 +575,13 @@ def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") <= EVO_TOP)
         )
         # deterministic mutation: perturb each parent ±hash-derived
-        # step (two children per parent), clamp to valid ranges
+        # step (one kept + one mutated child per parent), clamp to
+        # valid ranges. The hash is the PORTABLE h60 over integer
+        # milli-unit keys (r8, replacing Spark-only Murmur3 F.hash) —
+        # that swap is what makes the unrolled-CTE oracle possible.
+        mil_hi, mil_lo = _evo_mil(F.col("hi")), _evo_mil(F.col("lo"))
+        key_hi = F.concat_ws("|", F.lit("hi"), mil_hi, mil_lo, F.lit(gen))
+        key_lo = F.concat_ws("|", F.lit("lo"), mil_lo, mil_hi, F.lit(gen))
         children = parents.select(
             F.lit(gen).alias("gen"),
             (F.col("rk") - 1).cast("int").alias("member"),
@@ -506,19 +594,23 @@ def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.greatest(
                     F.lit(0.02),
                     F.col("hi")
-                    + (F.pmod(F.abs(F.hash("hi", "lo", F.lit(gen))), F.lit(5)).cast("double") - 2)
-                    * 0.01,
+                    + (F.pmod(h60(key_hi), F.lit(5)).cast("double") - 2) * 0.01,
                 ).alias("hi"),
                 F.greatest(
                     F.lit(0.005),
                     F.col("lo")
-                    + (F.pmod(F.abs(F.hash("lo", "hi", F.lit(gen))), F.lit(3)).cast("double") - 1)
-                    * 0.005,
+                    + (F.pmod(h60(key_lo), F.lit(3)).cast("double") - 1) * 0.005,
                 ).alias("lo"),
             )
         )
         all_scored = all_scored.unionByName(_evo_score(comps, children))
-    return all_scored
+    return all_scored.select(
+        F.col("gen").cast("long").alias("gen"),
+        F.col("member").cast("long").alias("member"),
+        "hi",
+        "lo",
+        "score",
+    )
 
 
 HAAR_LEVELS = 3

@@ -62,6 +62,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-8 new ops (no-ops until their modules register them)
     "q_fits_decode",
     "q_atrous_filter",
+    "q_assess_report",
     # behavior-changed ops, for external re-certification
     "q_session_window_native",
     "q_join_star3",

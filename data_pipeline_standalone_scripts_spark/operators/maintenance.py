@@ -621,3 +621,102 @@ def q_rle_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@register(
+    "q_assess_report",
+    oracle="""
+        WITH per_doc AS (
+            SELECT doc_id,
+                   n_chars,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(text) - len(regexp_replace(text, '[0-9]', '', 'g'))
+                       AS n_digits
+            FROM documents
+        ), long_form AS (
+            SELECT 'n_chars' AS metric, CAST(n_chars AS BIGINT) AS v
+            FROM per_doc
+            UNION ALL
+            SELECT 'n_tokens', CAST(n_tokens AS BIGINT) FROM per_doc
+            UNION ALL
+            SELECT 'n_digits', CAST(n_digits AS BIGINT) FROM per_doc
+        ), agg AS (
+            SELECT metric,
+                   COUNT(*) AS n_records,
+                   CAST(SUM(v) AS BIGINT) AS total,
+                   MIN(v) AS min_v,
+                   MAX(v) AS max_v,
+                   ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS mean_v
+            FROM long_form GROUP BY metric
+        )
+        SELECT metric, n_records, total, min_v, max_v, mean_v,
+               '{"metric":"' || metric || '","n":' || n_records
+                   || ',"total":' || total || ',"min":' || min_v
+                   || ',"max":' || max_v || '}' AS score_json
+        FROM agg
+    """,
+    category=CAT,
+)
+def q_assess_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT8: accumulated score-file report — the reference's benchmark
+    sink shape (benchmark/assess.py computes a per-image metric dict
+    and appends it to a JSON score file [UNVERIFIED-PK, SURVEY.md
+    §2.12]; VERDICT r07 "What's missing" #3). Per-record metrics
+    (chars, whitespace tokens, digit count) pivot long via stack, the
+    accumulation is one map-side-combined aggregate per metric, and
+    each report row carries its serialized JSON line — built by
+    portable string concatenation over INTEGER fields, so the payload
+    is byte-identical cross-engine (to_json float formatting is not).
+
+    The reference appends one dict per image to a growing file (an
+    O(n) driver-side accumulation); here the accumulation is the
+    shuffle+agg the engine already scales: 3 long rows per partition
+    after map-side combine, a 3-row report out.
+
+    Scale: one documents scan, codegen metric projection, stack(3) is
+    scan-side; the only exchange carries (metric, partial aggregates)
+    — 3 rows per map task.
+    """
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", "[0-9]", ""))
+        )
+        .cast("long")
+        .alias("n_digits"),
+    )
+    long_form = per_doc.selectExpr(
+        "stack(3, 'n_chars', n_chars, 'n_tokens', n_tokens,"
+        " 'n_digits', n_digits) AS (metric, v)"
+    )
+    agg = long_form.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("v").alias("total"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+        F.round(F.sum("v").cast("double") / F.count(F.lit(1)), 6).alias("mean_v"),
+    )
+    return agg.select(
+        "metric",
+        "n_records",
+        "total",
+        "min_v",
+        "max_v",
+        "mean_v",
+        F.concat(
+            F.lit('{"metric":"'),
+            F.col("metric"),
+            F.lit('","n":'),
+            F.col("n_records"),
+            F.lit(',"total":'),
+            F.col("total"),
+            F.lit(',"min":'),
+            F.col("min_v"),
+            F.lit(',"max":'),
+            F.col("max_v"),
+            F.lit("}"),
+        ).alias("score_json"),
+    )

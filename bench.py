@@ -64,6 +64,10 @@ HEADLINE = {
     "events_wau_mau": "q_wau_mau",
     "events_interval_coverage": "q_interval_coverage",
     "docs_bpe_merge": "q_bpe_merge",
+    # round-8 row (BASELINE.md "pipeline ops"): real FITS gen+parse vs
+    # DuckDB's arithmetic recompute — comparator 1.42 s at sf0.1, well
+    # above the job floor
+    "media_fits_decode": "q_fits_decode",
     # NOT added in driver-round 3 (considered, measured, rejected): the
     # dist_ntile/dist_running showcase rows (rfm, ks, late_watermark)
     # and q_jpeg_decode all have sub-50 ms DuckDB oracles — they would

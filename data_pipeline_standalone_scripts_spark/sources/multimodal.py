@@ -980,6 +980,17 @@ def fits_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
 
     d = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # Parallelism crutch (same contract as q_bpe_merge's): the FITS
+    # gen+parse is CPU-heavy Python, so a single-file local fixture
+    # must not serialize it onto one core. On a real cluster the scan
+    # always has enough splits and this never fires. MEASURED at
+    # sf0.1: 7.5 s median (spiky 1.1-14.2 s) on the 1-split scan vs
+    # sub-second spread across 32.
+    from ..operators.common import scan_splits_hint
+
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits_hint(spark, sf_dir, "documents") < par:
+        d = d.repartition(par, "doc_id")
     return d.mapInPandas(gen, schema="media_id bigint, payload binary")
 
 

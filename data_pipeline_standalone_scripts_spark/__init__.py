@@ -63,6 +63,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_fits_decode",
     "q_atrous_filter",
     "q_assess_report",
+    "q_domain_reweight",
     # behavior-changed ops, for external re-certification
     "q_session_window_native",
     "q_join_star3",

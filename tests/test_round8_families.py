@@ -110,3 +110,31 @@ def test_atrous_output_invariants(spark, sf_small):
     for _, _, ein, eout, nz in a:
         assert ein >= 0 and eout >= 0
         assert 0 <= nz <= 3 * 64
+
+
+def test_domain_reweight_invariants(spark, sf_small):
+    """Weights renormalize to ~1e6 every step (off by at most K/2
+    micro from per-domain rounding), step 0 is uniform, and a domain
+    with above-average loss never loses weight on the step where it
+    is above average (multiplicative-weights direction)."""
+    rows = REGISTRY["q_domain_reweight"].fn(spark, sf_small).collect()
+    by_step = {}
+    for r in rows:
+        by_step.setdefault(r.step, []).append(r)
+    assert set(by_step) == {0, 1, 2, 3}
+    k = len(by_step[0])
+    for step, rs in by_step.items():
+        assert len(rs) == k
+        assert abs(sum(r.weight_micro for r in rs) - 1_000_000) <= k
+    w0 = {r.source: r.weight_micro for r in by_step[0]}
+    assert len(set(w0.values())) == 1  # uniform start
+    # direction check on step 1: loss above the UNIFORM average ⇒
+    # weight did not decrease
+    losses = {r.source: r.loss_micro for r in by_step[0]}
+    avg = sum(losses.values()) / k
+    w1 = {r.source: r.weight_micro for r in by_step[1]}
+    for s_ in losses:
+        if losses[s_] > avg + 1:
+            assert w1[s_] >= w0[s_], (s_, losses[s_], avg)
+        elif losses[s_] < avg - 1:
+            assert w1[s_] <= w0[s_], (s_, losses[s_], avg)

@@ -138,3 +138,54 @@ def test_domain_reweight_invariants(spark, sf_small):
             assert w1[s_] >= w0[s_], (s_, losses[s_], avg)
         elif losses[s_] < avg - 1:
             assert w1[s_] <= w0[s_], (s_, losses[s_], avg)
+
+
+def test_fits_roundtrip_property():
+    """Hypothesis: any (w, h, bitpix, bzero, pixels) encodes to a
+    2880-blocked file our parser inverts exactly — pure-Python, no
+    Spark session, so the search is cheap and wide."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    dt_by_bitpix = {8: ">u1", 16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8"}
+    lim = {8: (0, 255), 16: (-(1 << 15), (1 << 15) - 1),
+           32: (-(1 << 31), (1 << 31) - 1)}
+
+    def card(k, v):
+        return f"{k:<8}= {v:>20}".ljust(80).encode()
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 16),
+        bitpix=st.sampled_from([8, 16, 32, -64]),
+        bzero=st.sampled_from([0, 32768]),
+        seed=st.integers(0, 2**31),
+    )
+    def prop(w, h, bitpix, bzero, seed):
+        rng = np.random.RandomState(seed % (2**32 - 1))
+        if bitpix == -64:
+            raw = rng.uniform(-1e3, 1e3, size=(h, w))
+        else:
+            lo, hi = lim[bitpix]
+            raw = rng.randint(lo, hi, size=(h, w))
+        arr = raw.astype(dt_by_bitpix[bitpix])
+        hdr = (
+            card("SIMPLE", "T")
+            + card("BITPIX", str(bitpix))
+            + card("NAXIS", "2")
+            + card("NAXIS1", str(w))
+            + card("NAXIS2", str(h))
+            + card("BZERO", str(bzero))
+            + b"END".ljust(80)
+        )
+        hdr += b" " * (-len(hdr) % FITS_BLOCK)
+        data = arr.tobytes()
+        data += b"\x00" * (-len(data) % FITS_BLOCK)
+        got_hdr, phys = fits_parse(hdr + data)
+        assert int(got_hdr["BITPIX"]) == bitpix
+        assert phys.shape == (h, w)
+        want = arr.astype(np.float64) + bzero
+        assert (phys == want).all()
+
+    prop()

@@ -30,8 +30,8 @@ from .registry import REGISTRY  # noqa: F401
 #                q_normalized_dedup q_dp_counts q_kmv_set_ops q_pr_curve
 #                q_target_encoding q_semantic_dedup q_dsir_selection)
 #               — closes cumulative external coverage at 310/310.
-#   next slots  round-8 NEW ops (q_fits_decode q_atrous_filter — unknown
-#               names are ignored by reorder() until registered) and the
+#   next slots  round-8 NEW ops (q_fits_decode q_atrous_filter
+#               q_assess_report q_domain_reweight) and the
 #               behavior-changed rows needing external re-certification:
 #               q_session_window_native (9854116 boundary-semantics fix),
 #               q_join_star3 (r7 SHJ size-dispatch), q_evolutionary_sweep
@@ -43,6 +43,12 @@ from .registry import REGISTRY  # noqa: F401
 #               oldest round-2-checked ops in registry order to fill 50.
 # Verified by set arithmetic against CORRECTNESS_r01-r07: slots 1-10 ==
 # the exact never-checked set; the backfill is disjoint from the front.
+#
+# NEXT-ROUND QUEUE (round 9): after CORRECTNESS_r08 lands, nothing is
+# never-checked; rotate to the oldest-checked rows — the 26 r02-checked
+# ops NOT in this round's window (q_python_udf onward in registry
+# order: udfs, windows W1-W8, scalar F1-F10 families), then r03 —
+# plus any op round 8's verdict flags or round 9 rewrites.
 #
 #   last = {}  # op -> latest round checked
 #   for i in (1, 2, 3, 4, 5, 6, 7):

@@ -68,6 +68,11 @@ HEADLINE = {
     # DuckDB's arithmetic recompute — comparator 1.42 s at sf0.1, well
     # above the job floor
     "media_fits_decode": "q_fits_decode",
+    # round-9 row (BASELINE.md "pipeline ops"): TRUE 2-D à-trous over
+    # real FITS rasters — Spark pays gen+parse+6 separable numpy conv
+    # passes per image, DuckDB pays 6 window passes over the pixel
+    # grain; both sides well above the job floor
+    "media_atrous2d": "q_atrous_2d",
     # NOT added in driver-round 3 (considered, measured, rejected): the
     # dist_ntile/dist_running showcase rows (rfm, ks, late_watermark)
     # and q_jpeg_decode all have sub-50 ms DuckDB oracles — they would

@@ -22,97 +22,88 @@ from .registry import REGISTRY  # noqa: F401
 
 # The correctness driver hash-checks only the first 50 REGISTRY entries
 # per round (empirically verified in round 1: checked == islice(REGISTRY, 50)).
-# This list pins those 50 slots.
+# This list pins EXACTLY those 50 slots — nothing past index 49 is
+# checked this round (ADVICE r08 #1: the r8 list had 54 entries; the
+# 4 trailing ones rolled into this round's staleness backfill).
 #
-# THIS round (8): per VERDICT r07 "Next round #1". Composition:
-#   slots 1-10  the 10 round-7-new ops the driver has NEVER hash-checked
-#               (q_substring_dedup q_minhash_containment q_dup_span_trim
-#                q_normalized_dedup q_dp_counts q_kmv_set_ops q_pr_curve
-#                q_target_encoding q_semantic_dedup q_dsir_selection)
-#               — closes cumulative external coverage at 310/310.
-#   next slots  round-8 NEW ops (q_fits_decode q_atrous_filter
-#               q_assess_report q_domain_reweight) and the
-#               behavior-changed rows needing external re-certification:
-#               q_session_window_native (9854116 boundary-semantics fix),
-#               q_join_star3 (r7 SHJ size-dispatch), q_evolutionary_sweep
-#               (r8 T2w->T2 oracle upgrade), q_funnel_conversion /
-#               q_retention_cohort (r8 single-pass rewrites).
-#   then        the 6 ops last checked in round 1 (q_computed_cols
-#               q_join_broadcast q_join_shuffle q_join_star6
-#               q_join_left_outer; q_join_star3 already above), then the
-#               oldest round-2-checked ops in registry order to fill 50.
-# Verified by set arithmetic against CORRECTNESS_r01-r07: slots 1-10 ==
-# the exact never-checked set; the backfill is disjoint from the front.
-#
-# NEXT-ROUND QUEUE (round 9): after CORRECTNESS_r08 lands, nothing is
-# never-checked; rotate to the oldest-checked rows — the 26 r02-checked
-# ops NOT in this round's window (q_python_udf onward in registry
-# order: udfs, windows W1-W8, scalar F1-F10 families), then r03 —
-# plus any op round 8's verdict flags or round 9 rewrites.
-#
+# THIS round (9): per VERDICT r08 "Next round #5" — coverage closed at
+# 314/314 in r8, so the window is max-staleness-first. Composition:
+#   slots 1-5   the round-9 NEW ops (q_tailcut_2d q_connected_2d
+#               q_atrous_2d q_fits_roundtrip q_cleaner_assess) — never
+#               externally checked.
+#   slots 6-8   behavior-touched rows needing re-certification:
+#               q_fits_decode (fits_parse now honors quoted-string
+#               cards, ADVICE r08 #3), q_dp_counts (seed now read from
+#               spark.conf, VERDICT r08 #6), q_retention_cohort
+#               (explicit NULL-user_id filter, ADVICE r08 #2).
+#   slots 9-31  ALL 23 ops whose latest check is round 2 — the oldest
+#               cohort, predating six rounds of shared-helper refactors
+#               (udfs D1-D6, windows W1-W8, scalar F1-F7/F9/F10).
+#   slots 32-50 the oldest round-3-checked ops in registry order.
+# Verified by set arithmetic against CORRECTNESS_r01-r08: the r2 cohort
+# is complete, the backfill disjoint from the front:
 #   last = {}  # op -> latest round checked
-#   for i in (1, 2, 3, 4, 5, 6, 7):
+#   for i in range(1, 9):
 #       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r0{i}.json")), i))
+#
+# NEXT-ROUND QUEUE (round 10): any r10-new/changed ops first, then the
+# remaining r3-checked rows (q_snapshot_diff q_tailcut_clean
+# q_array_moments onward in registry order), then the r4 cohort.
 DRIVER_PRIORITY: list[str] = [
-    # never externally checked (cumulative coverage -> 310/310)
-    "q_substring_dedup",
-    "q_minhash_containment",
-    "q_dup_span_trim",
-    "q_normalized_dedup",
-    "q_dp_counts",
-    "q_kmv_set_ops",
-    "q_pr_curve",
-    "q_target_encoding",
-    "q_semantic_dedup",
-    "q_dsir_selection",
-    # round-8 new ops (no-ops until their modules register them)
+    # round-9 new ops (never externally checked)
+    "q_tailcut_2d",
+    "q_connected_2d",
+    "q_atrous_2d",
+    "q_fits_roundtrip",
+    "q_cleaner_assess",
+    # behavior-touched in round 9, for external re-certification
     "q_fits_decode",
-    "q_atrous_filter",
-    "q_assess_report",
-    "q_domain_reweight",
-    # behavior-changed ops, for external re-certification
-    "q_session_window_native",
-    "q_join_star3",
-    "q_evolutionary_sweep",
-    "q_funnel_conversion",
+    "q_dp_counts",
     "q_retention_cohort",
-    # oldest-checked (round 1), registry order
-    "q_computed_cols",
-    "q_join_broadcast",
-    "q_join_shuffle",
-    "q_join_star6",
-    "q_join_left_outer",
-    # oldest round-2-checked, registry order (fills the 50 window)
-    "q_agg_collect",
-    "q_lang_distribution",
-    "q_centroid_per_label",
-    "q_session_window",
-    "q_join_full_outer",
-    "q_join_semi",
-    "q_join_anti",
-    "q_join_cross",
-    "q_join_theta_range",
-    "q_join_asof",
-    "q_join_interval",
-    "q_order_multi",
-    "q_topk_global",
-    "q_sample_deterministic",
-    "q_scan_project",
-    "q_scan_count",
-    "q_sink_roundtrip",
-    "q_csv_json_io",
-    "q_partitioned_prune",
-    "q_orc_io",
-    "q_union_all",
-    "q_union_distinct",
-    "q_intersect",
-    "q_except",
-    "q_lang_id",
-    "q_fingerprint_winnow",
+    # the complete round-2-checked cohort (oldest), registry order
     "q_python_udf",
     "q_pandas_udf_scalar",
     "q_pandas_udaf",
     "q_apply_in_pandas",
+    "q_python_udtf",
+    "q_map_in_arrow",
+    "q_win_rank",
+    "q_win_topk_group",
+    "q_win_lag_lead",
+    "q_win_running",
+    "q_win_moving_avg",
+    "q_win_range_frame",
+    "q_win_ntile_pct",
+    "q_win_first_last",
+    "q_str_funcs",
+    "q_str_regex",
+    "q_date_funcs",
+    "q_math_funcs",
+    "q_null_funcs",
+    "q_array_funcs",
+    "q_array_hof",
+    "q_json_extract",
+    "q_cast_types",
+    # oldest round-3-checked, registry order (fills the 50 window)
+    "q_histogram",
+    "q_dedup_clusters",
+    "q_embed_quantize",
+    "q_fuzzy_name_match",
+    "q_pagerank_dups",
+    "q_zscore_outliers",
+    "q_corr_subquery",
+    "q_cdc_upsert",
+    "q_skew_salted_join",
+    "q_join_lateral",
+    "q_linreg_fit",
+    "q_linreg_per_group",
+    "q_multimodal_decode",
+    "q_pgm_decode",
+    "q_wav_decode",
+    "q_frame_sample",
+    "q_media_resize",
+    "q_png_decode",
+    "q_morton_cluster",
 ]
 
 
@@ -140,6 +131,7 @@ def load_all_operators() -> None:
         olap,
         olap_tpch,
         ordering,
+        raster2d,
         reconcile,
         reference_analogs,
         scans,

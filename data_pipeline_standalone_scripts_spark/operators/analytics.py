@@ -77,8 +77,14 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
     a wash on local[32] where the page cache makes the second scan
     free; kept anyway because at real scale the fact scan dominates
     and this shape pays it once and never exchanges at event grain.
+
+    NULL semantics (ADVICE r08 #2): the r4 join-back form — and the
+    oracle's equality join — silently DROPPED NULL-user_id events,
+    while a bare groupBy would keep a NULL-key cohort; the explicit
+    filter pins the join semantics so the rewrite stays correct on
+    corpora where user_id is nullable (the fixtures' never is).
     """
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     per_user = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week"),
         F.collect_set(F.date_trunc("day", "ts")).alias("days"),

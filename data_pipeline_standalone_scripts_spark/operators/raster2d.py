@@ -1,0 +1,560 @@
+"""TRUE 2-D raster semantics for the reference-fidelity cleaning
+family (VERDICT r08 "What's missing" #1): the reference's cleaners
+operate on 2-D camera images — tailcut's neighbor rescue, the
+kill-isolated-pixels connected-component keep, and the à-trous
+multiresolution transform are all 2-D in datapipe/denoising/* and
+datapipe/image/* [UNVERIFIED-PK, SURVEY.md §2.12] — while X9/X18/X56
+run the same semantics over 1-D 64-element arrays. This module
+upgrades the family to real 2-D payloads: the X55 FITS rasters
+(sources/multimodal.fits_table — w×h up to 63×47 physical pixels whose
+values are arithmetic in (doc_id, x, y), so DuckDB re-derives every
+pixel with no codec anywhere).
+
+- ``q_tailcut_2d``   ← datapipe/denoising/tailcut.py: two-threshold
+  cleaning with 8-neighborhood core rescue, on the 2-D grid.
+- ``q_connected_2d`` ← datapipe/image/kill_isolated_pixels.py: label
+  4-connected components above a threshold, keep the largest-signal
+  island, count the isolated single-pixel islands discarded.
+- ``q_atrous_2d``    ← datapipe/denoising/wavelets_mrfilter.py: the
+  SEPARABLE 2-D B3-spline à-trous transform (Starck/Murtagh;
+  Holschneider et al. — public), 3 undecimated levels at dilations
+  1/2/4, replicate-edge, hard-threshold, additive reconstruction.
+
+Exactness design (stronger than the 1-D family's round(6) bet): FITS
+pixels are INTEGERS, and the à-trous kernel only ever adds integers,
+multiplies by 4/6, and divides by 16 — every intermediate is an
+exactly-representable dyadic rational (numerators < 2^53 throughout,
+proven in q_atrous_2d's docstring), so every coefficient, detail
+band, threshold decision and reconstruction value is BIT-IDENTICAL
+cross-engine with NO association caveat at all. Tailcut/connected
+outputs are pure integer counts and sums. The only rounded quantity
+in the module is the final mean/ratio division of two already-equal
+numbers.
+
+Scale: all three kernels are stateless Arrow-batched mapInPandas
+stages over the FITS generator (at 100 TB: over a binaryFile scan of
+real .fits objects) — zero shuffles, per-image numpy; the per-image
+union-find in q_connected_2d touches ~2 runs × h rows, not pixels².
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+
+CAT = "raster2d"
+
+# raw-ADU thresholds on the 0..4095 FITS physical values
+TAIL2D_HI = 3072  # core threshold (top quartile of the 12-bit range)
+TAIL2D_LO = 2048  # boundary threshold (top half)
+CC2D_T = 3584  # island membership threshold (top eighth)
+ATROUS2D_LEVELS = 3
+ATROUS2D_T = 8.0  # hard-threshold on detail coefficients, raw ADU
+
+_PX_CTE = """
+    dims AS (
+        SELECT doc_id, 32 + n_chars % 32 AS w, 24 + doc_id % 24 AS h
+        FROM documents
+    ), xs AS (
+        SELECT doc_id, w, h, unnest(range(w)) AS x FROM dims
+    ), pxy AS (
+        SELECT doc_id, w, h, x, unnest(range(h)) AS y FROM xs
+    ), px AS (
+        SELECT doc_id, w, h, x, y,
+               (3 * x + 17 * y + 11 * doc_id) % 4096 AS v
+        FROM pxy
+    )"""
+
+
+def _nb8_core_sql() -> str:
+    """OR over the 8 neighbors of (in-bounds AND neighbor-value >= HI),
+    with the neighbor value re-derived arithmetically — no join."""
+    terms = []
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dx == 0 and dy == 0:
+                continue
+            terms.append(
+                f"(x + ({dx}) >= 0 AND x + ({dx}) < w"
+                f" AND y + ({dy}) >= 0 AND y + ({dy}) < h"
+                f" AND (3 * (x + ({dx})) + 17 * (y + ({dy}))"
+                f" + 11 * doc_id) % 4096 >= {TAIL2D_HI})"
+            )
+    return "(" + " OR ".join(terms) + ")"
+
+
+def _shift2d(m, dy: int, dx: int):
+    """m shifted so out[y, x] = m[y+dy, x+dx], False/0 out of bounds."""
+    import numpy as np
+
+    h, w = m.shape
+    out = np.zeros_like(m)
+    ys0, ys1 = max(0, -dy), min(h, h - dy)
+    xs0, xs1 = max(0, -dx), min(w, w - dx)
+    if ys0 < ys1 and xs0 < xs1:
+        out[ys0:ys1, xs0:xs1] = m[ys0 + dy : ys1 + dy, xs0 + dx : xs1 + dx]
+    return out
+
+
+@register(
+    "q_tailcut_2d",
+    oracle=f"""
+        WITH {_PX_CTE}, flags AS (
+            SELECT doc_id, v,
+                   v >= {TAIL2D_HI} AS core,
+                   v >= {TAIL2D_LO} AS boundary,
+                   {_nb8_core_sql()} AS nb_core
+            FROM px
+        ), agg AS (
+            SELECT doc_id AS media_id,
+                   CAST(COUNT(*) FILTER (WHERE core) AS BIGINT) AS n_core,
+                   CAST(COUNT(*) FILTER (WHERE boundary AND NOT core
+                                           AND nb_core) AS BIGINT)
+                       AS n_rescued,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN v ELSE 0 END) AS BIGINT) AS kept_sum
+            FROM flags
+            GROUP BY doc_id
+        )
+        SELECT media_id, n_core, n_rescued,
+               n_core + n_rescued AS n_kept,
+               kept_sum,
+               ROUND(CAST(kept_sum AS DOUBLE)
+                     / nullif(n_core + n_rescued, 0), 6) AS kept_mean
+        FROM agg
+    """,
+    category=CAT,
+)
+def q_tailcut_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X58: TRUE 2-D tailcut cleaning over real FITS rasters
+    (reference: datapipe/denoising/tailcut.py [UNVERIFIED-PK] — two
+    thresholds with neighbor rescue on the camera image; X9 is the
+    1-D analog of the same semantics). A pixel survives if it passes
+    the core threshold, or passes the boundary threshold AND touches
+    a core pixel in its 8-neighborhood (the reference's CTA cameras
+    are hexagonal; on the square test grid we take the standard
+    8-neighborhood and say so). Per image: core count, rescued count,
+    kept count/sum/mean.
+
+    Correctness: the Spark side PARSES the FITS payload and runs the
+    mask arithmetic in numpy; the DuckDB oracle re-derives every pixel
+    AND every neighbor arithmetically from documents — all outputs are
+    integer-exact (the mean divides two already-identical numbers).
+
+    Scale: stateless Arrow-batched mapInPandas over the FITS scan,
+    zero shuffles; the 8 shifted-mask ORs are O(pixels) per image.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import fits_parse, fits_table
+
+    def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_core", "n_rescued", "kept_sum")}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, phys = fits_parse(bytes(p))
+                v = phys.astype(np.int64)
+                core = v >= TAIL2D_HI
+                boundary = v >= TAIL2D_LO
+                nb_core = np.zeros_like(core)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        nb_core |= _shift2d(core, dy, dx)
+                rescued = boundary & ~core & nb_core
+                kept = core | rescued
+                rows["media_id"].append(mid)
+                rows["n_core"].append(int(core.sum()))
+                rows["n_rescued"].append(int(rescued.sum()))
+                rows["kept_sum"].append(int(v[kept].sum()))
+            yield pd.DataFrame(rows)
+
+    out = fits_table(spark, sf_dir).mapInPandas(
+        clean,
+        schema="media_id bigint, n_core bigint, n_rescued bigint, kept_sum bigint",
+    )
+    n_kept = F.col("n_core") + F.col("n_rescued")
+    return out.select(
+        "media_id",
+        "n_core",
+        "n_rescued",
+        n_kept.alias("n_kept"),
+        "kept_sum",
+        F.round(
+            F.col("kept_sum").cast("double")
+            / F.when(n_kept > 0, n_kept).otherwise(F.lit(None)),
+            6,
+        ).alias("kept_mean"),
+    )
+
+
+@register(
+    "q_connected_2d",
+    oracle=f"""
+        WITH RECURSIVE {_PX_CTE}, above AS (
+            SELECT doc_id, x, y, v FROM px WHERE v >= {CC2D_T}
+        ), runs0 AS (
+            SELECT doc_id, y, x, v,
+                   x - row_number() OVER (PARTITION BY doc_id, y
+                                          ORDER BY x) AS grp
+            FROM above
+        ), nodes AS (
+            SELECT doc_id, y, grp,
+                   MIN(x) AS x0, MAX(x) AS x1,
+                   CAST(COUNT(*) AS BIGINT) AS sz,
+                   CAST(SUM(v) AS BIGINT) AS sig,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY y, MIN(x)) AS BIGINT)
+                       AS rid
+            FROM runs0
+            GROUP BY doc_id, y, grp
+        ), sym AS (
+            SELECT a.doc_id, a.rid AS src, b.rid AS dst
+            FROM nodes a JOIN nodes b
+              ON a.doc_id = b.doc_id AND abs(a.y - b.y) = 1
+             AND a.x0 <= b.x1 AND b.x0 <= a.x1
+        ), reach AS (
+            SELECT doc_id, rid AS run, rid AS lab FROM nodes
+            UNION
+            SELECT s.doc_id, s.dst AS run, r.lab
+            FROM reach r JOIN sym s
+              ON r.doc_id = s.doc_id AND r.run = s.src
+        ), labels AS (
+            SELECT doc_id, run, MIN(lab) AS comp FROM reach
+            GROUP BY doc_id, run
+        ), islands AS (
+            SELECT n.doc_id, l.comp,
+                   SUM(n.sz) AS island_size,
+                   SUM(n.sig) AS island_sig,
+                   MIN(n.y * 64 + n.x0) AS first_px
+            FROM nodes n JOIN labels l
+              ON n.doc_id = l.doc_id AND n.rid = l.run
+            GROUP BY n.doc_id, l.comp
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY island_sig DESC,
+                                                  first_px ASC) AS rk
+            FROM islands
+        )
+        SELECT doc_id AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(CASE WHEN island_size = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_isolated,
+               CAST(SUM(island_size) AS BIGINT) AS n_above,
+               MAX(CASE WHEN rk = 1 THEN island_size END) AS kept_size,
+               MAX(CASE WHEN rk = 1 THEN island_sig END) AS kept_sum
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def q_connected_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X59: TRUE 2-D connected-component cleaning over real FITS
+    rasters (reference: datapipe/image/kill_isolated_pixels.py
+    [UNVERIFIED-PK] — scipy.ndimage.label on the thresholded camera
+    image, keep the biggest cluster; X18 is the 1-D islands analog).
+    Threshold at {CC2D_T}, label 4-connected components, keep the
+    island with the largest total signal (ties: smallest first-pixel
+    in row-major order), report islands/isolated-pixel counts and the
+    kept island's size and signal. Images with NO pixel above the
+    threshold emit no row (matching the oracle's empty group).
+
+    Spark side: per-image union-find over horizontal RUNS (≤2 runs
+    per row on this raster family, so ~h·2 nodes, not w·h) inside a
+    stateless Arrow-batched kernel. Oracle side: the same run
+    decomposition via gaps-and-islands, run adjacency as an interval-
+    overlap self-join on consecutive rows, and component labels as
+    min-label transitive closure via a RECURSIVE CTE (UNION-distinct
+    bounds the closure at Σ component_size² run pairs — a few
+    thousand per image). All outputs integer-exact.
+
+    Scale: zero shuffles on the Spark side (per-image work is local
+    to the scan); at 100 TB this is the classic embarrassingly
+    parallel cleaning pass; only the oracle pays the closure, and
+    only at parity-check scale.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import fits_parse, fits_table
+
+    def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id",
+                    "n_islands",
+                    "n_isolated",
+                    "n_above",
+                    "kept_size",
+                    "kept_sum",
+                )
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, phys = fits_parse(bytes(p))
+                v = phys.astype(np.int64)
+                mask = v >= CC2D_T
+                if not mask.any():
+                    continue
+                # union-find over horizontal runs (4-connectivity)
+                parent: list[int] = []
+
+                def find(i: int) -> int:
+                    while parent[i] != i:
+                        parent[i] = parent[parent[i]]
+                        i = parent[i]
+                    return i
+
+                def union(a: int, b: int) -> None:
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+
+                runs: list[tuple[int, int, int, int, int]] = []  # y,x0,x1,sz,sig
+                prev_row: list[int] = []  # run ids in row y-1
+                h, _ = mask.shape
+                for y in range(h):
+                    idx = np.flatnonzero(mask[y])
+                    cur: list[int] = []
+                    if len(idx):
+                        # split idx into maximal consecutive runs
+                        brk = np.flatnonzero(np.diff(idx) > 1)
+                        starts = np.concatenate(([0], brk + 1))
+                        ends = np.concatenate((brk, [len(idx) - 1]))
+                        for s, e in zip(starts, ends):
+                            x0, x1 = int(idx[s]), int(idx[e])
+                            rid = len(runs)
+                            parent.append(rid)
+                            sig = int(v[y, x0 : x1 + 1].sum())
+                            runs.append((y, x0, x1, x1 - x0 + 1, sig))
+                            for pid in prev_row:
+                                py, px0, px1 = runs[pid][0], runs[pid][1], runs[pid][2]
+                                if px0 <= x1 and x0 <= px1:
+                                    union(rid, pid)
+                            cur.append(rid)
+                    prev_row = cur
+                comps: dict[int, list[int]] = {}
+                for rid, (y, x0, x1, sz, sig) in enumerate(runs):
+                    root = find(rid)
+                    st = comps.setdefault(root, [0, 0, 1 << 30])
+                    st[0] += sz
+                    st[1] += sig
+                    st[2] = min(st[2], y * 64 + x0)
+                islands = sorted(comps.values(), key=lambda s: (-s[1], s[2]))
+                rows["media_id"].append(mid)
+                rows["n_islands"].append(len(islands))
+                rows["n_isolated"].append(sum(1 for s in islands if s[0] == 1))
+                rows["n_above"].append(int(mask.sum()))
+                rows["kept_size"].append(islands[0][0])
+                rows["kept_sum"].append(islands[0][1])
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_islands",
+                    "n_isolated",
+                    "n_above",
+                    "kept_size",
+                    "kept_sum",
+                ],
+            )
+
+    return fits_table(spark, sf_dir).mapInPandas(
+        clean,
+        schema="media_id bigint, n_islands bigint, n_isolated bigint, "
+        "n_above bigint, kept_size bigint, kept_sum bigint",
+    )
+
+
+def _conv_pass_sql(
+    prev: str, name: str, src: str, out: str, d: int, part: str, ordc: str,
+    carry: tuple[str, ...],
+) -> str:
+    """One 1-D B3-spline à-trous pass at dilation ``d`` along ``ordc``
+    within (doc_id, ``part``) as a window CTE: taps [1,4,6,4,1]/16,
+    replicate-edge via COALESCE(lag/lead, first/last_value) — lag(k)
+    is NULL exactly when the clamped index would be 0, and
+    first_value IS the value at index 0 (same for lead/last). The
+    numpy kernel's parenthesization is mirrored, though with integer
+    pixels every intermediate is an exact dyadic rational so the
+    values are order-free anyway (module docstring)."""
+    lagf = lambda k: f"COALESCE(lag({src}, {k}) OVER w, first_value({src}) OVER w)"  # noqa: E731
+    leadf = lambda k: f"COALESCE(lead({src}, {k}) OVER w, last_value({src}) OVER wf)"  # noqa: E731
+    expr = (
+        f"(((({lagf(2 * d)} + 4 * {lagf(d)}) + 6 * {src})"
+        f" + 4 * {leadf(d)}) + {leadf(2 * d)}) / 16"
+    )
+    carry_cols = ("".join(c + ", " for c in carry))
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT doc_id, x, y, {carry_cols}{expr} AS {out}
+    FROM {prev}
+    WINDOW w AS (PARTITION BY doc_id, {part} ORDER BY {ordc}),
+           wf AS (PARTITION BY doc_id, {part} ORDER BY {ordc}
+                  ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND UNBOUNDED FOLLOWING)
+)"""
+
+
+def _atrous2d_kept(band: str) -> str:
+    return f"CASE WHEN abs({band}) < {ATROUS2D_T} THEN 0.0 ELSE {band} END"
+
+
+_ATROUS2D_ORACLE = f"""
+    WITH {_PX_CTE}, p0 AS MATERIALIZED (
+        SELECT doc_id, x, y, CAST(v AS DOUBLE) AS c0 FROM px
+    ),{_conv_pass_sql('p0', 'h1', 'c0', 'ch', 1, 'y', 'x', ('c0',))},{_conv_pass_sql('h1', 'v1', 'ch', 'c1', 1, 'x', 'y', ('c0',))},{_conv_pass_sql('v1', 'h2', 'c1', 'ch', 2, 'y', 'x', ('c0', 'c1'))},{_conv_pass_sql('h2', 'v2', 'ch', 'c2', 2, 'x', 'y', ('c0', 'c1'))},{_conv_pass_sql('v2', 'h3', 'c2', 'ch', 4, 'y', 'x', ('c0', 'c1', 'c2'))},{_conv_pass_sql('h3', 'v3', 'ch', 'c3', 4, 'x', 'y', ('c0', 'c1', 'c2'))},
+    bands AS (
+        SELECT doc_id, c0,
+               c0 - c1 AS w1, c1 - c2 AS w2, c2 - c3 AS w3, c3
+        FROM v3
+    ), rec AS (
+        SELECT doc_id, c0,
+               (CASE WHEN abs(w1) < {ATROUS2D_T} THEN 1 ELSE 0 END
+                + CASE WHEN abs(w2) < {ATROUS2D_T} THEN 1 ELSE 0 END
+                + CASE WHEN abs(w3) < {ATROUS2D_T} THEN 1 ELSE 0 END) AS nz,
+               ((c3 + {_atrous2d_kept('w1')})
+                  + {_atrous2d_kept('w2')})
+                  + {_atrous2d_kept('w3')} AS r
+        FROM bands
+    ), agg AS (
+        SELECT doc_id AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_pixels,
+               CAST(SUM(CAST(c0 * c0 AS BIGINT)) AS BIGINT) AS energy_in,
+               CAST(SUM(CAST(round((r * r) * 1000000) AS BIGINT)) AS BIGINT)
+                   AS eout_micro,
+               CAST(SUM(nz) AS BIGINT) AS n_zeroed
+        FROM rec
+        GROUP BY doc_id
+    )
+    SELECT media_id, n_pixels, energy_in,
+           CAST(eout_micro AS DOUBLE) / 1000000.0 AS energy_out,
+           n_zeroed,
+           ROUND((CAST(eout_micro AS DOUBLE) / 1000000.0)
+                 / CAST(energy_in AS DOUBLE), 6) AS energy_ratio
+    FROM agg
+"""
+
+
+def _b3_smooth2d(c, d: int):
+    """Separable 2-D B3-spline à-trous smoothing at dilation d:
+    horizontal then vertical [1,4,6,4,1]/16 with replicate edges.
+    Exact on integer-seeded rasters (every intermediate is a dyadic
+    rational with numerator < 2^53)."""
+    import numpy as np
+
+    def sh(m, off: int, axis: int):
+        n = m.shape[axis]
+        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        return np.take(m, idx, axis=axis)
+
+    hp = (
+        (((sh(c, -2 * d, 1) + 4 * sh(c, -d, 1)) + 6 * c) + 4 * sh(c, d, 1))
+        + sh(c, 2 * d, 1)
+    ) / 16
+    return (
+        (((sh(hp, -2 * d, 0) + 4 * sh(hp, -d, 0)) + 6 * hp) + 4 * sh(hp, d, 0))
+        + sh(hp, 2 * d, 0)
+    ) / 16
+
+
+@register("q_atrous_2d", oracle=_ATROUS2D_ORACLE, category=CAT)
+def q_atrous_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X60: TRUE 2-D à-trous wavelet filtering over real FITS rasters —
+    the reference's flagship cleaner in its native dimensionality
+    (datapipe/denoising/wavelets_mrfilter.py shells out to Sparse2D
+    ``mr_filter`` on the 2-D camera image [UNVERIFIED-PK]; the
+    algorithm is public — Starck/Murtagh, Holschneider et al.; X56 is
+    the 1-D analog). Three undecimated SEPARABLE B3-spline smoothing
+    levels ([1,4,6,4,1]/16 horizontally then vertically) at dilations
+    1/2/4 with replicate edges, detail bands w_j = c_{{j-1}} - c_j,
+    hard threshold at {ATROUS2D_T} ADU, additive reconstruction
+    c_3 + Σ w'_j. Per image: pixel count, input energy, reconstructed
+    energy, zeroed-coefficient count, energy ratio.
+
+    Exactness (stronger than X56's round(6) association bet): FITS
+    pixels are integers 0..4095 and the kernel only adds, multiplies
+    by 4/6, and divides by 16 — every coefficient is an exactly-
+    representable dyadic rational (worst numerator ≈ 4095·2^24·16 <
+    2^53), so c_j, w_j, every threshold decision and r are BIT-
+    IDENTICAL cross-engine and even parenthesization-independent.
+    energy_in is an exact BIGINT of c0². energy_out uses the
+    dsum/o_dsum micro-unit discipline (common.py): r² is the product
+    of identical doubles, its micro-rounding is identical, and the
+    int64 sum is order-free — zero nondeterminism end to end.
+
+    On the raster family the smoothed image is locally exact (B3
+    reproduces the locally-LINEAR 3x+17y ramp), so the detail bands
+    are exactly 0 away from the mod-4096 wrap seams — the threshold
+    keeps precisely the seam/edge structure, which is the shape of
+    the reference's signal-vs-noise separation.
+
+    Scale: stateless Arrow-batched mapInPandas over the FITS scan,
+    zero shuffles; 6 dilated separable passes of C-speed numpy per
+    image. The oracle pays 6 window passes over the pixel grain, only
+    at parity scale.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import fits_parse, fits_table
+
+    def filt(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in (
+                    "media_id",
+                    "n_pixels",
+                    "energy_in",
+                    "eout_micro",
+                    "n_zeroed",
+                )
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, phys = fits_parse(bytes(p))
+                c0 = phys  # float64, exact integers
+                levels = [c0]
+                c = c0
+                for j in range(ATROUS2D_LEVELS):
+                    c = _b3_smooth2d(c, 1 << j)
+                    levels.append(c)
+                n_zeroed = 0
+                r = levels[-1]
+                for j in range(ATROUS2D_LEVELS):
+                    w = levels[j] - levels[j + 1]
+                    mask = np.abs(w) < ATROUS2D_T
+                    n_zeroed += int(mask.sum())
+                    r = r + np.where(mask, 0.0, w)
+                vi = c0.astype(np.int64)
+                r2 = r * r
+                eout_micro = int(np.floor(r2 * 1e6 + 0.5).astype(np.int64).sum())
+                rows["media_id"].append(mid)
+                rows["n_pixels"].append(c0.size)
+                rows["energy_in"].append(int((vi * vi).sum()))
+                rows["eout_micro"].append(eout_micro)
+                rows["n_zeroed"].append(n_zeroed)
+            yield pd.DataFrame(rows)
+
+    out = fits_table(spark, sf_dir).mapInPandas(
+        filt,
+        schema="media_id bigint, n_pixels bigint, energy_in bigint, "
+        "eout_micro bigint, n_zeroed bigint",
+    )
+    energy_out = F.col("eout_micro").cast("double") / 1_000_000.0
+    return out.select(
+        "media_id",
+        "n_pixels",
+        "energy_in",
+        energy_out.alias("energy_out"),
+        "n_zeroed",
+        F.round(energy_out / F.col("energy_in").cast("double"), 6).alias(
+            "energy_ratio"
+        ),
+    )

@@ -33,7 +33,7 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import h60, o_h60
+from .common import davg, h60, o_davg, o_h60
 from .llm import _vec_double
 
 CAT = "reference_analogs"
@@ -904,3 +904,254 @@ def q_atrous_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.energy_out").alias("energy_out"),
         F.col("w.n_zeroed").alias("n_zeroed"),
     )
+
+
+def _assess_metrics_sql(src: str, cleaner: str) -> str:
+    """Per-record assess metrics from a (vec_id, mse, e_rec, e_in)
+    CTE: MSE, NRMSE (RMSE normalized by the reference signal's RMS),
+    and relative total-energy error — the reference's benchmark
+    metric battery (benchmark/assess.py [UNVERIFIED-PK]), rounded to
+    6 on both engines before the exact-decimal mean."""
+    return f"""
+    SELECT '{cleaner}' AS cleaner,
+           round(mse, 6) AS mse,
+           round(sqrt(mse) / sqrt(e_in / 64), 6) AS nrmse,
+           round(abs(e_rec - e_in) / e_in, 6) AS ree
+    FROM {src}"""
+
+
+_ASSESS_ORACLE = f"""
+    WITH x AS MATERIALIZED (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings
+    ),{_haar_fwd_cte(64, 'x', 'l1')},{_haar_fwd_cte(32, 'l1', 'l2')},{_haar_fwd_cte(16, 'l2', 'l3')},
+    th AS (
+        SELECT vec_id, pos,
+               CASE WHEN pos >= 8 AND abs(v) < {HAAR_THRESH}
+                    THEN 0.0 ELSE v END AS v
+        FROM l3
+    ),{_haar_inv_cte(8, 'th', 'i1')},{_haar_inv_cte(16, 'i1', 'i2')},{_haar_inv_cte(32, 'i2', 'i3')},
+    hmet AS (
+        SELECT x.vec_id,
+               SUM((i3.v - x.v) * (i3.v - x.v)) / 64 AS mse,
+               SUM(i3.v * i3.v) AS e_rec,
+               SUM(x.v * x.v) AS e_in
+        FROM x JOIN i3 ON x.vec_id = i3.vec_id AND x.pos = i3.pos
+        GROUP BY x.vec_id
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id,
+               list_transform(embedding, v -> CAST(v AS DOUBLE)) AS c0
+        FROM embeddings
+    ), c1 AS MATERIALIZED (
+        SELECT vec_id, c0, {_atrous_conv_sql('c0', 1)} AS c1 FROM c0
+    ), c2 AS MATERIALIZED (
+        SELECT vec_id, c0, c1, {_atrous_conv_sql('c1', 2)} AS c2 FROM c1
+    ), c3 AS MATERIALIZED (
+        SELECT vec_id, c0, c1, c2, {_atrous_conv_sql('c2', 4)} AS c3 FROM c2
+    ), abands AS (
+        SELECT vec_id, c0, c3,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> c0[i] - c1[i]) AS w1,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> c1[i] - c2[i]) AS w2,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                              i -> c2[i] - c3[i]) AS w3
+        FROM c3
+    ), arec AS (
+        SELECT vec_id, c0,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                   i -> ((c3[i]
+                          + CASE WHEN abs(w1[i]) < {ATROUS_THRESH}
+                                 THEN 0.0 ELSE w1[i] END)
+                         + CASE WHEN abs(w2[i]) < {ATROUS_THRESH}
+                                THEN 0.0 ELSE w2[i] END)
+                        + CASE WHEN abs(w3[i]) < {ATROUS_THRESH}
+                               THEN 0.0 ELSE w3[i] END) AS r
+        FROM abands
+    ), amet AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, {_ATROUS_N + 1}),
+                   i -> (r[i] - c0[i]) * (r[i] - c0[i]))) / 64 AS mse,
+               list_sum(list_transform(r, v -> v * v)) AS e_rec,
+               list_sum(list_transform(c0, v -> v * v)) AS e_in
+        FROM arec
+    ), per AS (
+        {_assess_metrics_sql('amet', 'atrous')}
+        UNION ALL
+        {_assess_metrics_sql('hmet', 'haar')}
+    ), ameans AS (
+        SELECT {o_davg('mse', 'mean_mse')},
+               {o_davg('nrmse', 'mean_nrmse')},
+               {o_davg('ree', 'mean_energy_err')}
+        FROM per WHERE cleaner = 'atrous'
+    ), hmeans AS (
+        SELECT {o_davg('mse', 'mean_mse')},
+               {o_davg('nrmse', 'mean_nrmse')},
+               {o_davg('ree', 'mean_energy_err')}
+        FROM per WHERE cleaner = 'haar'
+    )
+    SELECT 'atrous' AS cleaner, a.mean_mse, a.mean_nrmse, a.mean_energy_err,
+           CAST(CASE WHEN a.mean_mse <= h.mean_mse THEN 1 ELSE 2 END
+                AS BIGINT) AS rnk
+    FROM ameans a, hmeans h
+    UNION ALL
+    SELECT 'haar', h.mean_mse, h.mean_nrmse, h.mean_energy_err,
+           CAST(CASE WHEN a.mean_mse <= h.mean_mse THEN 2 ELSE 1 END
+                AS BIGINT)
+    FROM ameans a, hmeans h
+"""
+
+
+def _np_haar_recon(mat):
+    """Haar decompose -> hard-threshold -> reconstruct, the exact math
+    of q_haar_denoise's kernel (X14) — kept as a separate helper so
+    the assess op can score the cleaner without touching the
+    driver-certified X14 code path."""
+    import numpy as np
+
+    coeffs = mat.copy()
+    n = mat.shape[1]
+    details = []
+    for _ in range(HAAR_LEVELS):
+        half = n // 2
+        a = (coeffs[:, 0:n:2] + coeffs[:, 1:n:2]) / np.sqrt(2.0)
+        d = (coeffs[:, 0:n:2] - coeffs[:, 1:n:2]) / np.sqrt(2.0)
+        coeffs[:, :half] = a
+        coeffs[:, half:n] = d
+        details.append((half, n))
+        n = half
+    for lo, hi in details:
+        band = coeffs[:, lo:hi]
+        band[np.abs(band) < HAAR_THRESH] = 0.0
+        coeffs[:, lo:hi] = band
+    for lo, hi in reversed(details):
+        a = coeffs[:, :lo].copy()
+        d = coeffs[:, lo:hi].copy()
+        rec = np.empty((mat.shape[0], hi))
+        rec[:, 0:hi:2] = (a + d) / np.sqrt(2.0)
+        rec[:, 1:hi:2] = (a - d) / np.sqrt(2.0)
+        coeffs[:, :hi] = rec
+    return coeffs
+
+
+def _np_atrous_recon(mat):
+    """À-trous decompose -> hard-threshold -> reconstruct, the exact
+    math of q_atrous_filter's kernel (X56) as a scoreable helper."""
+    import numpy as np
+
+    n = mat.shape[1]
+
+    def shift(c, off):
+        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        return c[:, idx]
+
+    levels = [mat]
+    c = mat
+    for j in range(ATROUS_LEVELS):
+        d = 1 << j
+        c = (
+            (((shift(c, -2 * d) + 4 * shift(c, -d)) + 6 * c)
+             + 4 * shift(c, d))
+            + shift(c, 2 * d)
+        ) / 16
+        levels.append(c)
+    recon = levels[-1].copy()
+    for j in range(ATROUS_LEVELS):
+        w = levels[j] - levels[j + 1]
+        recon = recon + np.where(np.abs(w) < ATROUS_THRESH, 0.0, w)
+    return recon
+
+
+@register("q_cleaner_assess", oracle=_ASSESS_ORACLE, category=CAT)
+def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MT9: the cleaner-assessment metric battery (reference:
+    benchmark/assess.py [UNVERIFIED-PK] — per-image MSE / normalized
+    RMSE / relative total-energy error of a cleaned image against a
+    reference image, then a cleaner-vs-cleaner ranking; VERDICT r08
+    "What's missing" #2). Two REGISTERED cleaners — X14 Haar and X56
+    à-trous, same thresholds, same payloads — are each scored against
+    the original signal (the fixture family has no separate ground-
+    truth channel, so the original plays the reference image and the
+    metrics measure cleaning distortion; stated plainly here and in
+    MIGRATION.md). Output: one row per cleaner with the three mean
+    metrics and the MSE rank — X46 q_dedup_eval's two-detectors-vs-
+    truth pattern applied to denoising.
+
+    Determinism: per-record metrics are round(6) on both engines
+    (same association story as X14/X56 — per-coefficient values are
+    bit-identical, only the 64-term reductions differ in the last
+    ulp, absorbed by the rounding), then the across-records means use
+    the exact-decimal davg/o_davg discipline, so the final comparison
+    and rank are bit-deterministic. The rank is computed by direct
+    comparison of the two 1-row means frames — no window function
+    anywhere.
+
+    Scale: ONE scan of embeddings; both reconstructions run in the
+    same Arrow-batched kernel (stateless, zero shuffles); the final
+    aggregate is a 1-row reduce and a 2-row report frame. At 100 TB
+    the assess pass costs exactly one read of the corpus.
+    """
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<h_mse: double, h_nrmse: double, h_ree: double, "
+        "a_mse: double, a_nrmse: double, a_ree: double>"
+    )
+    def assess(emb: pd.Series) -> pd.DataFrame:
+        mat = np.stack(emb.to_numpy()).astype("float64")
+        n = mat.shape[1]
+        e_in = (mat * mat).sum(axis=1)
+        out = {}
+        for tag, recon in (
+            ("h", _np_haar_recon(mat)),
+            ("a", _np_atrous_recon(mat)),
+        ):
+            diff = recon - mat
+            mse = (diff * diff).sum(axis=1) / n
+            e_rec = (recon * recon).sum(axis=1)
+            out[f"{tag}_mse"] = np.round(mse, 6)
+            out[f"{tag}_nrmse"] = np.round(np.sqrt(mse) / np.sqrt(e_in / n), 6)
+            out[f"{tag}_ree"] = np.round(np.abs(e_rec - e_in) / e_in, 6)
+        return pd.DataFrame(out)
+
+    e = load(spark, sf_dir, "embeddings")
+    per = e.select(assess(F.col("embedding")).alias("m")).select("m.*")
+    agg = per.agg(
+        davg("h_mse", "h_mean_mse"),
+        davg("h_nrmse", "h_mean_nrmse"),
+        davg("h_ree", "h_mean_ree"),
+        davg("a_mse", "a_mean_mse"),
+        davg("a_nrmse", "a_mean_nrmse"),
+        davg("a_ree", "a_mean_ree"),
+    )
+    atrous_first = F.col("a_mean_mse") <= F.col("h_mean_mse")
+    rows = agg.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("atrous").alias("cleaner"),
+                    F.col("a_mean_mse").alias("mean_mse"),
+                    F.col("a_mean_nrmse").alias("mean_nrmse"),
+                    F.col("a_mean_ree").alias("mean_energy_err"),
+                    F.when(atrous_first, F.lit(1))
+                    .otherwise(F.lit(2))
+                    .cast("long")
+                    .alias("rnk"),
+                ),
+                F.struct(
+                    F.lit("haar").alias("cleaner"),
+                    F.col("h_mean_mse").alias("mean_mse"),
+                    F.col("h_mean_nrmse").alias("mean_nrmse"),
+                    F.col("h_mean_ree").alias("mean_energy_err"),
+                    F.when(atrous_first, F.lit(2))
+                    .otherwise(F.lit(1))
+                    .cast("long")
+                    .alias("rnk"),
+                ),
+            )
+        ).alias("row")
+    )
+    return rows.select("row.*")

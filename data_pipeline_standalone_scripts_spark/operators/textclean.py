@@ -780,13 +780,16 @@ def _geom_thresholds() -> list[tuple[int, int]]:
 
 _GEOM = _geom_thresholds()
 DP_MOD = 1 << 20
-# Seed prefix for the per-cell noise draw. As shipped it is a PUBLIC
-# constant, so the release is NOT private (the noise is recomputable
-# from the released cell keys). A production deployment makes this a
-# SECRET sampled per release — that one-line swap turns the hash into
-# a keyed PRF over the same quantized inverse CDF, which is exactly
-# how seeded DP releases are implemented.
+# DEFAULT seed prefix for the per-cell noise draw. q_dp_counts reads
+# the effective seed from ``spark.conf`` (key DP_SEED_CONF, VERDICT
+# r08 #6) so a deployment can inject a per-release SECRET without a
+# code edit — the release is private IFF that seed is secret. With
+# the default (this PUBLIC constant, what the driver harness sees),
+# the noise is recomputable from the released cell keys and the
+# release is NOT private; it is, however, reproducible and
+# oracle-checkable, which is what the parity gate needs.
 DP_SEED = "pi10-public-demo-seed"
+DP_SEED_CONF = "spark.data_pipeline_standalone_scripts.dp.seed"
 
 
 def _dp_noise_spark(u):  # u: int64 Column in [0, 2^20)
@@ -825,8 +828,8 @@ _DP_NOISE_SQL_CASE = (
     category=CAT,
 )
 def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PI10: DP-count-release MECHANISM (NOT private as shipped —
-    public DP_SEED; see below) — daily event-type
+    """PI10: DP-count-release MECHANISM (private IFF the configured
+    seed is secret; the default is public — see below) — daily event-type
     counts protected by the two-sided geometric (discrete Laplace)
     mechanism at epsilon = ln 2, the integer-valued mechanism actually
     deployed for count queries (Ghosh–Roughgarden–Sundararajan: it is
@@ -835,21 +838,23 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     drawn per released cell, truncated at ±8 (the tail beyond is
     < 2^-8 mass) and clamped at zero.
 
-    NOT PRIVATE AS SHIPPED: the "draw" is a deterministic 20-bit hash
-    of DP_SEED || cell key fed through the EXACT quantized inverse CDF
-    (integer thresholds computed with rational arithmetic at import,
-    identical CASE chain in both engines). DP_SEED is a PUBLIC module
-    constant here, so the noise is recomputable and the release is
-    exactly invertible — this keeps it reproducible and
-    oracle-checkable. A production deployment replaces DP_SEED with a
-    per-release SECRET (a one-line change), turning the hash into a
-    keyed PRF over the same thresholds — exactly how seeded DP
-    releases are implemented.
+    PRIVATE IFF THE SEED IS SECRET: the "draw" is a deterministic
+    20-bit hash of seed || cell key fed through the EXACT quantized
+    inverse CDF (integer thresholds computed with rational arithmetic
+    at import, identical CASE chain in both engines). The seed is
+    read from ``spark.conf`` under DP_SEED_CONF (r9, VERDICT r08 #6)
+    so a deployment injects a per-release SECRET via configuration —
+    turning the hash into a keyed PRF over the same thresholds,
+    exactly how seeded DP releases are implemented. The DEFAULT is
+    the PUBLIC module constant DP_SEED (what the parity harness
+    runs), under which the noise is recomputable and the release is
+    NOT private — but reproducible and oracle-checkable.
 
     Scale: one map-combinable aggregation over the fact table, then a
     per-cell scalar transform — the noise CASE is codegen, no Python,
     no second pass. Output is |event_type| x |days| cells.
     """
+    seed = spark.conf.get(DP_SEED_CONF, DP_SEED)
     e = load(spark, sf_dir, "events")
     cells = e.groupBy(
         "event_type",
@@ -860,7 +865,7 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     noised = cells.withColumn(
         "u",
         F.pmod(
-            h60(F.concat_ws("|", F.lit(DP_SEED), F.col("event_type"), F.col("day"))),
+            h60(F.concat_ws("|", F.lit(seed), F.col("event_type"), F.col("day"))),
             F.lit(DP_MOD),
         ),
     )

@@ -994,11 +994,40 @@ def fits_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema="media_id bigint, payload binary")
 
 
+def _fits_card_value(rest: str) -> str:
+    """Value field of one FITS card (the 70 chars after ``KEY     = ``),
+    honoring the standard's character-string rules (ADVICE r08): a
+    value that starts with a single quote runs to the CLOSING quote
+    (``''`` escapes a literal quote) and may legally contain ``/``;
+    only AFTER the string does a ``/`` start the comment. Non-string
+    values cannot contain ``/``, so everything before the first ``/``
+    is the value. The quoted token is returned verbatim (quotes kept,
+    escapes not collapsed) — callers strip, matching the previous
+    storage format."""
+    i = 0
+    while i < len(rest) and rest[i] == " ":
+        i += 1
+    if i < len(rest) and rest[i] == "'":
+        j = i + 1
+        while j < len(rest):
+            if rest[j] == "'":
+                if j + 1 < len(rest) and rest[j + 1] == "'":
+                    j += 2
+                    continue
+                break
+            j += 1
+        return rest[i : j + 1].strip()
+    return rest.split("/")[0].strip()
+
+
 def fits_parse(payload: bytes):
     """Astropy-free FITS primary-HDU parser: walk 80-char cards to END,
     honor BITPIX/NAXISn/BZERO/BSCALE, return (header_dict, ndarray of
     PHYSICAL values). Raises on structural violations (non-blocked
-    file, missing mandatory cards, short data) rather than guessing."""
+    file, missing mandatory cards, short data) rather than guessing.
+    Card values are parsed with the standard's quoted-string rules
+    (see _fits_card_value) — a string value containing ``' / '``
+    survives intact."""
     import numpy as np
 
     if len(payload) % FITS_BLOCK != 0:
@@ -1014,7 +1043,7 @@ def fits_parse(payload: bytes):
         if key == "END":
             break
         if card[8:10] == "= ":
-            hdr[key] = card[10:].split(" / ")[0].strip()
+            hdr[key] = _fits_card_value(card[10:])
     if hdr.get("SIMPLE") != "T":
         raise ValueError("fits: not a SIMPLE primary HDU")
     bitpix = int(hdr["BITPIX"])
@@ -1035,3 +1064,37 @@ def fits_parse(payload: bytes):
     arr = raw.reshape(tuple(reversed(dims))) if dims else raw
     phys = arr.astype(np.float64) * bscale + bzero
     return hdr, phys
+
+
+def fits_encode(hdr: dict[str, str], phys) -> bytes:
+    """Write side of the FITS contract (the reference SAVES cleaned
+    images back to FITS — datapipe/io/images.py [UNVERIFIED-PK]; this
+    closes the I/O loop fits_parse opened): serialize a (header dict,
+    PHYSICAL ndarray) pair back to a standards-blocked single-HDU file.
+
+    Cards are written fixed-format — ``KEY     = <value padded to 20>``
+    — in the dict's insertion order (fits_parse preserves card order,
+    so parse∘encode∘parse is the identity on every header FIELD; card
+    comments are not round-tripped, they are presentation). Data is
+    stored as raw = (physical - BZERO) / BSCALE in the declared BITPIX
+    big-endian type, zero-padded to the 2880-byte boundary, exactly
+    inverting fits_parse's physical transform."""
+    import numpy as np
+
+    bitpix = int(hdr["BITPIX"])
+    bzero = float(hdr.get("BZERO", "0"))
+    bscale = float(hdr.get("BSCALE", "1"))
+    dt = {8: ">u1", 16: ">i2", 32: ">i4", -32: ">f4", -64: ">f8"}[bitpix]
+    raw = (np.asarray(phys, dtype=np.float64) - bzero) / bscale
+    if bitpix > 0:
+        raw = np.rint(raw)
+    raw = raw.astype(dt)
+    cards = [
+        f"{k:<8}= {v:>20}".ljust(80)[:80].encode("ascii") for k, v in hdr.items()
+    ]
+    cards.append(b"END".ljust(80))
+    header = b"".join(cards)
+    header += b" " * (-len(header) % FITS_BLOCK)
+    data = raw.tobytes()
+    data += b"\x00" * (-len(data) % FITS_BLOCK)
+    return header + data

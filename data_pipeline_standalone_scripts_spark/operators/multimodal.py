@@ -906,7 +906,12 @@ def q_fits_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     without any filesystem dependency; S3 q_sink_roundtrip covers the
     actual filesystem contract.
     """
-    from ..sources.multimodal import fits_encode, fits_parse, fits_table
+    from ..sources.multimodal import (
+        FITS_BLOCK,
+        fits_encode,
+        fits_parse,
+        fits_table,
+    )
 
     def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -231,8 +231,8 @@ def q_tailcut_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY doc_id, run
         ), islands AS (
             SELECT n.doc_id, l.comp,
-                   SUM(n.sz) AS island_size,
-                   SUM(n.sig) AS island_sig,
+                   CAST(SUM(n.sz) AS BIGINT) AS island_size,
+                   CAST(SUM(n.sig) AS BIGINT) AS island_sig,
                    MIN(n.y * 64 + n.x0) AS first_px
             FROM nodes n JOIN labels l
               ON n.doc_id = l.doc_id AND n.rid = l.run
@@ -248,8 +248,10 @@ def q_tailcut_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CASE WHEN island_size = 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_isolated,
                CAST(SUM(island_size) AS BIGINT) AS n_above,
-               MAX(CASE WHEN rk = 1 THEN island_size END) AS kept_size,
-               MAX(CASE WHEN rk = 1 THEN island_sig END) AS kept_sum
+               CAST(MAX(CASE WHEN rk = 1 THEN island_size END) AS BIGINT)
+                   AS kept_size,
+               CAST(MAX(CASE WHEN rk = 1 THEN island_sig END) AS BIGINT)
+                   AS kept_sum
         FROM ranked
         GROUP BY doc_id
     """,

@@ -55,6 +55,14 @@ OPS = {
     "docs_wordcount": "q_explode",
     "docs_bm25_topk": "q_bm25_rank",
     "docs_boilerplate_5gram": "q_boilerplate_ngrams",
+    # round-9 extension (VERDICT r08 #8): the r8/r9 rows — FITS
+    # gen+parse kernel, the à-trous kernels (1-D and true 2-D), and
+    # the rewritten single-scan funnel/retention shapes
+    "media_fits_decode": "q_fits_decode",
+    "emb_atrous_filter": "q_atrous_filter",
+    "media_atrous2d": "q_atrous_2d",
+    "events_funnel": "q_funnel_conversion",
+    "events_retention_cohort": "q_retention_cohort",
 }
 
 MASTERS = ["local[32]", "local-cluster[2,16,49152]"]

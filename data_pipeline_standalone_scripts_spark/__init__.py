@@ -28,18 +28,18 @@ from .registry import REGISTRY  # noqa: F401
 #
 # THIS round (9): per VERDICT r08 "Next round #5" — coverage closed at
 # 314/314 in r8, so the window is max-staleness-first. Composition:
-#   slots 1-5   the round-9 NEW ops (q_tailcut_2d q_connected_2d
-#               q_atrous_2d q_fits_roundtrip q_cleaner_assess) — never
-#               externally checked.
-#   slots 6-8   behavior-touched rows needing re-certification:
+#   slots 1-6   the round-9 NEW ops (q_tailcut_2d q_connected_2d
+#               q_atrous_2d q_hillas_2d q_fits_roundtrip
+#               q_cleaner_assess) — never externally checked.
+#   slots 7-9   behavior-touched rows needing re-certification:
 #               q_fits_decode (fits_parse now honors quoted-string
 #               cards, ADVICE r08 #3), q_dp_counts (seed now read from
 #               spark.conf, VERDICT r08 #6), q_retention_cohort
 #               (explicit NULL-user_id filter, ADVICE r08 #2).
-#   slots 9-31  ALL 23 ops whose latest check is round 2 — the oldest
+#   slots 10-32 ALL 23 ops whose latest check is round 2 — the oldest
 #               cohort, predating six rounds of shared-helper refactors
 #               (udfs D1-D6, windows W1-W8, scalar F1-F7/F9/F10).
-#   slots 32-50 the oldest round-3-checked ops in registry order.
+#   slots 33-50 the oldest round-3-checked ops in registry order.
 # Verified by set arithmetic against CORRECTNESS_r01-r08: the r2 cohort
 # is complete, the backfill disjoint from the front:
 #   last = {}  # op -> latest round checked
@@ -47,13 +47,15 @@ from .registry import REGISTRY  # noqa: F401
 #       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r0{i}.json")), i))
 #
 # NEXT-ROUND QUEUE (round 10): any r10-new/changed ops first, then the
-# remaining r3-checked rows (q_snapshot_diff q_tailcut_clean
-# q_array_moments onward in registry order), then the r4 cohort.
+# remaining r3-checked rows (q_morton_cluster q_table_checksum
+# q_snapshot_diff q_tailcut_clean q_array_moments onward in registry
+# order), then the r4 cohort.
 DRIVER_PRIORITY: list[str] = [
     # round-9 new ops (never externally checked)
     "q_tailcut_2d",
     "q_connected_2d",
     "q_atrous_2d",
+    "q_hillas_2d",
     "q_fits_roundtrip",
     "q_cleaner_assess",
     # behavior-touched in round 9, for external re-certification
@@ -103,7 +105,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_frame_sample",
     "q_media_resize",
     "q_png_decode",
-    "q_morton_cluster",
 ]
 
 

@@ -560,3 +560,152 @@ def q_atrous_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             "energy_ratio"
         ),
     )
+
+
+_HILLAS_SUMS = """
+        kept AS (
+            SELECT doc_id, x, y, v
+            FROM flags
+            WHERE core OR (boundary AND nb_core)
+        ), sums AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(v) AS BIGINT) AS s0,
+                   CAST(SUM(x * v) AS BIGINT) AS sx,
+                   CAST(SUM(y * v) AS BIGINT) AS sy,
+                   CAST(SUM(x * x * v) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y * v) AS BIGINT) AS syy,
+                   CAST(SUM(x * y * v) AS BIGINT) AS sxy
+            FROM kept
+            GROUP BY doc_id
+        )"""
+
+
+@register(
+    "q_hillas_2d",
+    oracle=f"""
+        WITH {_PX_CTE}, flags AS (
+            SELECT doc_id, x, y, v,
+                   v >= {TAIL2D_HI} AS core,
+                   v >= {TAIL2D_LO} AS boundary,
+                   {_nb8_core_sql()} AS nb_core
+            FROM px
+        ),{_HILLAS_SUMS}
+        SELECT doc_id AS media_id, n_kept, s0 AS size,
+               ROUND(cx, 6) AS cog_x,
+               ROUND(cy, 6) AS cog_y,
+               ROUND(sqrt((vxx + vyy + rr) / 2), 6) AS length,
+               ROUND(sqrt(GREATEST((vxx + vyy - rr) / 2, 0.0)), 6) AS width,
+               ROUND(atan2(2 * vxy, vxx - vyy) / 2, 6) AS psi
+        FROM (
+            SELECT *,
+                   sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy) AS rr
+            FROM (
+                SELECT doc_id, n_kept, s0, cx, cy,
+                       CAST(sxx AS DOUBLE) / s0 - cx * cx AS vxx,
+                       CAST(syy AS DOUBLE) / s0 - cy * cy AS vyy,
+                       CAST(sxy AS DOUBLE) / s0 - cx * cy AS vxy
+                FROM (
+                    SELECT *,
+                           CAST(sx AS DOUBLE) / s0 AS cx,
+                           CAST(sy AS DOUBLE) / s0 AS cy
+                    FROM sums
+                )
+            )
+        )
+        WHERE n_kept >= 3
+    """,
+    category=CAT,
+)
+def q_hillas_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62: Hillas ellipse parameters on the TAILCUT-CLEANED 2-D image
+    — the reference's core feature extraction (datapipe/image/
+    hillas_parameters.py computes the weighted-moment ellipse of the
+    cleaned camera image [UNVERIFIED-PK]; the Hillas parametrization
+    itself is public — Hillas 1985, ICRC; X10 was the 1-D moments
+    analog). Pixels kept by X58's tailcut rule (core OR rescued
+    boundary) are weighted by their signal: center of gravity, then
+    the covariance eigen-decomposition gives length (major axis RMS),
+    width (minor), and orientation psi = atan2(2·vxy, vxx−vyy)/2.
+    Images with fewer than 3 kept pixels are dropped (no ellipse).
+
+    Determinism: the kernel outputs ONLY exact integer moment sums
+    (S0, Sx, Sy, Sxx, Syy, Sxy — all BIGINT: v ≤ 4095, x,y < 64, so
+    Σx²v < 2^48); every float expression is then evaluated from
+    identical BIGINTs with the identical expression tree on both
+    engines — sqrt is correctly rounded IEEE on both, atan2's
+    last-ulp libm latitude is absorbed by round(6) (the stddev/corr
+    bet class). width guards the eigenvalue's tiny-negative float
+    case with GREATEST(·, 0) on both sides.
+
+    Scale: the moments reduce INSIDE the stateless Arrow kernel (one
+    output row per image, zero shuffles); the ellipse math is a
+    codegen scalar pass. This is the classic cleaned-image →
+    feature-vector step a 100 TB survey pipeline runs after X58/X60.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import fits_parse, fits_table
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                k: []
+                for k in ("media_id", "n_kept", "s0", "sx", "sy", "sxx", "syy", "sxy")
+            }
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, phys = fits_parse(bytes(p))
+                v = phys.astype(np.int64)
+                core = v >= TAIL2D_HI
+                boundary = v >= TAIL2D_LO
+                nb_core = np.zeros_like(core)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        nb_core |= _shift2d(core, dy, dx)
+                kept = core | (boundary & nb_core)
+                n_kept = int(kept.sum())
+                if n_kept < 3:
+                    continue
+                h, w = v.shape
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                kv = np.where(kept, v, 0)
+                rows["media_id"].append(mid)
+                rows["n_kept"].append(n_kept)
+                rows["s0"].append(int(kv.sum()))
+                rows["sx"].append(int((xs * kv).sum()))
+                rows["sy"].append(int((ys * kv).sum()))
+                rows["sxx"].append(int((xs * xs * kv).sum()))
+                rows["syy"].append(int((ys * ys * kv).sum()))
+                rows["sxy"].append(int((xs * ys * kv).sum()))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "n_kept", "s0", "sx", "sy", "sxx", "syy", "sxy"],
+            )
+
+    sums = fits_table(spark, sf_dir).mapInPandas(
+        moments,
+        schema="media_id bigint, n_kept bigint, s0 bigint, sx bigint, "
+        "sy bigint, sxx bigint, syy bigint, sxy bigint",
+    )
+    s0d = F.col("s0").cast("double")
+    cx = F.col("sx").cast("double") / s0d
+    cy = F.col("sy").cast("double") / s0d
+    vxx = F.col("sxx").cast("double") / s0d - cx * cx
+    vyy = F.col("syy").cast("double") / s0d - cy * cy
+    vxy = F.col("sxy").cast("double") / s0d - cx * cy
+    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    return sums.select(
+        "media_id",
+        "n_kept",
+        F.col("s0").alias("size"),
+        F.round(cx, 6).alias("cog_x"),
+        F.round(cy, 6).alias("cog_y"),
+        F.round(F.sqrt((vxx + vyy + rr) / 2), 6).alias("length"),
+        F.round(F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6).alias(
+            "width"
+        ),
+        F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6).alias("psi"),
+    )

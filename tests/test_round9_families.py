@@ -231,6 +231,59 @@ def test_atrous_2d_semantics(spark, sf_small):
     assert mean_zeroed > 0.5
 
 
+# --- Hillas ellipse on the cleaned image (X62) -------------------------------
+
+
+def test_hillas_2d_matches_naive(spark, sf_small):
+    import math
+
+    got = {
+        r.media_id: r for r in REGISTRY["q_hillas_2d"].fn(spark, sf_small).collect()
+    }
+    assert got
+    checked = 0
+    for mid in sorted(got):
+        if checked >= 5:
+            break
+        r = got[mid]
+        v = _raster(mid, _NCHARS[mid])
+        h, w = v.shape
+        # naive kept-set + scalar moment loop (different code path)
+        pts = []
+        for y in range(h):
+            for x in range(w):
+                core = v[y, x] >= TAIL2D_HI
+                nb = any(
+                    0 <= y + dy < h
+                    and 0 <= x + dx < w
+                    and v[y + dy, x + dx] >= TAIL2D_HI
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                    if (dy, dx) != (0, 0)
+                )
+                if core or (v[y, x] >= TAIL2D_LO and nb):
+                    pts.append((x, y, int(v[y, x])))
+        assert len(pts) >= 3
+        s0 = sum(p[2] for p in pts)
+        cx = sum(p[0] * p[2] for p in pts) / s0
+        cy = sum(p[1] * p[2] for p in pts) / s0
+        vxx = sum(p[0] * p[0] * p[2] for p in pts) / s0 - cx * cx
+        vyy = sum(p[1] * p[1] * p[2] for p in pts) / s0 - cy * cy
+        vxy = sum(p[0] * p[1] * p[2] for p in pts) / s0 - cx * cy
+        rr = math.sqrt((vxx - vyy) ** 2 + 4 * vxy * vxy)
+        assert r.n_kept == len(pts) and r.size == s0
+        assert r.cog_x == pytest.approx(cx, abs=1e-6)
+        assert r.cog_y == pytest.approx(cy, abs=1e-6)
+        assert r.length == pytest.approx(math.sqrt((vxx + vyy + rr) / 2), abs=1e-6)
+        assert r.width == pytest.approx(
+            math.sqrt(max((vxx + vyy - rr) / 2, 0.0)), abs=1e-6
+        )
+        assert r.psi == pytest.approx(math.atan2(2 * vxy, vxx - vyy) / 2, abs=1e-6)
+        assert r.length >= r.width >= 0
+        checked += 1
+    assert checked == 5
+
+
 # --- cleaner assessment (MT9) -----------------------------------------------
 
 

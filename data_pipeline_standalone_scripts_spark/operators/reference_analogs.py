@@ -1104,6 +1104,15 @@ def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
         mat = np.stack(emb.to_numpy()).astype("float64")
         n = mat.shape[1]
         e_in = (mat * mat).sum(axis=1)
+
+        def r6(a):
+            # half-AWAY micro-rounding (the dsum discipline), matching
+            # DuckDB round(x, 6) on these nonnegative metrics — not
+            # np.round's half-to-even scaled-float, whose exact-0.5 tie
+            # at the 6th decimal would desync the exact-decimal davg
+            # means and flip the rank (ADVICE r09 #3).
+            return np.floor(a * 1e6 + 0.5) / 1e6
+
         out = {}
         for tag, recon in (
             ("h", _np_haar_recon(mat)),
@@ -1112,9 +1121,9 @@ def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
             diff = recon - mat
             mse = (diff * diff).sum(axis=1) / n
             e_rec = (recon * recon).sum(axis=1)
-            out[f"{tag}_mse"] = np.round(mse, 6)
-            out[f"{tag}_nrmse"] = np.round(np.sqrt(mse) / np.sqrt(e_in / n), 6)
-            out[f"{tag}_ree"] = np.round(np.abs(e_rec - e_in) / e_in, 6)
+            out[f"{tag}_mse"] = r6(mse)
+            out[f"{tag}_nrmse"] = r6(np.sqrt(mse) / np.sqrt(e_in / n))
+            out[f"{tag}_ree"] = r6(np.abs(e_rec - e_in) / e_in)
         return pd.DataFrame(out)
 
     e = load(spark, sf_dir, "embeddings")

@@ -1072,13 +1072,17 @@ def fits_encode(hdr: dict[str, str], phys) -> bytes:
     closes the I/O loop fits_parse opened): serialize a (header dict,
     PHYSICAL ndarray) pair back to a standards-blocked single-HDU file.
 
-    Cards are written fixed-format — ``KEY     = <value padded to 20>``
-    — in the dict's insertion order (fits_parse preserves card order,
-    so parse∘encode∘parse is the identity on every header FIELD; card
-    comments are not round-tripped, they are presentation). Data is
-    stored as raw = (physical - BZERO) / BSCALE in the declared BITPIX
-    big-endian type, zero-padded to the 2880-byte boundary, exactly
-    inverting fits_parse's physical transform."""
+    Cards are written fixed-format per the FITS 4.0 standard's layout
+    — quoted STRINGS left-justified from column 11, non-string values
+    right-justified to column 30 — in the dict's insertion order
+    (fits_parse preserves card order, so parse∘encode∘parse is the
+    identity on every header FIELD; card comments are not
+    round-tripped, they are presentation). A value too long for the
+    80-char card raises ValueError instead of silently truncating
+    (ADVICE r09 #2 — the old ``.ljust(80)[:80]`` corrupted long
+    values). Data is stored as raw = (physical - BZERO) / BSCALE in
+    the declared BITPIX big-endian type, zero-padded to the 2880-byte
+    boundary, exactly inverting fits_parse's physical transform."""
     import numpy as np
 
     bitpix = int(hdr["BITPIX"])
@@ -1089,9 +1093,19 @@ def fits_encode(hdr: dict[str, str], phys) -> bytes:
     if bitpix > 0:
         raw = np.rint(raw)
     raw = raw.astype(dt)
-    cards = [
-        f"{k:<8}= {v:>20}".ljust(80)[:80].encode("ascii") for k, v in hdr.items()
-    ]
+
+    def _card(k: str, v: str) -> bytes:
+        # FITS fixed-format: strings open with a quote at column 11
+        # (left-justified, closing quote at column 20 or beyond);
+        # everything else right-justifies to column 30.
+        body = f"{k:<8}= " + (f"{v:<20}" if v.startswith("'") else f"{v:>20}")
+        if len(body) > 80:
+            raise ValueError(
+                f"fits: card {k!r} formats to {len(body)} chars (max 80)"
+            )
+        return body.ljust(80).encode("ascii")
+
+    cards = [_card(k, v) for k, v in hdr.items()]
     cards.append(b"END".ljust(80))
     header = b"".join(cards)
     header += b" " * (-len(header) % FITS_BLOCK)

@@ -562,6 +562,211 @@ def q_atrous_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pipeline_e2e",
+    oracle=f"""
+        WITH {_PX_CTE}, flags AS (
+            SELECT doc_id, x, y, v,
+                   v >= {TAIL2D_HI} AS core,
+                   v >= {TAIL2D_LO} AS boundary,
+                   {_nb8_core_sql()} AS nb_core
+            FROM px
+        ), sums AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pixels,
+                   CAST(SUM(v * v) AS BIGINT) AS e_in,
+                   CAST(COUNT(*) FILTER (WHERE core) AS BIGINT) AS n_core,
+                   CAST(COUNT(*) FILTER (WHERE boundary AND NOT core
+                                           AND nb_core) AS BIGINT)
+                       AS n_rescued,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN v ELSE 0 END) AS BIGINT) AS s0,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN x * v ELSE 0 END) AS BIGINT) AS sx,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN y * v ELSE 0 END) AS BIGINT) AS sy,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN x * x * v ELSE 0 END) AS BIGINT) AS sxx,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN y * y * v ELSE 0 END) AS BIGINT) AS syy,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN x * y * v ELSE 0 END) AS BIGINT) AS sxy,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN v * v ELSE 0 END) AS BIGINT) AS e_kept
+            FROM flags
+            GROUP BY doc_id
+        ), feats AS (
+            SELECT *,
+                   n_core + n_rescued AS n_kept,
+                   CAST(sx AS DOUBLE) / s0 AS cx,
+                   CAST(sy AS DOUBLE) / s0 AS cy,
+                   CAST(round(CAST(e_in - e_kept AS DOUBLE) * 1000000
+                              / n_pixels) AS BIGINT) AS mse_micro,
+                   CAST(round(CAST(e_kept AS DOUBLE) * 1000000
+                              / e_in) AS BIGINT) AS energy_ppm
+            FROM sums
+            WHERE n_core + n_rescued >= 3
+        ), ellipse AS (
+            SELECT *,
+                   sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy) AS rr
+            FROM (
+                SELECT *,
+                       CAST(sxx AS DOUBLE) / s0 - cx * cx AS vxx,
+                       CAST(syy AS DOUBLE) / s0 - cy * cy AS vyy,
+                       CAST(sxy AS DOUBLE) / s0 - cx * cy AS vxy
+                FROM feats
+            )
+        )
+        SELECT doc_id AS media_id, n_pixels, n_core, n_rescued, n_kept,
+               s0 AS size,
+               ROUND(cx, 6) AS cog_x,
+               ROUND(cy, 6) AS cog_y,
+               ROUND(sqrt((vxx + vyy + rr) / 2), 6) AS length,
+               ROUND(sqrt(GREATEST((vxx + vyy - rr) / 2, 0.0)), 6) AS width,
+               ROUND(atan2(2 * vxy, vxx - vyy) / 2, 6) AS psi,
+               ROUND(CAST(e_in - e_kept AS DOUBLE) / n_pixels, 6) AS mse,
+               ROUND(CAST(e_kept AS DOUBLE) / e_in, 6) AS energy_ratio,
+               '{{"media_id":' || doc_id || ',"n_kept":' || n_kept
+                   || ',"size":' || s0
+                   || ',"mse_micro":' || mse_micro
+                   || ',"energy_ppm":' || energy_ppm || '}}' AS score_json
+        FROM ellipse
+    """,
+    category=CAT,
+)
+def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: the COMPOSED end-to-end reference pipeline as ONE query
+    (VERDICT r09 missing #1 — the reference's actual CLI run chains
+    load FITS → clean → Hillas features → assess → JSON score sink in
+    a single pass per image; datapipe's per-algorithm entry scripts
+    [UNVERIFIED-PK, SURVEY §2.12 CLI row]). Stages, all fused:
+
+      1. FITS scan+parse   (X55's path: fits_table → fits_parse)
+      2. tailcut-2D clean  (X58's rule: core ≥ {TAIL2D_HI}, boundary
+                            ≥ {TAIL2D_LO} rescued by an 8-neighbor core)
+      3. Hillas-2D features (X62's weighted-moment ellipse of the
+                            CLEANED image: cog, length, width, psi)
+      4. assess metrics    (MT9's shape against the original image:
+                            MSE of the cleaned image = Σ_dropped v²/n,
+                            kept-energy ratio — both exact integer
+                            ratios here, no float reduction at all)
+      5. JSON score sink   (MT8's score-file shape: one JSON document
+                            per image, built from INTEGER fields only
+                            so the string is byte-identical cross-
+                            engine — no float formatting anywhere)
+
+    Images with <3 kept pixels are dropped (no ellipse — X62's rule).
+
+    Determinism: the kernel emits ONLY exact integer sums (counts,
+    moment sums ≤ 2^48, energies ≤ 2^36); every float is evaluated
+    from identical BIGINTs with the identical expression tree on both
+    engines (the X62 bet: sqrt correctly-rounded, atan2 absorbed by
+    round(6)); the JSON string contains integers only.
+
+    Scale: this is the one-pass shape a 100 TB survey run wants — a
+    single stateless Arrow-batched kernel per image (zero shuffles,
+    one scan), then a codegen scalar pass for ellipse/score math. The
+    reference runs 5 separate per-image Python stages with temp FITS
+    files between them; here stage boundaries are column expressions.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import fits_parse, fits_table
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_pixels", "e_in", "n_core", "n_rescued",
+            "s0", "sx", "sy", "sxx", "syy", "sxy", "e_kept",
+        ]
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                _, phys = fits_parse(bytes(p))
+                v = phys.astype(np.int64)
+                core = v >= TAIL2D_HI
+                boundary = v >= TAIL2D_LO
+                nb_core = np.zeros_like(core)
+                for dy in (-1, 0, 1):
+                    for dx in (-1, 0, 1):
+                        if dx == 0 and dy == 0:
+                            continue
+                        nb_core |= _shift2d(core, dy, dx)
+                rescued = boundary & ~core & nb_core
+                kept = core | rescued
+                n_kept = int(kept.sum())
+                if n_kept < 3:
+                    continue
+                h, w = v.shape
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                kv = np.where(kept, v, 0)
+                rows["media_id"].append(mid)
+                rows["n_pixels"].append(v.size)
+                rows["e_in"].append(int((v * v).sum()))
+                rows["n_core"].append(int(core.sum()))
+                rows["n_rescued"].append(int(rescued.sum()))
+                rows["s0"].append(int(kv.sum()))
+                rows["sx"].append(int((xs * kv).sum()))
+                rows["sy"].append(int((ys * kv).sum()))
+                rows["sxx"].append(int((xs * xs * kv).sum()))
+                rows["syy"].append(int((ys * ys * kv).sum()))
+                rows["sxy"].append(int((xs * ys * kv).sum()))
+                rows["e_kept"].append(int((kv * kv).sum()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    sums = fits_table(spark, sf_dir).mapInPandas(
+        kernel,
+        schema="media_id bigint, n_pixels bigint, e_in bigint, "
+        "n_core bigint, n_rescued bigint, s0 bigint, sx bigint, "
+        "sy bigint, sxx bigint, syy bigint, sxy bigint, e_kept bigint",
+    )
+    n_kept = (F.col("n_core") + F.col("n_rescued")).alias("n_kept")
+    s0d = F.col("s0").cast("double")
+    cx = F.col("sx").cast("double") / s0d
+    cy = F.col("sy").cast("double") / s0d
+    vxx = F.col("sxx").cast("double") / s0d - cx * cx
+    vyy = F.col("syy").cast("double") / s0d - cy * cy
+    vxy = F.col("sxy").cast("double") / s0d - cx * cy
+    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    dropped = (F.col("e_in") - F.col("e_kept")).cast("double")
+    mse_micro = F.round(dropped * 1_000_000 / F.col("n_pixels")).cast("long")
+    energy_ppm = F.round(
+        F.col("e_kept").cast("double") * 1_000_000 / F.col("e_in")
+    ).cast("long")
+    return sums.select(
+        "media_id",
+        "n_pixels",
+        "n_core",
+        "n_rescued",
+        n_kept,
+        F.col("s0").alias("size"),
+        F.round(cx, 6).alias("cog_x"),
+        F.round(cy, 6).alias("cog_y"),
+        F.round(F.sqrt((vxx + vyy + rr) / 2), 6).alias("length"),
+        F.round(F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6).alias(
+            "width"
+        ),
+        F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6).alias("psi"),
+        F.round(dropped / F.col("n_pixels"), 6).alias("mse"),
+        F.round(F.col("e_kept").cast("double") / F.col("e_in"), 6).alias(
+            "energy_ratio"
+        ),
+        F.concat(
+            F.lit('{"media_id":'),
+            F.col("media_id").cast("string"),
+            F.lit(',"n_kept":'),
+            (F.col("n_core") + F.col("n_rescued")).cast("string"),
+            F.lit(',"size":'),
+            F.col("s0").cast("string"),
+            F.lit(',"mse_micro":'),
+            mse_micro.cast("string"),
+            F.lit(',"energy_ppm":'),
+            energy_ppm.cast("string"),
+            F.lit("}"),
+        ).alias("score_json"),
+    )
+
+
 _HILLAS_SUMS = """
         kept AS (
             SELECT doc_id, x, y, v

@@ -613,6 +613,511 @@ def q_evolutionary_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SAES / DE specific evolutionary semantics (VERDICT r09 missing #2) ----
+#
+# X13 q_evolutionary_sweep covers the generation-loop FAMILY generically
+# ((μ+λ), hash-derived fixed-step mutation). The reference ships TWO
+# concrete algorithms with distinct semantics [UNVERIFIED-PK, SURVEY
+# §2.12 optimization row]:
+#   saes.py                     σ-SELF-ADAPTIVE (μ,λ)-ES — each
+#                               individual carries its own step size σ,
+#                               mutated BEFORE the object variables,
+#                               and parents do NOT survive (comma).
+#   differential_evolution.py   DE/rand/1/bin — mutant = r1 + F·(r2−r3)
+#                               from three distinct population members,
+#                               binomial crossover with a forced j_rand
+#                               dimension, greedy 1-vs-1 replacement.
+# Both are modeled below with the X13 portability recipe: all state in
+# integer MILLI-units (BIGINT — trivially identical cross-engine), all
+# "randomness" from the portable h60 hash over the state, and the
+# whole deterministic run REPLAYED by the oracle as unrolled CTEs.
+
+SAES_POP = 8
+SAES_MU = 4  # survivors (parents of the next comma-generation)
+SAES_GENS = 3
+_HI_MIN, _HI_MAX, _LO_MIN, _LO_GAP = 20, 400, 5, 5  # milli-unit clamps
+
+
+def _mil_comps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared scoring sample: exploded components of the
+    deterministic 10% embeddings slice (same as X11/X13)."""
+    e = load(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", F.explode(_vec_double()).alias("v")
+    )
+
+
+def _mil_score(comps: DataFrame, pop: DataFrame, extra: list[str]) -> DataFrame:
+    """Score a population carrying BIGINT milli-unit thresholds: mean
+    per-record (core + ½·boundary) count — X11/X13's objective. The
+    population broadcasts; the sample never moves; AVG over half-
+    integer counts is exact in double regardless of merge order."""
+    hi = F.col("hi_mil").cast("double") / 1000.0
+    lo = F.col("lo_mil").cast("double") / 1000.0
+    keys = ["gen", "member", "hi_mil", "lo_mil", *extra]
+    scored = (
+        comps.crossJoin(F.broadcast(pop))
+        .groupBy(*keys, "vec_id")
+        .agg(
+            F.count(F.when(F.col("v") >= hi, 1)).alias("n_core"),
+            F.count(
+                F.when((F.col("v") >= lo) & (F.col("v") < hi), 1)
+            ).alias("n_boundary"),
+        )
+    )
+    return scored.groupBy(*keys).agg(
+        F.round(F.avg(F.col("n_core") + 0.5 * F.col("n_boundary")), 6).alias(
+            "score"
+        )
+    )
+
+
+def _o_mil_score_cte(pop: str, name: str, extra: str = "") -> str:
+    """DuckDB twin of _mil_score (COUNT FILTER per vec, round(avg,6))."""
+    cols = f"gen, member, hi_mil, lo_mil{extra}"
+    return f"""
+{name} AS MATERIALIZED (
+    SELECT {cols},
+           ROUND(AVG(n_core + 0.5 * n_boundary), 6) AS score
+    FROM (
+        SELECT p.*, c.vec_id,
+               COUNT(*) FILTER (WHERE c.v >= CAST(p.hi_mil AS DOUBLE)
+                                             / 1000.0) AS n_core,
+               COUNT(*) FILTER (WHERE c.v >= CAST(p.lo_mil AS DOUBLE)
+                                             / 1000.0
+                                  AND c.v < CAST(p.hi_mil AS DOUBLE)
+                                             / 1000.0) AS n_boundary
+        FROM {pop} p CROSS JOIN comps c
+        GROUP BY ALL
+    )
+    GROUP BY ALL
+)"""
+
+
+_O_COMPS = """comps AS MATERIALIZED (
+        SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v
+        FROM embeddings WHERE vec_id % 10 = 0
+    )"""
+
+
+def _saes_kids_cte(g: int, surv: str, name: str) -> str:
+    """Generation-g (μ,λ) children as a CTE over the survivor CTE:
+    each of the μ survivors (rk 1..μ) emits λ/μ = 2 children; σ is
+    mutated FIRST (×2 or half, hash-chosen), then the object variables
+    step by ±σ' — the self-adaptation order that defines SAES."""
+    key = (
+        lambda tag: f"'{tag}' || '|' || hi_mil || '|' || lo_mil || '|' "
+        f"|| sig_mil || '|' || {g} || '|' || member"
+    )
+    sig2 = (
+        f"CASE WHEN {o_h60(key('sg'))} % 2 = 0 THEN sig_mil * 2 "
+        f"ELSE greatest(1, CAST(floor(sig_mil / 2) AS BIGINT)) END"
+    )
+    return f"""
+{name} AS (
+    SELECT gen, member,
+           least({_HI_MAX}, greatest({_HI_MIN},
+               hi_mil + sig2 * ({o_h60(key('sh'))} % 5 - 2))) AS hi_mil0,
+           lo_mil, sig2
+    FROM (
+        SELECT gen, member, hi_mil, lo_mil, sig_mil, {sig2} AS sig2
+        FROM (
+            SELECT {g} AS gen,
+                   CAST(2 * (rk - 1) + side AS BIGINT) AS member,
+                   hi_mil, lo_mil, sig_mil
+            FROM {surv}, (SELECT unnest([0, 1]) AS side)
+        )
+    )
+)"""
+
+
+def _saes_kids_clamp_cte(kids: str, name: str) -> str:
+    """Second clamp pass: lo steps by ±σ' then clamps into
+    [{LO_MIN}, hi' − {GAP}] — split into its own CTE because lo's
+    clamp depends on the already-clamped hi'."""
+    key = (
+        f"'sl' || '|' || hi_mil0 || '|' || lo_mil || '|' || sig2 "
+        f"|| '|' || gen || '|' || member"
+    )
+    return f"""
+{name} AS (
+    SELECT gen, member,
+           hi_mil0 AS hi_mil,
+           greatest({_LO_MIN}, least(hi_mil0 - {_LO_GAP},
+               lo_mil + sig2 * ({o_h60(key)} % 3 - 1))) AS lo_mil,
+           sig2 AS sig_mil
+    FROM {kids}
+)"""
+
+
+def _o_saes_surv_cte(score: str, name: str) -> str:
+    return f"""
+{name} AS (
+    SELECT hi_mil, lo_mil, sig_mil,
+           row_number() OVER (ORDER BY score DESC, member ASC) AS rk
+    FROM {score}
+    QUALIFY rk <= {SAES_MU}
+)"""
+
+
+_SAES_ORACLE = f"""
+    WITH {_O_COMPS}, pop0 AS (
+        SELECT 0 AS gen, CAST(i AS BIGINT) AS member,
+               CAST(80 + 20 * i AS BIGINT) AS hi_mil,
+               CAST(10 + 10 * (i % 4) AS BIGINT) AS lo_mil,
+               CAST(10 AS BIGINT) AS sig_mil
+        FROM (SELECT unnest(range({SAES_POP})) AS i)
+    ),{_o_mil_score_cte('pop0', 's0', ', sig_mil')},{_o_saes_surv_cte('s0', 'surv0')},{_saes_kids_cte(1, 'surv0', 'k1')},{_saes_kids_clamp_cte('k1', 'pop1')},{_o_mil_score_cte('pop1', 's1', ', sig_mil')},{_o_saes_surv_cte('s1', 'surv1')},{_saes_kids_cte(2, 'surv1', 'k2')},{_saes_kids_clamp_cte('k2', 'pop2')},{_o_mil_score_cte('pop2', 's2', ', sig_mil')}
+    SELECT CAST(gen AS BIGINT) AS gen, member,
+           CAST(hi_mil AS DOUBLE) / 1000.0 AS hi,
+           CAST(lo_mil AS DOUBLE) / 1000.0 AS lo,
+           CAST(sig_mil AS DOUBLE) / 1000.0 AS sigma,
+           score
+    FROM (SELECT * FROM s0 UNION ALL SELECT * FROM s1
+          UNION ALL SELECT * FROM s2)
+"""
+
+
+@register("q_saes_sweep", oracle=_SAES_ORACLE, category=CAT)
+def q_saes_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: σ-self-adaptive (μ,λ) evolution strategy over cleaning
+    thresholds (reference: optimization/saes.py [UNVERIFIED-PK]; the
+    SA-ES scheme itself is public — Rechenberg/Schwefel, Beyer &
+    Schwefel "Evolution strategies — a comprehensive introduction").
+    What distinguishes it from X13's generic (μ+λ) loop, modeled here:
+
+    - every individual CARRIES ITS OWN step size σ (sig_mil),
+    - mutation adapts σ FIRST (hash-chosen ×2 or ×½ — the
+      deterministic stand-in for the lognormal τ-update), then steps
+      the object variables by ±σ′ — so step sizes EVOLVE: lineages
+      whose σ matches the landscape outscore and propagate it,
+    - COMMA selection: parents die each generation; only the λ = 8
+      children of the μ = 4 survivors form the next population.
+
+    Determinism/portability (the X13 recipe): all state is BIGINT
+    milli-units, every stochastic choice is the portable h60 hash of
+    the state, clamps are integer greatest/least — so the oracle
+    REPLAYS the whole run as unrolled CTEs and the driver hash-checks
+    every generation's every member. Output: all {SAES_GENS}
+    generations' scored populations (gen, member, hi, lo, sigma,
+    score).
+
+    Scale: identical to X13 — per generation ONE distributed pass
+    (|sample|·64 × 8-row broadcast population), survivor selection is
+    a window over 8 rows, the generation loop carries only unexecuted
+    plans; generations multiply wall-clock, never memory.
+    """
+    comps = _mil_comps(spark, sf_dir)
+    pop = spark.range(SAES_POP).select(
+        F.lit(0).alias("gen"),
+        F.col("id").alias("member"),
+        (80 + 20 * F.col("id")).alias("hi_mil"),
+        (10 + 10 * (F.col("id") % 4)).alias("lo_mil"),
+        F.lit(10).cast("long").alias("sig_mil"),
+    )
+    all_scored = _mil_score(comps, pop, ["sig_mil"])
+    surv_w = Window.partitionBy("gen").orderBy(
+        F.col("score").desc(), F.col("member").asc()
+    )
+    for gen in range(1, SAES_GENS):
+        surv = (
+            all_scored.filter(F.col("gen") == gen - 1)
+            .withColumn("rk", F.row_number().over(surv_w))
+            .filter(F.col("rk") <= SAES_MU)
+        )
+        kids = surv.crossJoin(
+            spark.range(2).select(F.col("id").alias("side"))
+        ).select(
+            F.lit(gen).alias("gen"),
+            (2 * (F.col("rk") - 1) + F.col("side")).cast("long").alias(
+                "member"
+            ),
+            "hi_mil",
+            "lo_mil",
+            "sig_mil",
+        )
+
+        def key(tag: str) -> F.Column:
+            return F.concat_ws(
+                "|",
+                F.lit(tag),
+                F.col("hi_mil"),
+                F.col("lo_mil"),
+                F.col("sig_mil"),
+                F.lit(gen),
+                F.col("member"),
+            )
+
+        sig2 = F.when(
+            F.pmod(h60(key("sg")), F.lit(2)) == 0, F.col("sig_mil") * 2
+        ).otherwise(
+            F.greatest(F.lit(1).cast("long"), F.floor(F.col("sig_mil") / 2))
+        )
+        kids = kids.select(
+            "gen", "member", "hi_mil", "lo_mil", "sig_mil", sig2.alias("sig2")
+        )
+        hi2 = F.least(
+            F.lit(_HI_MAX).cast("long"),
+            F.greatest(
+                F.lit(_HI_MIN).cast("long"),
+                F.col("hi_mil")
+                + F.col("sig2") * (F.pmod(h60(key("sh")), F.lit(5)) - 2),
+            ),
+        )
+        kids = kids.select(
+            "gen", "member", hi2.alias("hi_mil0"), "lo_mil", "sig2"
+        )
+        key_lo = F.concat_ws(
+            "|",
+            F.lit("sl"),
+            F.col("hi_mil0"),
+            F.col("lo_mil"),
+            F.col("sig2"),
+            F.lit(gen),
+            F.col("member"),
+        )
+        lo2 = F.greatest(
+            F.lit(_LO_MIN).cast("long"),
+            F.least(
+                F.col("hi_mil0") - _LO_GAP,
+                F.col("lo_mil")
+                + F.col("sig2") * (F.pmod(h60(key_lo), F.lit(3)) - 1),
+            ),
+        )
+        nxt = kids.select(
+            "gen",
+            "member",
+            F.col("hi_mil0").alias("hi_mil"),
+            lo2.alias("lo_mil"),
+            F.col("sig2").alias("sig_mil"),
+        )
+        all_scored = all_scored.unionByName(
+            _mil_score(comps, nxt, ["sig_mil"])
+        )
+    return all_scored.select(
+        F.col("gen").cast("long").alias("gen"),
+        F.col("member").cast("long").alias("member"),
+        (F.col("hi_mil").cast("double") / 1000.0).alias("hi"),
+        (F.col("lo_mil").cast("double") / 1000.0).alias("lo"),
+        (F.col("sig_mil").cast("double") / 1000.0).alias("sigma"),
+        "score",
+    )
+
+
+DE_POP = 8
+DE_GENS = 3
+
+
+def _de_trial_cte(g: int, prev: str, name: str) -> str:
+    """Generation-g DE/rand/1/bin trials as a CTE over the scored
+    previous population: mutant = r1 + (r2 − r3) with F = 1 (integer-
+    exact), binomial crossover with forced dimension j_rand =
+    member % 2, then the [hi, lo] feasibility clamps."""
+    key = (
+        lambda dim: f"'cr{dim}' || '|' || t.hi_mil || '|' || t.lo_mil "
+        f"|| '|' || {g} || '|' || t.member"
+    )
+    m_hi = (
+        f"least({_HI_MAX}, greatest({_HI_MIN}, "
+        f"r1.hi_mil + (r2.hi_mil - r3.hi_mil)))"
+    )
+    m_lo = "r1.lo_mil + (r2.lo_mil - r3.lo_mil)"
+    t_hi = (
+        f"CASE WHEN t.member % 2 = 0 OR {o_h60(key('h'))} % 2 = 0 "
+        f"THEN {m_hi} ELSE t.hi_mil END"
+    )
+    t_lo = (
+        f"CASE WHEN t.member % 2 = 1 OR {o_h60(key('l'))} % 2 = 0 "
+        f"THEN {m_lo} ELSE t.lo_mil END"
+    )
+    return f"""
+{name} AS (
+    SELECT {g} AS gen, t.member,
+           x.t_hi AS hi_mil,
+           greatest({_LO_MIN}, least(x.t_hi - {_LO_GAP}, x.t_lo)) AS lo_mil
+    FROM {prev} t
+    JOIN {prev} r1 ON r1.member = (t.member + 1) % {DE_POP}
+    JOIN {prev} r2 ON r2.member = (t.member + 3) % {DE_POP}
+    JOIN {prev} r3 ON r3.member = (t.member + 5) % {DE_POP}
+    CROSS JOIN LATERAL (SELECT {t_hi} AS t_hi, {t_lo} AS t_lo) x
+)"""
+
+
+def _de_select_cte(g: int, prev: str, trial_s: str, name: str) -> str:
+    """Greedy 1-vs-1 replacement: the trial takes the slot iff its
+    score ≥ the incumbent's (maximization; ties go to the trial, the
+    standard DE convention that fights stagnation)."""
+    return f"""
+{name} AS (
+    SELECT {g} AS gen, p.member,
+           CASE WHEN ts.score >= p.score THEN ts.hi_mil
+                ELSE p.hi_mil END AS hi_mil,
+           CASE WHEN ts.score >= p.score THEN ts.lo_mil
+                ELSE p.lo_mil END AS lo_mil,
+           CASE WHEN ts.score >= p.score THEN ts.score
+                ELSE p.score END AS score
+    FROM {prev} p JOIN {trial_s} ts ON p.member = ts.member
+)"""
+
+
+_DE_ORACLE = f"""
+    WITH {_O_COMPS}, pop0 AS (
+        SELECT 0 AS gen, CAST(i AS BIGINT) AS member,
+               CAST(80 + 20 * i AS BIGINT) AS hi_mil,
+               CAST(10 + 10 * (i % 4) AS BIGINT) AS lo_mil
+        FROM (SELECT unnest(range({DE_POP})) AS i)
+    ),{_o_mil_score_cte('pop0', 's0')},{_de_trial_cte(1, 's0', 't1')},{_o_mil_score_cte('t1', 'st1')},{_de_select_cte(1, 's0', 'st1', 'p1')},{_de_trial_cte(2, 'p1', 't2')},{_o_mil_score_cte('t2', 'st2')},{_de_select_cte(2, 'p1', 'st2', 'p2')}
+    SELECT CAST(gen AS BIGINT) AS gen, member,
+           CAST(hi_mil AS DOUBLE) / 1000.0 AS hi,
+           CAST(lo_mil AS DOUBLE) / 1000.0 AS lo,
+           score
+    FROM (SELECT gen, member, hi_mil, lo_mil, score FROM s0
+          UNION ALL SELECT gen, member, hi_mil, lo_mil, score FROM p1
+          UNION ALL SELECT gen, member, hi_mil, lo_mil, score FROM p2)
+"""
+
+
+@register("q_de_rand1bin", oracle=_DE_ORACLE, category=CAT)
+def q_de_rand1bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: DE/rand/1/bin differential evolution over cleaning
+    thresholds (reference: optimization/differential_evolution.py
+    [UNVERIFIED-PK]; the algorithm is public — Storn & Price 1997).
+    What distinguishes it from X13's generic loop, modeled here:
+
+    - DIFFERENTIAL mutation: for each target, the mutant is
+      r1 + F·(r2 − r3) built from three DISTINCT other members
+      (deterministic distinct picks (i+1, i+3, i+5) mod 8), F = 1 so
+      the step stays integer-exact in milli-units — the step
+      DISTRIBUTION adapts because it is the population's own spread,
+    - BINOMIAL crossover: per dimension take the mutant's value when
+      the h60 coin lands 0, with the forced j_rand = member % 2
+      dimension always from the mutant (so no trial equals its
+      target),
+    - GREEDY 1-vs-1 selection: the trial replaces its target iff its
+      score ≥ the incumbent's — never a population-wide rank.
+
+    Selection needs NO extra scoring pass: the incumbent's score is
+    carried from the previous generation, so each generation costs
+    exactly one distributed trial-scoring pass, and the winner pick
+    is an 8-row join. The oracle replays the run as unrolled CTEs
+    (trials via three self-joins on the member ring, selection as a
+    CASE join) — full row+schema+hash parity on every generation.
+
+    Output: all {DE_GENS} generations' populations with scores
+    (gen, member, hi, lo, score); gen g rows are the POST-selection
+    population, so best-score is monotone per member by construction
+    (asserted in tests/test_round10_families.py).
+
+    Scale: the X13 story — one |sample|·64 × 8-row broadcast pass per
+    generation; the member-ring joins move 8-row frames.
+    """
+    comps = _mil_comps(spark, sf_dir)
+    pop = spark.range(DE_POP).select(
+        F.lit(0).alias("gen"),
+        F.col("id").alias("member"),
+        (80 + 20 * F.col("id")).alias("hi_mil"),
+        (10 + 10 * (F.col("id") % 4)).alias("lo_mil"),
+    )
+    cur = _mil_score(comps, pop, [])  # gen, member, hi_mil, lo_mil, score
+    out = cur
+    for gen in range(1, DE_GENS):
+        t = cur.alias("t")
+        r1 = cur.select(
+            F.col("member").alias("m1"),
+            F.col("hi_mil").alias("hi1"),
+            F.col("lo_mil").alias("lo1"),
+        )
+        r2 = cur.select(
+            F.col("member").alias("m2"),
+            F.col("hi_mil").alias("hi2"),
+            F.col("lo_mil").alias("lo2"),
+        )
+        r3 = cur.select(
+            F.col("member").alias("m3"),
+            F.col("hi_mil").alias("hi3"),
+            F.col("lo_mil").alias("lo3"),
+        )
+        j = (
+            t.join(F.broadcast(r1), F.pmod(F.col("t.member") + 1, F.lit(DE_POP)) == F.col("m1"))
+            .join(F.broadcast(r2), F.pmod(F.col("t.member") + 3, F.lit(DE_POP)) == F.col("m2"))
+            .join(F.broadcast(r3), F.pmod(F.col("t.member") + 5, F.lit(DE_POP)) == F.col("m3"))
+        )
+
+        def key(dim: str) -> F.Column:
+            return F.concat_ws(
+                "|",
+                F.lit(f"cr{dim}"),
+                F.col("t.hi_mil"),
+                F.col("t.lo_mil"),
+                F.lit(gen),
+                F.col("t.member"),
+            )
+
+        m_hi = F.least(
+            F.lit(_HI_MAX).cast("long"),
+            F.greatest(
+                F.lit(_HI_MIN).cast("long"),
+                F.col("hi1") + (F.col("hi2") - F.col("hi3")),
+            ),
+        )
+        m_lo = F.col("lo1") + (F.col("lo2") - F.col("lo3"))
+        t_hi = F.when(
+            (F.pmod(F.col("t.member"), F.lit(2)) == 0)
+            | (F.pmod(h60(key("h")), F.lit(2)) == 0),
+            m_hi,
+        ).otherwise(F.col("t.hi_mil"))
+        t_lo = F.when(
+            (F.pmod(F.col("t.member"), F.lit(2)) == 1)
+            | (F.pmod(h60(key("l")), F.lit(2)) == 0),
+            m_lo,
+        ).otherwise(F.col("t.lo_mil"))
+        trials = j.select(
+            F.lit(gen).alias("gen"),
+            F.col("t.member").alias("member"),
+            t_hi.alias("t_hi"),
+            t_lo.alias("t_lo"),
+        ).select(
+            "gen",
+            "member",
+            F.col("t_hi").alias("hi_mil"),
+            F.greatest(
+                F.lit(_LO_MIN).cast("long"),
+                F.least(F.col("t_hi") - _LO_GAP, F.col("t_lo")),
+            ).alias("lo_mil"),
+        )
+        ts = _mil_score(comps, trials, []).select(
+            F.col("member").alias("ts_member"),
+            F.col("hi_mil").alias("ts_hi"),
+            F.col("lo_mil").alias("ts_lo"),
+            F.col("score").alias("ts_score"),
+        )
+        win = F.col("ts_score") >= F.col("score")
+        cur = (
+            cur.join(ts, F.col("member") == F.col("ts_member"))
+            .select(
+                F.lit(gen).alias("gen"),
+                "member",
+                F.when(win, F.col("ts_hi")).otherwise(F.col("hi_mil")).alias(
+                    "hi_mil"
+                ),
+                F.when(win, F.col("ts_lo")).otherwise(F.col("lo_mil")).alias(
+                    "lo_mil"
+                ),
+                F.when(win, F.col("ts_score")).otherwise(F.col("score")).alias(
+                    "score"
+                ),
+            )
+        )
+        out = out.unionByName(cur)
+    return out.select(
+        F.col("gen").cast("long").alias("gen"),
+        F.col("member").cast("long").alias("member"),
+        (F.col("hi_mil").cast("double") / 1000.0).alias("hi"),
+        (F.col("lo_mil").cast("double") / 1000.0).alias("lo"),
+        "score",
+    )
+
+
 HAAR_LEVELS = 3
 HAAR_THRESH = 0.05  # hard-threshold detail coefficients below this
 

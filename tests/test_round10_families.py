@@ -61,6 +61,82 @@ def test_fits_encode_left_justifies_quoted_strings():
     assert bp[:30].endswith("16") and bp[10] == " ", bp
 
 
+# --- composed end-to-end pipeline (X63) -------------------------------------
+
+
+def test_pipeline_e2e_consistent_with_stage_ops(spark):
+    """The fused pipeline must agree with its standalone stages:
+    X58's kept counts and X62's ellipse on every shared image, plus
+    integer-exact assess identities (mse·n = e_in − e_kept ≥ 0,
+    0 < energy_ratio ≤ 1) and a parseable integer-only score_json."""
+    import json
+
+    e2e = {
+        r["media_id"]: r
+        for r in REGISTRY["q_pipeline_e2e"].fn(spark, SF).collect()
+    }
+    hillas = {
+        r["media_id"]: r for r in REGISTRY["q_hillas_2d"].fn(spark, SF).collect()
+    }
+    tailcut = {
+        r["media_id"]: r for r in REGISTRY["q_tailcut_2d"].fn(spark, SF).collect()
+    }
+    assert set(e2e) == set(hillas)  # same <3-kept drop rule
+    for mid, r in e2e.items():
+        h = hillas[mid]
+        t = tailcut[mid]
+        assert (r["n_core"], r["n_rescued"], r["n_kept"]) == (
+            t["n_core"],
+            t["n_rescued"],
+            t["n_kept"],
+        )
+        for c in ("size", "cog_x", "cog_y", "length", "width", "psi"):
+            assert r[c] == h[c], (mid, c)
+        assert 0.0 < r["energy_ratio"] <= 1.0
+        assert r["mse"] >= 0.0
+        j = json.loads(r["score_json"])
+        assert j["media_id"] == mid and j["n_kept"] == r["n_kept"]
+        assert all(isinstance(v, int) for v in j.values())
+
+
+# --- SAES / DE semantics (X64/X65) ------------------------------------------
+
+
+def test_saes_sigma_self_adapts(spark):
+    """SAES must actually evolve step sizes: generation-0 σ is uniform
+    0.01; later generations must contain at least two DISTINCT σ
+    values (the ×2/×½ self-adaptation fired), and every σ stays
+    positive. Comma selection: each generation has exactly 8 members
+    numbered 0..7."""
+    rows = REGISTRY["q_saes_sweep"].fn(spark, SF).collect()
+    by_gen = {}
+    for r in rows:
+        by_gen.setdefault(r["gen"], []).append(r)
+    assert set(by_gen) == {0, 1, 2}
+    for g, rs in by_gen.items():
+        assert sorted(r["member"] for r in rs) == list(range(8))
+        assert all(r["sigma"] > 0 for r in rs)
+        assert all(r["lo"] < r["hi"] for r in rs)
+    assert {r["sigma"] for r in by_gen[0]} == {0.01}
+    later = {r["sigma"] for r in by_gen[1]} | {r["sigma"] for r in by_gen[2]}
+    assert len(later) >= 2, f"sigma never adapted: {later}"
+
+
+def test_de_greedy_selection_is_monotone(spark):
+    """DE/rand/1/bin greedy 1-vs-1 replacement: each member's score
+    is non-decreasing across generations (the defining invariant of
+    DE selection — population-wide rank selection would not give
+    this per-slot guarantee)."""
+    rows = REGISTRY["q_de_rand1bin"].fn(spark, SF).collect()
+    score = {}
+    for r in sorted(rows, key=lambda r: (r["member"], r["gen"])):
+        k = r["member"]
+        if k in score:
+            assert r["score"] >= score[k] - 1e-9, (k, r["gen"])
+        score[k] = r["score"]
+        assert r["lo"] < r["hi"]
+
+
 def test_fits_encode_roundtrip_after_justify_change():
     """parse∘encode∘parse stays the identity on header fields and
     physical pixels after the justification change."""

@@ -141,6 +141,32 @@ def scan_splits_hint(spark, sf_dir: str, table: str) -> int:
     return bins + (1 if cur else 0)
 
 
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk parquet bytes of a test table, or 0 when the layout
+    can't be inspected (non-local URI, missing path) — callers must
+    treat 0 as "unknown" and take their scale-safe branch (the same
+    contract as scan_splits_hint). Used by the size-conditional
+    broadcast/coalesce guards (VERDICT r09 #5): prose fallbacks like
+    "at scale this becomes two hash joins" are only real if a branch
+    actually switches on the size."""
+    import os
+
+    from ..tables import table_path
+
+    path = table_path(sf_dir, table)
+    try:
+        if os.path.isdir(path):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+                if f.endswith(".parquet")
+            )
+        return os.path.getsize(path)
+    except OSError:
+        return 0
+
+
 def dsum(col: Column | str, alias: str) -> Column:
     """Order-insensitive exact sum of a double column, as double.
 

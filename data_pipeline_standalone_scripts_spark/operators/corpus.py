@@ -856,6 +856,16 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_bpe_merge's single-task tail (coalesce(1) over the bigram table)
+# holds only while the bigram vocabulary fits one task; past this row
+# cap the coalesce is dropped and the tail's tiny groupBys shuffle —
+# the documented at-scale fallback made real (VERDICT r09 #5).
+BPE_COALESCE_MAX_ROWS_CONF = (
+    "spark.data_pipeline_standalone_scripts.bpe.coalesce_max_rows"
+)
+_BPE_COALESCE_MAX_ROWS = 5_000_000
+
+
 @register(
     "q_bpe_merge",
     oracle="""
@@ -1043,9 +1053,16 @@ def _bpe_merge_arrays(toks: DataFrame) -> DataFrame:
     # tiny groupBy paid a shuffle fanned over spark.sql.shuffle
     # .partitions near-empty tasks (measured 0.65-0.85 s of pure
     # stage floors at sf1 with 32-80 shuffle partitions). At a scale
-    # where the bigram vocabulary itself outgrows one task, drop the
-    # coalesce — the exchanges it avoids are then real work.
-    small = bigrams.coalesce(1)
+    # where the bigram vocabulary itself outgrows one task the
+    # coalesce is DROPPED (size guard below, VERDICT r09 #5) — the
+    # exchanges it avoids are then real work. The row count is read
+    # off the just-materialized cache (the argmax action above pinned
+    # it), so the probe costs one cache-local job, not a recompute.
+    spark = toks.sparkSession
+    cap = int(
+        spark.conf.get(BPE_COALESCE_MAX_ROWS_CONF, str(_BPE_COALESCE_MAX_ROWS))
+    )
+    small = bigrams if bigrams.count() > cap else bigrams.coalesce(1)
     tokc = small.groupBy(F.col("w1").alias("out_tok")).agg(
         F.sum("pc").alias("cnt")
     )

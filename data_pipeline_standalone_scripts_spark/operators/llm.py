@@ -22,7 +22,19 @@ from pyspark.sql.window import Window
 
 from ..registry import register
 from ..tables import load
-from .common import scan_splits_hint, tracked_persist
+from .common import scan_splits_hint, table_bytes, tracked_persist
+
+# q_minhash_lsh's verify stage broadcasts the doc→token-array table
+# only while it fits an executor; past this cap (or when the layout
+# can't be probed — non-local URI) it switches to plain doc_id hash
+# joins, making the long-documented at-scale fallback REAL instead of
+# prose (VERDICT r09 #5: past the 8 GB broadcast ceiling the op must
+# degrade, not break). 2 GB of parquet is conservative headroom: the
+# in-memory long-array rows decompress ~2-3x.
+MINHASH_BROADCAST_MAX_BYTES_CONF = (
+    "spark.data_pipeline_standalone_scripts.minhash.broadcast_max_bytes"
+)
+_MINHASH_BROADCAST_MAX_BYTES = 2_000_000_000
 
 CAT = "llm"
 
@@ -520,8 +532,11 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # array_intersect over 8-byte longs beats string arrays ~3× at
     # 12 M candidate pairs, and the global vocabulary (~40 tokens)
     # makes xxhash64 collisions impossible to miss in parity. The
-    # doc→array table broadcasts here; at 100 TB it becomes two hash
-    # joins on doc_id, still never an explode.
+    # doc→array table broadcasts here WHILE IT FITS (size guard below,
+    # VERDICT r09 #5); past the cap — or when the layout can't be
+    # probed — it becomes the two documented doc_id hash joins, so the
+    # op degrades to a shuffle instead of breaking on the 8 GB
+    # broadcast ceiling. Still never an explode either way.
     d = load(spark, sf_dir, "documents")
     arrs = d.select(
         "doc_id",
@@ -531,15 +546,24 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("toks"),
     )
+    cap = int(
+        spark.conf.get(
+            MINHASH_BROADCAST_MAX_BYTES_CONF, str(_MINHASH_BROADCAST_MAX_BYTES)
+        )
+    )
+    nbytes = table_bytes(sf_dir, "documents")
+    small_enough = 0 < nbytes <= cap
     aa = arrs.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
     bb = arrs.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    if small_enough:
+        aa, bb = F.broadcast(aa), F.broadcast(bb)
     n_common = F.size(F.array_intersect("ta", "tb"))
     jac = n_common.cast("double") / (
         F.size("ta") + F.size("tb") - n_common
     )
     return (
-        cand.join(F.broadcast(aa), "doc_a")
-        .join(F.broadcast(bb), "doc_b")
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
         .filter(jac >= 0.8)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )

@@ -21,6 +21,89 @@ engine.load_all_operators()
 SF = "/root/testdata/sf0.001"
 
 
+# --- at-scale fallback guards (VERDICT r09 #5) -------------------------------
+
+
+def _plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_minhash_verify_guard_branches(spark):
+    """The verify stage's doc→token-array broadcast must be a size-
+    CONDITIONAL branch: under the default cap the fixture broadcasts;
+    with the cap forced to 0 the same op plans plain doc_id joins —
+    and both branches return identical values."""
+    from data_pipeline_standalone_scripts_spark.operators.llm import (
+        MINHASH_BROADCAST_MAX_BYTES_CONF,
+    )
+
+    reg = REGISTRY["q_minhash_lsh"]
+    # disable Catalyst's size-based auto-broadcast so the plan shows
+    # the OPERATOR's branch, not the optimizer re-broadcasting the
+    # tiny fixture side anyway
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small_df = reg.fn(spark, SF)
+        plan_small = _plan_of(small_df)
+        spark.conf.set(MINHASH_BROADCAST_MAX_BYTES_CONF, "0")
+        try:
+            big_df = reg.fn(spark, SF)
+            plan_big = _plan_of(big_df)
+            big = sorted(map(tuple, big_df.collect()))
+        finally:
+            spark.conf.unset(MINHASH_BROADCAST_MAX_BYTES_CONF)
+        small = sorted(map(tuple, small_df.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+    assert small == big and len(small) > 0
+    # the two verify joins flip strategy with the branch
+    assert (
+        plan_small.count("BroadcastHashJoin")
+        > plan_big.count("BroadcastHashJoin")
+    ), (plan_small.count("BroadcastHashJoin"), plan_big.count("BroadcastHashJoin"))
+    assert plan_big.count("SortMergeJoin") > plan_small.count("SortMergeJoin")
+
+
+def test_bpe_coalesce_guard_branches(spark):
+    """q_bpe_merge's single-task tail (coalesce(1)) must drop out when
+    the bigram table exceeds the row cap — forced here via the conf —
+    with identical values either way."""
+    from data_pipeline_standalone_scripts_spark.operators.corpus import (
+        BPE_COALESCE_MAX_ROWS_CONF,
+    )
+
+    reg = REGISTRY["q_bpe_merge"]
+    df_default = reg.fn(spark, SF)
+    assert "Coalesce" in _plan_of(df_default)
+    base = sorted(map(tuple, df_default.collect()))
+    spark.conf.set(BPE_COALESCE_MAX_ROWS_CONF, "0")
+    try:
+        df_big = reg.fn(spark, SF)
+        assert "Coalesce" not in _plan_of(df_big)
+        forced = sorted(map(tuple, df_big.collect()))
+    finally:
+        spark.conf.unset(BPE_COALESCE_MAX_ROWS_CONF)
+    assert base == forced and len(base) > 0
+
+
+# --- driver window invariants -------------------------------------------------
+
+
+def test_driver_window_pins_first_50():
+    """The correctness driver hash-checks exactly the first 50 registry
+    entries; DRIVER_PRIORITY must be 50 unique registered names and
+    must BE that prefix after load_all_operators()."""
+    from data_pipeline_standalone_scripts_spark import DRIVER_PRIORITY
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert len(set(DRIVER_PRIORITY)) == 50
+    assert set(DRIVER_PRIORITY) <= set(REGISTRY)
+    assert list(REGISTRY)[:50] == DRIVER_PRIORITY
+
+
 # --- fits_encode hardening (ADVICE r09 #2) ----------------------------------
 
 

@@ -631,6 +631,7 @@ UNPARTITIONED_WINDOW_ALLOWLIST = {
     "q_funnel_conversion": "step-to-step rates over the 3-row funnel-step frame (literal step list)",
     "q_param_sweep": "ranking over the parameter GRID (fixed |grid| rows, data-independent)",
     "q_evolutionary_sweep": "per-generation ranking over the fixed population (|pop| rows, data-independent)",
+    "q_saes_sweep": "per-generation survivor ranking over the fixed 8-member population (data-independent; the gen filter constant-folds the partition key, X13's class)",
     "q_win_moving_avg": "W5 semantic demo: 7-day MA over per-DAY aggregate rows (calendar-bounded)",
 }
 
@@ -691,3 +692,53 @@ def test_star3_shj_dispatch_plumbing(spark, sf_med, monkeypatch):
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert hinted_df.toPandas().equals(plain)
+
+
+# --- round-10 gates: the 2-D raster family (VERDICT r09 #7) ------------------
+
+
+def _assert_raster_plan(plan: str, name: str) -> None:
+    """Shared contract for the per-image raster kernels: the ONLY
+    Exchange allowed is fits_table's single-file parallelism-crutch
+    REPARTITION of the thin (doc_id, n_chars) generator input — the
+    kernel OUTPUT must never shuffle, and nothing aggregates outside
+    the kernel."""
+    assert "MapInPandas" in plan, name
+    assert "HashAggregate" not in plan and "SortAggregate" not in plan, name
+    # formatted explain renders each node once in the tree and once as
+    # a detail block — every Exchange occurrence must be the crutch
+    assert plan.count("Exchange") <= 2, (name, plan.count("Exchange"))
+    if "Exchange" in plan:
+        assert "REPARTITION" in plan, name
+        assert "hashpartitioning(doc_id" in plan, name
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q_tailcut_2d", "q_connected_2d", "q_atrous_2d", "q_pipeline_e2e"],
+)
+def test_raster2d_kernels_plan_no_kernel_shuffle(spark, sf_med, name):
+    """The 2-D raster cleaners must stay embarrassingly parallel: one
+    documents scan feeding Arrow-batched Python stages; the kernel
+    output never shuffles and never re-aggregates — a refactor that
+    sneaks a shuffle into the per-image path multiplies 100 TB cost."""
+    _assert_raster_plan(plan_of(REGISTRY[name].fn(spark, sf_med)), name)
+
+
+def test_hillas_moments_reduce_inside_kernel(spark, sf_med):
+    """X62's moment sums must reduce INSIDE the kernel (one output row
+    per image): no aggregate operator anywhere — the ellipse math is a
+    scalar Project over the kernel's integer sums."""
+    plan = plan_of(REGISTRY["q_hillas_2d"].fn(spark, sf_med))
+    _assert_raster_plan(plan, "q_hillas_2d")
+    assert "Project" in plan
+
+
+def test_pipeline_e2e_is_single_pass(spark, sf_med):
+    """X63 fuses five reference stages; the plan must show exactly one
+    documents scan (the reference re-reads per stage — the fused shape
+    is the point). Formatted explain renders the scan once in the tree
+    plus one detail header."""
+    plan = plan_of(REGISTRY["q_pipeline_e2e"].fn(spark, sf_med))
+    assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
+    assert plan.count("MapInPandas") == 4  # generate + fused kernel, x2 render

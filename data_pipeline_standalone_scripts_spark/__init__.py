@@ -26,85 +26,89 @@ from .registry import REGISTRY  # noqa: F401
 # checked this round (ADVICE r08 #1: the r8 list had 54 entries; the
 # 4 trailing ones rolled into this round's staleness backfill).
 #
-# THIS round (9): per VERDICT r08 "Next round #5" — coverage closed at
-# 314/314 in r8, so the window is max-staleness-first. Composition:
-#   slots 1-6   the round-9 NEW ops (q_tailcut_2d q_connected_2d
-#               q_atrous_2d q_hillas_2d q_fits_roundtrip
-#               q_cleaner_assess) — never externally checked.
-#   slots 7-9   behavior-touched rows needing re-certification:
-#               q_fits_decode (fits_parse now honors quoted-string
-#               cards, ADVICE r08 #3), q_dp_counts (seed now read from
-#               spark.conf, VERDICT r08 #6), q_retention_cohort
-#               (explicit NULL-user_id filter, ADVICE r08 #2).
-#   slots 10-32 ALL 23 ops whose latest check is round 2 — the oldest
-#               cohort, predating six rounds of shared-helper refactors
-#               (udfs D1-D6, windows W1-W8, scalar F1-F7/F9/F10).
-#   slots 33-50 the oldest round-3-checked ops in registry order.
-# Verified by set arithmetic against CORRECTNESS_r01-r08: the r2 cohort
-# is complete, the backfill disjoint from the front:
+# THIS round (10): per VERDICT r09 "Next round #3" — rotate to the
+# r3/r4-stale cohort (six rounds of shared-helper refactors sit under
+# them unverified). Composition:
+#   slots 1-3   the round-10 NEW ops (q_pipeline_e2e — the composed
+#               FITS→clean→Hillas→assess→score run, VERDICT #1;
+#               q_saes_sweep / q_de_rand1bin — the SAES/DE-specific
+#               evolutionary semantics, VERDICT #6) — never checked.
+#   slots 4-7   behavior-touched rows needing re-certification:
+#               q_fits_roundtrip (fits_encode now rejects >80-char
+#               cards and left-justifies quoted strings, ADVICE #2),
+#               q_cleaner_assess (half-away micro-rounding replacing
+#               np.round half-to-even, ADVICE #3), q_minhash_lsh
+#               (size-conditional verify broadcast, VERDICT #5),
+#               q_bpe_merge (size-conditional coalesce(1), VERDICT #5).
+#   slots 8-38  the COMPLETE round-3-checked cohort (31 ops — the
+#               oldest), registry order.
+#   slots 39-50 the 12 oldest round-4-checked ops in registry order
+#               (q_incremental_agg q_group_by_all + the analytics AN
+#               r4 rows).
+# Verified by set arithmetic against CORRECTNESS_r01-r09: the r3
+# cohort is complete, the backfill disjoint from the front:
 #   last = {}  # op -> latest round checked
-#   for i in range(1, 9):
+#   for i in range(1, 10):
 #       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r0{i}.json")), i))
 #
-# NEXT-ROUND QUEUE (round 10): any r10-new/changed ops first, then the
-# remaining r3-checked rows (q_morton_cluster q_table_checksum
-# q_snapshot_diff q_tailcut_clean q_array_moments onward in registry
-# order), then the r4 cohort.
+# NEXT-ROUND QUEUE (round 11): any r11-new/changed ops first, then the
+# remaining 35 r4-checked rows (q_revenue_uplift and the OL TPC-H
+# block onward in registry order), then the r5 cohort.
 DRIVER_PRIORITY: list[str] = [
-    # round-9 new ops (never externally checked)
-    "q_tailcut_2d",
-    "q_connected_2d",
-    "q_atrous_2d",
-    "q_hillas_2d",
+    # round-10 new ops (never externally checked)
+    "q_pipeline_e2e",
+    "q_saes_sweep",
+    "q_de_rand1bin",
+    # behavior-touched in round 10, for external re-certification
     "q_fits_roundtrip",
     "q_cleaner_assess",
-    # behavior-touched in round 9, for external re-certification
-    "q_fits_decode",
-    "q_dp_counts",
-    "q_retention_cohort",
-    # the complete round-2-checked cohort (oldest), registry order
-    "q_python_udf",
-    "q_pandas_udf_scalar",
-    "q_pandas_udaf",
-    "q_apply_in_pandas",
-    "q_python_udtf",
-    "q_map_in_arrow",
-    "q_win_rank",
-    "q_win_topk_group",
-    "q_win_lag_lead",
-    "q_win_running",
-    "q_win_moving_avg",
-    "q_win_range_frame",
-    "q_win_ntile_pct",
-    "q_win_first_last",
-    "q_str_funcs",
-    "q_str_regex",
-    "q_date_funcs",
-    "q_math_funcs",
-    "q_null_funcs",
-    "q_array_funcs",
-    "q_array_hof",
-    "q_json_extract",
-    "q_cast_types",
-    # oldest round-3-checked, registry order (fills the 50 window)
-    "q_histogram",
-    "q_dedup_clusters",
-    "q_embed_quantize",
-    "q_fuzzy_name_match",
-    "q_pagerank_dups",
-    "q_zscore_outliers",
-    "q_corr_subquery",
-    "q_cdc_upsert",
-    "q_skew_salted_join",
-    "q_join_lateral",
-    "q_linreg_fit",
-    "q_linreg_per_group",
-    "q_multimodal_decode",
-    "q_pgm_decode",
-    "q_wav_decode",
-    "q_frame_sample",
-    "q_media_resize",
-    "q_png_decode",
+    "q_minhash_lsh",
+    "q_bpe_merge",
+    # the complete round-3-checked cohort (oldest), registry order
+    "q_morton_cluster",
+    "q_table_checksum",
+    "q_snapshot_diff",
+    "q_tailcut_clean",
+    "q_array_moments",
+    "q_xml_io",
+    "q_binaryfile_scan",
+    "q_unpivot",
+    "q_string_agg",
+    "q_bloom_prefilter",
+    "q_cms_frequency",
+    "q_token_count",
+    "q_contamination_check",
+    "q_repetition_filter",
+    "q_ngram_lm_score",
+    "q_quality_score_model",
+    "q_domain_quota",
+    "q_mixture_sample",
+    "q_doc_chunk",
+    "q_pack_sequences",
+    "q_token_entropy",
+    "q_train_test_split",
+    "q_rare_bucket",
+    "q_gap_fill_daily",
+    "q_scd2_intervals",
+    "q_rollup_multires",
+    "q_rolling_corr",
+    "q_decay_score",
+    "q_map_funcs",
+    "q_variant_json",
+    "q_try_arithmetic",
+    # oldest round-4-checked, registry order (fills the 50 window)
+    "q_incremental_agg",
+    "q_group_by_all",
+    "q_path_transitions",
+    "q_dau_rolling",
+    "q_benford_digits",
+    "q_mad_outliers",
+    "q_percentile_bands",
+    "q_mode_median",
+    "q_ab_lift",
+    "q_attribution_lasttouch",
+    "q_histogram_equidepth",
+    "q_psi_drift",
 ]
 
 

@@ -34,6 +34,7 @@ from .common import (
     h60,
     o_h60,
     scan_splits_hint,
+    table_bytes,
     topk_with_rank,
     tracked_persist,
 )
@@ -864,6 +865,18 @@ BPE_COALESCE_MAX_ROWS_CONF = (
     "spark.data_pipeline_standalone_scripts.bpe.coalesce_max_rows"
 )
 _BPE_COALESCE_MAX_ROWS = 5_000_000
+# The row-count probe itself costs one cache-local job (~0.3 s on the
+# sf0.1 bench row — measured against the r10 quiet-epoch table), so it
+# only runs when the CORPUS is big enough that the bigram table could
+# plausibly approach the cap: below this many corpus bytes the
+# vocabulary²-bound keeps the bigram table several orders under the
+# cap and the coalesce is taken with ZERO extra jobs. Unknown layout
+# (table_bytes = 0, non-local URI) runs the probe — the precise,
+# scale-safe path whose one extra job is noise at that scale.
+BPE_COUNT_PROBE_MIN_BYTES_CONF = (
+    "spark.data_pipeline_standalone_scripts.bpe.count_probe_min_bytes"
+)
+_BPE_COUNT_PROBE_MIN_BYTES = 1_000_000_000
 
 
 @register(
@@ -960,7 +973,7 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     if scan_splits_hint(spark, sf_dir, "documents") <= 1:
         d = d.repartition(8, "doc_id")
     toks = d.select("doc_id", F.split("text", " ").alias("toks"))
-    return _bpe_merge_arrays(toks)
+    return _bpe_merge_arrays(toks, corpus_bytes=table_bytes(sf_dir, "documents"))
 
 
 def bpe_merge_core(stream: DataFrame) -> DataFrame:
@@ -979,8 +992,14 @@ def bpe_merge_core(stream: DataFrame) -> DataFrame:
     return _bpe_merge_arrays(toks)
 
 
-def _bpe_merge_arrays(toks: DataFrame) -> DataFrame:
+def _bpe_merge_arrays(
+    toks: DataFrame, corpus_bytes: int | None = None
+) -> DataFrame:
     """One BPE merge step over (doc_id, toks: array<string>).
+
+    ``corpus_bytes``: on-disk size of the source corpus when known —
+    the zero-job short-circuit for the coalesce guard below (None/0 =
+    unknown layout → run the precise cached-count probe instead).
 
     The post-merge symbol counts are computed ARITHMETICALLY, never by
     re-walking the corpus. With the w1 ≠ w2 constraint, hits cannot
@@ -1055,14 +1074,27 @@ def _bpe_merge_arrays(toks: DataFrame) -> DataFrame:
     # stage floors at sf1 with 32-80 shuffle partitions). At a scale
     # where the bigram vocabulary itself outgrows one task the
     # coalesce is DROPPED (size guard below, VERDICT r09 #5) — the
-    # exchanges it avoids are then real work. The row count is read
-    # off the just-materialized cache (the argmax action above pinned
-    # it), so the probe costs one cache-local job, not a recompute.
+    # exchanges it avoids are then real work. Two-level guard: when
+    # the corpus is known-small the coalesce is taken with ZERO extra
+    # jobs (the bigram table is vocabulary²-bounded, orders under the
+    # cap); only a big-or-unknown corpus pays the precise row-count
+    # probe, read off the just-materialized cache (the argmax action
+    # above pinned it) — one cache-local job, noise at that scale.
     spark = toks.sparkSession
     cap = int(
         spark.conf.get(BPE_COALESCE_MAX_ROWS_CONF, str(_BPE_COALESCE_MAX_ROWS))
     )
-    small = bigrams if bigrams.count() > cap else bigrams.coalesce(1)
+    probe_min = int(
+        spark.conf.get(
+            BPE_COUNT_PROBE_MIN_BYTES_CONF, str(_BPE_COUNT_PROBE_MIN_BYTES)
+        )
+    )
+    if corpus_bytes is not None and 0 < corpus_bytes < probe_min:
+        small = bigrams.coalesce(1)
+    elif bigrams.count() > cap:
+        small = bigrams
+    else:
+        small = bigrams.coalesce(1)
     tokc = small.groupBy(F.col("w1").alias("out_tok")).agg(
         F.sum("pc").alias("cnt")
     )

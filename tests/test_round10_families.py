@@ -73,12 +73,16 @@ def test_bpe_coalesce_guard_branches(spark):
     with identical values either way."""
     from data_pipeline_standalone_scripts_spark.operators.corpus import (
         BPE_COALESCE_MAX_ROWS_CONF,
+        BPE_COUNT_PROBE_MIN_BYTES_CONF,
     )
 
     reg = REGISTRY["q_bpe_merge"]
     df_default = reg.fn(spark, SF)
     assert "Coalesce" in _plan_of(df_default)
     base = sorted(map(tuple, df_default.collect()))
+    # force past BOTH guard levels: the zero-job corpus-bytes
+    # short-circuit and the cached row-count cap
+    spark.conf.set(BPE_COUNT_PROBE_MIN_BYTES_CONF, "0")
     spark.conf.set(BPE_COALESCE_MAX_ROWS_CONF, "0")
     try:
         df_big = reg.fn(spark, SF)
@@ -86,6 +90,7 @@ def test_bpe_coalesce_guard_branches(spark):
         forced = sorted(map(tuple, df_big.collect()))
     finally:
         spark.conf.unset(BPE_COALESCE_MAX_ROWS_CONF)
+        spark.conf.unset(BPE_COUNT_PROBE_MIN_BYTES_CONF)
     assert base == forced and len(base) > 0
 
 

@@ -61,6 +61,9 @@ SHOWCASE = [
     ("q_exact_median_twopass", "1024-bin histogram + single-bin rank — no global sort"),
     ("q_shortest_path_bf", "frontier⋈edges + min-combine per relaxation round (Pregel shape)"),
     ("q_incremental_join", "four delta-term joins merged per-group (IVM delta identity)"),
+    # round 10
+    ("q_pipeline_e2e", "five reference stages fused: one documents scan → generate+clean/Hillas/assess kernel → codegen scalar score tail; zero aggregates, zero kernel-output shuffle"),
+    ("q_hillas_2d", "moment sums reduce INSIDE the Arrow kernel (one row/image); ellipse math is a scalar Project — no aggregate operator in the plan"),
 ]
 
 

@@ -8,6 +8,8 @@ properties parity alone doesn't state (SURVEY.md §5.2).
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 import data_pipeline_standalone_scripts_spark as engine
 from data_pipeline_standalone_scripts_spark.registry import REGISTRY
@@ -233,4 +235,62 @@ def test_fits_encode_roundtrip_after_justify_change():
     p = fits_encode(hdr, phys)
     hdr2, phys2 = fits_parse(p)
     assert hdr2 == hdr
+    assert np.array_equal(phys, phys2)
+
+
+_FITS_STRING = st.text(
+    # printable FITS-legal ASCII incl. the quote (escaped as '') and
+    # '/' — the two characters that broke naive card parsing/writing
+    alphabet=st.sampled_from(
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 '/-_."
+    ),
+    min_size=0,
+    max_size=16,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(1, 9),
+    h=st.integers(1, 7),
+    bitpix=st.sampled_from([8, 16, 32, -32, -64]),
+    bzero=st.sampled_from([0, 32768]),
+    obj=_FITS_STRING,
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_fits_roundtrip_property(w, h, bitpix, bzero, obj, seed):
+    """Property: parse∘encode∘parse is the identity over random
+    dimensions, every BITPIX type, the unsigned-short BZERO
+    convention, and OBJECT strings containing quotes (escaped '')
+    and slashes — the card-value classes ADVICE r08/r09 flagged."""
+    if bitpix != 16:
+        # the BZERO=32768 unsigned-short convention belongs to int16
+        # payloads; on float BITPIX the offset legitimately costs
+        # float32 ulps (raw = phys − 32768 at magnitude 2^15), and
+        # uint8 can't absorb it at all
+        bzero = 0
+    rng = np.random.RandomState(seed)
+    if bitpix > 0:
+        lo, hi_v = {8: (0, 255), 16: (0, 4095), 32: (0, 1 << 20)}[bitpix]
+        phys = rng.randint(lo, hi_v + 1, size=(h, w)).astype(np.float64)
+        phys += bzero if bitpix != 16 else 0
+    else:
+        phys = rng.randn(h, w).astype(
+            np.float32 if bitpix == -32 else np.float64
+        ).astype(np.float64)
+    hdr = {
+        "SIMPLE": "T",
+        "BITPIX": str(bitpix),
+        "NAXIS": "2",
+        "NAXIS1": str(w),
+        "NAXIS2": str(h),
+        "BZERO": str(bzero),
+        "BSCALE": "1",
+        "OBJECT": "'" + obj.replace("'", "''") + "'",
+    }
+    p = fits_encode(hdr, phys)
+    assert len(p) % 2880 == 0
+    hdr2, phys2 = fits_parse(p)
+    assert hdr2 == hdr
+    assert phys2.shape == (h, w)
     assert np.array_equal(phys, phys2)

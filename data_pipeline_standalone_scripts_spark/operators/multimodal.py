@@ -953,3 +953,67 @@ def q_fits_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, n_bytes_in bigint, n_bytes_out bigint, "
         "data_blocks bigint, header_equal bigint, pixels_equal bigint",
     )
+
+
+@register(
+    "q_warc_extract",
+    oracle="""
+        SELECT doc_id,
+               'example-' || CAST(doc_id % 50 AS VARCHAR) || '.test'
+                   AS host,
+               CAST(length(text) AS BIGINT) AS content_length,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CAST(1 AS BIGINT) AS rec_ok
+        FROM documents
+    """,
+    category=CAT,
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: WARC/WET ingestion — the Common Crawl interchange format
+    (ISO 28500 / WARC 1.0, public spec), the standard first stage of
+    every web-scale LLM corpus build. warc_table writes REAL
+    ``.warc.gz``-layout blobs (one gzip member per record, 8 records
+    per blob); this op walks the members (decompressobj + unused_data
+    chaining — the multi-member access pattern naive gzip readers get
+    wrong), parses each record's headers, frames the body by
+    Content-Length ONLY (bodies may legally contain CRLF CRLF or the
+    WARC magic — pytest pins both), and emits per-record fields: the
+    target host, content length, whitespace token count, and the
+    structural-validity flag. The DuckDB oracle re-derives every field
+    arithmetically from ``documents`` — full T2 with no codec on the
+    oracle side, the PGM/FITS contract applied to the crawl format.
+
+    Scale: blob assembly pays one generator-only groupBy (at 100 TB
+    the blobs are real crawl files read via binaryFile — zero
+    shuffle); the extract kernel is stateless Arrow-batched
+    mapInPandas per blob, embarrassingly parallel, the classic
+    WET-extraction pass.
+    """
+    from ..sources.multimodal import (
+        warc_parse_record,
+        warc_split_members,
+        warc_table,
+    )
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "host", "content_length", "n_tokens", "rec_ok"]
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for payload in pdf["payload"]:
+                for rec in warc_split_members(bytes(payload)):
+                    r = warc_parse_record(rec)
+                    rid = r["headers"]["WARC-Record-ID"]
+                    uri = r["headers"]["WARC-Target-URI"]
+                    body = r["body"].decode("utf-8")
+                    rows["doc_id"].append(int(rid.rstrip(">").split("-")[-1]))
+                    rows["host"].append(uri.split("/")[2])
+                    rows["content_length"].append(len(r["body"]))
+                    rows["n_tokens"].append(len(body.split(" ")))
+                    rows["rec_ok"].append(1)
+            yield pd.DataFrame(rows, columns=cols)
+
+    return warc_table(spark, sf_dir).mapInPandas(
+        extract,
+        schema="doc_id bigint, host string, content_length bigint, "
+        "n_tokens bigint, rec_ok bigint",
+    )

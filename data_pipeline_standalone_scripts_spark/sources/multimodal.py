@@ -1112,3 +1112,120 @@ def fits_encode(hdr: dict[str, str], phys) -> bytes:
     data = raw.tobytes()
     data += b"\x00" * (-len(data) % FITS_BLOCK)
     return header + data
+
+
+# --- WARC / WET (ISO 28500 — the Common Crawl interchange format) -----------
+
+WARC_RECORDS_PER_BLOB = 8  # documents per generated .warc.gz blob
+
+
+def warc_record(doc_id: int, body: bytes) -> bytes:
+    """One standards-shaped WARC 1.0 ``response`` record: named headers,
+    Content-Length framing, and the mandatory CRLF CRLF record
+    terminator (ISO 28500 / WARC 1.0 §4 — public spec; Common Crawl's
+    WET extracts use exactly this layout with ``conversion`` records).
+    The body is framed by Content-Length ONLY — it may legally contain
+    CRLF CRLF or even the string ``WARC/1.0`` (pytest pins this)."""
+    headers = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        + b"WARC-Record-ID: <urn:uuid:00000000-0000-0000-0000-%012d>\r\n"
+        % doc_id
+        + b"WARC-Target-URI: https://example-%d.test/doc/%d\r\n"
+        % (doc_id % 50, doc_id)
+        + b"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+        b"Content-Type: text/plain\r\n"
+        + b"Content-Length: %d\r\n" % len(body)
+    )
+    return headers + b"\r\n" + body + b"\r\n\r\n"
+
+
+def warc_gz_member(record: bytes) -> bytes:
+    """Gzip-compress ONE record as its own gzip member — the
+    ``.warc.gz`` convention (one member per record, members
+    concatenated) that lets readers seek to a record without
+    decompressing the file. wbits=31 = gzip container, and the
+    compressobj path writes no mtime/filename, keeping the bytes
+    deterministic for the round-trip tests."""
+    import zlib
+
+    co = zlib.compressobj(6, zlib.DEFLATED, 31)
+    return co.compress(record) + co.flush()
+
+
+def warc_split_members(payload: bytes) -> "list[bytes]":
+    """Split a concatenated-gzip-member blob into decompressed records
+    via decompressobj(wbits=47) + unused_data chaining — the standard
+    multi-member walk (gzip readers that stop at the first member
+    silently drop every record after the first; this is the classic
+    .warc.gz consumer bug)."""
+    import zlib
+
+    out = []
+    rest = payload
+    while rest:
+        dec = zlib.decompressobj(47)
+        out.append(dec.decompress(rest) + dec.flush())
+        rest = dec.unused_data
+    return out
+
+
+def warc_parse_record(rec: bytes) -> dict:
+    """Parse one WARC record: version magic, header map, Content-Length
+    body framing, terminator check. Raises on structural violations
+    (wrong magic, missing Content-Length, short body, bad terminator)
+    rather than guessing."""
+    eoh = rec.find(b"\r\n\r\n")
+    if eoh < 0:
+        raise ValueError("warc: no end-of-headers")
+    head = rec[:eoh].decode("ascii").split("\r\n")
+    if head[0] != "WARC/1.0":
+        raise ValueError(f"warc: bad magic {head[0]!r}")
+    hdr = {}
+    for line in head[1:]:
+        k, _, v = line.partition(":")
+        hdr[k.strip()] = v.strip()
+    clen = int(hdr["Content-Length"])
+    body = rec[eoh + 4 : eoh + 4 + clen]
+    if len(body) != clen:
+        raise ValueError("warc: body shorter than Content-Length")
+    if rec[eoh + 4 + clen : eoh + 4 + clen + 4] != b"\r\n\r\n":
+        raise ValueError("warc: missing record terminator")
+    return {"headers": hdr, "body": body}
+
+
+def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(blob_id, payload) — REAL ``.warc.gz``-layout blobs: one gzip
+    member per WARC 1.0 response record, WARC_RECORDS_PER_BLOB
+    documents per blob (blob_id = doc_id // 8, records in doc_id
+    order), bodies = the document text. Everything a record carries
+    (URI host, Content-Length, body) is re-derivable from
+    ``documents`` arithmetically, so q_warc_extract gets a full value
+    oracle with no codec on the DuckDB side.
+
+    Generation pays ONE groupBy exchange to assemble multi-record
+    blobs (generator-only: at 100 TB the blobs are real crawl files
+    on object storage read via binaryFile — zero shuffle); the
+    per-blob build is an Arrow-batched applyInPandas kernel."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        payload = b"".join(
+            warc_gz_member(warc_record(int(i), t.encode("utf-8")))
+            for i, t in zip(pdf["doc_id"], pdf["text"])
+        )
+        return pd.DataFrame(
+            {"blob_id": [int(pdf["blob_id"].iloc[0])], "payload": [payload]}
+        )
+
+    d = load(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / WARC_RECORDS_PER_BLOB).cast("long").alias("blob_id"),
+        "doc_id",
+        "text",
+    )
+    return d.groupBy("blob_id").applyInPandas(
+        build, schema="blob_id bigint, payload binary"
+    )

@@ -294,3 +294,68 @@ def test_fits_roundtrip_property(w, h, bitpix, bzero, obj, seed):
     assert hdr2 == hdr
     assert phys2.shape == (h, w)
     assert np.array_equal(phys, phys2)
+
+
+# --- WARC/WET ingestion (X66) -------------------------------------------------
+
+
+def test_warc_framing_is_content_length_only():
+    """Bodies may legally contain CRLF CRLF and the WARC magic; the
+    record walk must frame on Content-Length, never on delimiters."""
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        warc_gz_member,
+        warc_parse_record,
+        warc_record,
+        warc_split_members,
+    )
+
+    nasty = b"a\r\n\r\nWARC/1.0\r\nContent-Length: 99\r\n\r\nb"
+    blob = warc_gz_member(warc_record(3, nasty)) + warc_gz_member(
+        warc_record(4, b"")
+    )
+    recs = [warc_parse_record(r) for r in warc_split_members(blob)]
+    assert len(recs) == 2
+    assert recs[0]["body"] == nasty
+    assert recs[1]["body"] == b""
+    assert recs[0]["headers"]["WARC-Type"] == "response"
+
+
+def test_warc_rejects_malformed_records():
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        warc_parse_record,
+        warc_record,
+    )
+
+    good = warc_record(1, b"xyz")
+    with pytest.raises(ValueError, match="magic"):
+        warc_parse_record(good.replace(b"WARC/1.0", b"WARC/9.9"))
+    with pytest.raises(ValueError, match="shorter"):
+        warc_parse_record(good[:-5])  # drop terminator + 1 body byte
+    with pytest.raises(ValueError, match="terminator"):
+        warc_parse_record(good[:-4] + b"XXXX")
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bodies=st.lists(
+        st.binary(min_size=0, max_size=64), min_size=1, max_size=5
+    ),
+    base=st.integers(0, 10**9),
+)
+def test_warc_roundtrip_property(bodies, base):
+    """Property: member-split ∘ concat ∘ gzip ∘ record is the identity
+    on any byte bodies, in order."""
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        warc_gz_member,
+        warc_parse_record,
+        warc_record,
+        warc_split_members,
+    )
+
+    blob = b"".join(
+        warc_gz_member(warc_record(base + i, b)) for i, b in enumerate(bodies)
+    )
+    recs = [warc_parse_record(r) for r in warc_split_members(blob)]
+    assert [r["body"] for r in recs] == bodies
+    ids = [int(r["headers"]["WARC-Record-ID"].rstrip(">").split("-")[-1]) for r in recs]
+    assert ids == [base + i for i in range(len(bodies))]

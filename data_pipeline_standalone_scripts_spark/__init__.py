@@ -29,23 +29,26 @@ from .registry import REGISTRY  # noqa: F401
 # THIS round (10): per VERDICT r09 "Next round #3" — rotate to the
 # r3/r4-stale cohort (six rounds of shared-helper refactors sit under
 # them unverified). Composition:
-#   slots 1-4   the round-10 NEW ops (q_pipeline_e2e — the composed
+#   slots 1-5   the round-10 NEW ops (q_pipeline_e2e — the composed
 #               FITS→clean→Hillas→assess→score run, VERDICT #1;
 #               q_saes_sweep / q_de_rand1bin — the SAES/DE-specific
 #               evolutionary semantics, VERDICT #6; q_warc_extract —
-#               WARC/WET crawl ingestion) — never checked.
-#   slots 5-8   behavior-touched rows needing re-certification:
+#               WARC/WET crawl ingestion; q_web_curation_e2e — the
+#               composed web-curation run from crawl bytes) — never
+#               externally checked.
+#   slots 6-9   behavior-touched rows needing re-certification:
 #               q_fits_roundtrip (fits_encode now rejects >80-char
 #               cards and left-justifies quoted strings, ADVICE #2),
 #               q_cleaner_assess (half-away micro-rounding replacing
 #               np.round half-to-even, ADVICE #3), q_minhash_lsh
 #               (size-conditional verify broadcast, VERDICT #5),
 #               q_bpe_merge (size-conditional coalesce(1), VERDICT #5).
-#   slots 9-39  the COMPLETE round-3-checked cohort (31 ops — the
+#   slots 10-40 the COMPLETE round-3-checked cohort (31 ops — the
 #               oldest), registry order.
-#   slots 40-50 the 11 oldest round-4-checked ops in registry order
+#   slots 41-50 the 10 oldest round-4-checked ops in registry order
 #               (q_incremental_agg q_group_by_all + the analytics AN
-#               r4 rows; q_psi_drift rolls to the r11 queue).
+#               r4 rows; q_histogram_equidepth/q_psi_drift roll to the
+#               r11 queue).
 # Verified by set arithmetic against CORRECTNESS_r01-r09: the r3
 # cohort is complete, the backfill disjoint from the front:
 #   last = {}  # op -> latest round checked
@@ -61,6 +64,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_saes_sweep",
     "q_de_rand1bin",
     "q_warc_extract",
+    "q_web_curation_e2e",
     # behavior-touched in round 10, for external re-certification
     "q_fits_roundtrip",
     "q_cleaner_assess",
@@ -109,7 +113,6 @@ DRIVER_PRIORITY: list[str] = [
     "q_mode_median",
     "q_ab_lift",
     "q_attribution_lasttouch",
-    "q_histogram_equidepth",
 ]
 
 

@@ -1017,3 +1017,134 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, host string, content_length bigint, "
         "n_tokens bigint, rec_ok bigint",
     )
+
+
+@register(
+    "q_web_curation_e2e",
+    oracle="""
+        WITH recs AS (
+            SELECT doc_id,
+                   'example-' || CAST(doc_id % 50 AS VARCHAR) || '.test'
+                       AS host,
+                   text,
+                   length(text) AS n_chars,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(string_split(text, ' ')) AS awl,
+                   CAST(len(list_distinct(string_split(text, ' ')))
+                        AS DOUBLE)
+                       / len(string_split(text, ' ')) AS ttr
+            FROM documents
+        ), dedup AS (
+            SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+            FROM recs
+        ), flagged AS (
+            SELECT host,
+                   (doc_id <> keeper) AS is_dup,
+                   (n_chars BETWEEN 150 AND 450 AND n_words >= 25
+                    AND awl BETWEEN 3.0 AND 9.0 AND ttr >= 0.3)
+                       AS quality,
+                   n_words
+            FROM dedup
+        )
+        SELECT host,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dups,
+               CAST(SUM(CASE WHEN NOT is_dup AND quality THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN NOT is_dup AND quality THEN n_words
+                             ELSE 0 END) AS BIGINT) AS kept_tokens,
+               ROUND(CAST(SUM(CASE WHEN NOT is_dup AND quality
+                                   THEN 1 ELSE 0 END) AS DOUBLE)
+                     / COUNT(*), 6) AS kept_frac
+        FROM flagged
+        GROUP BY host
+    """,
+    category=CAT,
+)
+def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: the WEB-CORPUS curation run from CRAWL BYTES as one query —
+    the training-side twin of X63's science pipeline: `.warc.gz` blobs
+    (X66's member walk) → per-record text extraction → L2's
+    C4/Gopher-style quality gate (length band, word count, mean word
+    length, TTR floor — the exact L2 predicates) → exact dedup
+    (sha2-digest min-keeper, L4's rule) → a per-host curation report
+    (docs, dups, kept docs/tokens, kept fraction). A real crawl
+    curation team runs exactly this chain as its first pass; here it
+    is one DataFrame program with the text column DROPPED before any
+    shuffle.
+
+    Scale: the extract kernel is stateless per blob; the quality
+    predicates are codegen column expressions over the kernel output;
+    the dedup window shuffles ONLY thin (digest, doc_id, host,
+    quality, n_words) rows — never the text; the host report is a
+    50-group partial-agg. Two exchanges total after the generator,
+    both thin. The oracle replays every stage from ``documents``
+    (host arithmetic, text identity ⟺ digest identity, identical
+    quality ratios — all-integer ratios, portable).
+    """
+    from ..sources.multimodal import (
+        warc_parse_record,
+        warc_split_members,
+        warc_table,
+    )
+    from pyspark.sql.window import Window
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "host", "text"]
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for payload in pdf["payload"]:
+                for rec in warc_split_members(bytes(payload)):
+                    r = warc_parse_record(rec)
+                    rid = r["headers"]["WARC-Record-ID"]
+                    uri = r["headers"]["WARC-Target-URI"]
+                    rows["doc_id"].append(int(rid.rstrip(">").split("-")[-1]))
+                    rows["host"].append(uri.split("/")[2])
+                    rows["text"].append(r["body"].decode("utf-8"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    recs = warc_table(spark, sf_dir).mapInPandas(
+        extract, schema="doc_id bigint, host string, text string"
+    )
+    toks = F.split("text", " ")
+    n_words = F.size(toks)
+    awl = (
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+        / n_words
+    )
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
+    quality = (
+        F.length("text").between(150, 450)
+        & (n_words >= 25)
+        & awl.between(3.0, 9.0)
+        & (ttr >= 0.3)
+    )
+    # drop the text before the shuffle: only the digest + flags move
+    thin = recs.select(
+        "doc_id",
+        "host",
+        F.sha2("text", 256).alias("digest"),
+        quality.alias("quality"),
+        n_words.cast("long").alias("n_words"),
+    )
+    keeper = F.min("doc_id").over(Window.partitionBy("digest"))
+    flagged = thin.select(
+        "host",
+        (F.col("doc_id") != keeper).alias("is_dup"),
+        "quality",
+        "n_words",
+    )
+    kept = ~F.col("is_dup") & F.col("quality")
+    return flagged.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("is_dup").cast("long")).alias("n_dups"),
+        F.sum(kept.cast("long")).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_words")).otherwise(F.lit(0))).alias(
+            "kept_tokens"
+        ),
+        F.round(
+            F.sum(kept.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("kept_frac"),
+    )

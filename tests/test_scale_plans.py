@@ -752,3 +752,19 @@ def test_warc_extract_single_generator_exchange(spark, sf_med):
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:600]
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan
+
+
+def test_web_curation_sheds_text_before_shuffle(spark, sf_med):
+    """X67: exactly three exchanges — the generator's blob groupBy
+    (which necessarily moves text to BUILD the crawl files; at 100 TB
+    real .warc.gz arrive via binaryFile with no such exchange), then
+    the digest dedup window and the host aggregate, NEITHER of which
+    may carry the text column — the kernel output sheds it into
+    sha2 + flags before anything moves."""
+    plan = plan_of(REGISTRY["q_web_curation_e2e"].fn(spark, sf_med))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 3, plan[:800]
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith("(") and ") Exchange" in block.split("\n")[0]:
+            if "hashpartitioning(blob_id" in block:
+                continue  # the generator-only blob-assembly exchange
+            assert "text#" not in block, block

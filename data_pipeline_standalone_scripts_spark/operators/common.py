@@ -102,23 +102,8 @@ def scan_splits_hint(spark, sf_dir: str, table: str) -> int:
     on the multi-file layouts a real table always has.
     """
     import math
-    import os
 
-    from ..tables import table_path
-
-    path = table_path(sf_dir, table)
-    try:
-        if os.path.isdir(path):
-            sizes = [
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(path)
-                for f in fs
-                if f.endswith(".parquet")
-            ]
-        else:
-            sizes = [os.path.getsize(path)]
-    except OSError:
-        return 0
+    sizes = _parquet_sizes(sf_dir, table)
     if not sizes:
         return 0
     open_cost = 4 * 1024 * 1024
@@ -141,14 +126,11 @@ def scan_splits_hint(spark, sf_dir: str, table: str) -> int:
     return bins + (1 if cur else 0)
 
 
-def table_bytes(sf_dir: str, table: str) -> int:
-    """On-disk parquet bytes of a test table, or 0 when the layout
-    can't be inspected (non-local URI, missing path) — callers must
-    treat 0 as "unknown" and take their scale-safe branch (the same
-    contract as scan_splits_hint). Used by the size-conditional
-    broadcast/coalesce guards (VERDICT r09 #5): prose fallbacks like
-    "at scale this becomes two hash joins" are only real if a branch
-    actually switches on the size."""
+def _parquet_sizes(sf_dir: str, table: str) -> "list[int]":
+    """Per-file on-disk parquet bytes of a test table; [] when the
+    layout can't be inspected (non-local URI, missing path). The ONE
+    directory walk + "empty = unknown" contract shared by
+    scan_splits_hint and table_bytes, so the two probes can't drift."""
     import os
 
     from ..tables import table_path
@@ -156,15 +138,25 @@ def table_bytes(sf_dir: str, table: str) -> int:
     path = table_path(sf_dir, table)
     try:
         if os.path.isdir(path):
-            return sum(
+            return [
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(path)
                 for f in fs
                 if f.endswith(".parquet")
-            )
-        return os.path.getsize(path)
+            ]
+        return [os.path.getsize(path)]
     except OSError:
-        return 0
+        return []
+
+
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk parquet bytes of a test table, or 0 when the layout
+    can't be inspected — callers must treat 0 as "unknown" and take
+    their scale-safe branch (the same contract as scan_splits_hint).
+    Used by the size-conditional broadcast/coalesce guards (VERDICT
+    r09 #5): prose fallbacks like "at scale this becomes two hash
+    joins" are only real if a branch actually switches on the size."""
+    return sum(_parquet_sizes(sf_dir, table))
 
 
 def dsum(col: Column | str, alias: str) -> Column:

@@ -989,7 +989,10 @@ def bpe_merge_core(stream: DataFrame) -> DataFrame:
             lambda s: s["tok"],
         ).alias("toks")
     )
-    return _bpe_merge_arrays(toks)
+    # property-test inputs are tiny by construction: take the zero-job
+    # known-small path (corpus_bytes=1) instead of paying the cached
+    # count probe once per hypothesis example
+    return _bpe_merge_arrays(toks, corpus_bytes=1)
 
 
 def _bpe_merge_arrays(

@@ -961,7 +961,7 @@ def q_fits_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                'example-' || CAST(doc_id % 50 AS VARCHAR) || '.test'
                    AS host,
-               CAST(length(text) AS BIGINT) AS content_length,
+               CAST(strlen(text) AS BIGINT) AS content_length,
                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
                CAST(1 AS BIGINT) AS rec_ok
         FROM documents
@@ -989,26 +989,22 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas per blob, embarrassingly parallel, the classic
     WET-extraction pass.
     """
-    from ..sources.multimodal import (
-        warc_parse_record,
-        warc_split_members,
-        warc_table,
-    )
+    from ..sources.multimodal import warc_record_fields, warc_table
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "host", "content_length", "n_tokens", "rec_ok"]
         for pdf in batches:
             rows = {k: [] for k in cols}
             for payload in pdf["payload"]:
-                for rec in warc_split_members(bytes(payload)):
-                    r = warc_parse_record(rec)
-                    rid = r["headers"]["WARC-Record-ID"]
-                    uri = r["headers"]["WARC-Target-URI"]
-                    body = r["body"].decode("utf-8")
-                    rows["doc_id"].append(int(rid.rstrip(">").split("-")[-1]))
-                    rows["host"].append(uri.split("/")[2])
-                    rows["content_length"].append(len(r["body"]))
-                    rows["n_tokens"].append(len(body.split(" ")))
+                for doc_id, host, body in warc_record_fields(bytes(payload)):
+                    rows["doc_id"].append(doc_id)
+                    rows["host"].append(host)
+                    # Content-Length is OCTETS per the WARC spec — the
+                    # oracle matches with strlen(text) (bytes), not
+                    # length(text) (chars), so non-ASCII corpora stay
+                    # parity-safe
+                    rows["content_length"].append(len(body))
+                    rows["n_tokens"].append(len(body.decode("utf-8").split(" ")))
                     rows["rec_ok"].append(1)
             yield pd.DataFrame(rows, columns=cols)
 
@@ -1084,11 +1080,7 @@ def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     (host arithmetic, text identity ⟺ digest identity, identical
     quality ratios — all-integer ratios, portable).
     """
-    from ..sources.multimodal import (
-        warc_parse_record,
-        warc_split_members,
-        warc_table,
-    )
+    from ..sources.multimodal import warc_record_fields, warc_table
     from pyspark.sql.window import Window
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1096,13 +1088,10 @@ def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in cols}
             for payload in pdf["payload"]:
-                for rec in warc_split_members(bytes(payload)):
-                    r = warc_parse_record(rec)
-                    rid = r["headers"]["WARC-Record-ID"]
-                    uri = r["headers"]["WARC-Target-URI"]
-                    rows["doc_id"].append(int(rid.rstrip(">").split("-")[-1]))
-                    rows["host"].append(uri.split("/")[2])
-                    rows["text"].append(r["body"].decode("utf-8"))
+                for doc_id, host, body in warc_record_fields(bytes(payload)):
+                    rows["doc_id"].append(doc_id)
+                    rows["host"].append(host)
+                    rows["text"].append(body.decode("utf-8"))
             yield pd.DataFrame(rows, columns=cols)
 
     recs = warc_table(spark, sf_dir).mapInPandas(

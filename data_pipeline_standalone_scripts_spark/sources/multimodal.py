@@ -1229,3 +1229,19 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("blob_id").applyInPandas(
         build, schema="blob_id bigint, payload binary"
     )
+
+
+def warc_record_fields(payload: bytes):
+    """Yield (doc_id, host, body_bytes) for every record in a blob —
+    the ONE extraction walk shared by q_warc_extract and
+    q_web_curation_e2e, so the record-ID/URI parsing can never drift
+    between them."""
+    for rec in warc_split_members(payload):
+        r = warc_parse_record(rec)
+        rid = r["headers"]["WARC-Record-ID"]
+        uri = r["headers"]["WARC-Target-URI"]
+        yield (
+            int(rid.rstrip(">").split("-")[-1]),
+            uri.split("/")[2],
+            r["body"],
+        )

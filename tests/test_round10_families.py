@@ -359,3 +359,29 @@ def test_warc_roundtrip_property(bodies, base):
     assert [r["body"] for r in recs] == bodies
     ids = [int(r["headers"]["WARC-Record-ID"].rstrip(">").split("-")[-1]) for r in recs]
     assert ids == [base + i for i in range(len(bodies))]
+
+
+def test_web_curation_lockstep_with_l2_and_exact_dedup(spark):
+    """X67's docstring claims its quality gate IS L2's predicate set
+    and its dedup IS L4's min-keeper rule — force the copies to move
+    together: recompute the per-host report's totals from
+    q_text_quality_filter's doc set and a direct min-per-text keeper
+    pass, and require exact agreement."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_standalone_scripts_spark.tables import load
+
+    rep = REGISTRY["q_web_curation_e2e"].fn(spark, SF).collect()
+    l2 = {
+        r["doc_id"]
+        for r in REGISTRY["q_text_quality_filter"].fn(spark, SF).collect()
+    }
+    docs = load(spark, SF, "documents")
+    n_total = docs.count()
+    keepers = {
+        r["k"]
+        for r in docs.groupBy("text").agg(F.min("doc_id").alias("k")).collect()
+    }
+    assert sum(r["n_docs"] for r in rep) == n_total
+    assert sum(r["n_dups"] for r in rep) == n_total - len(keepers)
+    assert sum(r["n_kept"] for r in rep) == len(l2 & keepers)

@@ -30,7 +30,11 @@ from .common import scan_splits_hint, table_bytes, tracked_persist
 # joins, making the long-documented at-scale fallback REAL instead of
 # prose (VERDICT r09 #5: past the 8 GB broadcast ceiling the op must
 # degrade, not break). 2 GB of parquet is conservative headroom: the
-# in-memory long-array rows decompress ~2-3x.
+# in-memory long-array rows decompress ~2-3x. NOTE: the probe measures
+# WHOLE-TABLE parquet bytes as a proxy for the projected doc→token-array
+# build side — a corpus with a wide non-text payload column trips the
+# hash-join branch far below the real broadcast limit (safe, never
+# incorrect); such deployments should raise this cap accordingly.
 MINHASH_BROADCAST_MAX_BYTES_CONF = (
     "spark.data_pipeline_standalone_scripts.minhash.broadcast_max_bytes"
 )

@@ -979,9 +979,15 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Content-Length ONLY (bodies may legally contain CRLF CRLF or the
     WARC magic — pytest pins both), and emits per-record fields: the
     target host, content length, whitespace token count, and the
-    structural-validity flag. The DuckDB oracle re-derives every field
-    arithmetically from ``documents`` — full T2 with no codec on the
-    oracle side, the PGM/FITS contract applied to the crawl format.
+    structural-validity flag. rec_ok is REAL: a malformed record or
+    a non-UTF-8 body yields a rec_ok=0 row (doc_id -1 sentinel /
+    n_tokens 0) instead of killing the task — real crawls contain
+    both, and the at-scale binaryFile path must survive them
+    (tests/test_round10_families.py pins the malformed branches).
+    The generator-controlled parity path is all-valid, so the DuckDB
+    oracle re-derives every field arithmetically from ``documents``
+    with rec_ok ≡ 1 — full T2 with no codec on the oracle side, the
+    PGM/FITS contract applied to the crawl format.
 
     Scale: blob assembly pays one generator-only groupBy (at 100 TB
     the blobs are real crawl files read via binaryFile — zero
@@ -989,14 +995,16 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas per blob, embarrassingly parallel, the classic
     WET-extraction pass.
     """
-    from ..sources.multimodal import warc_record_fields, warc_table
+    from ..sources.multimodal import warc_record_fields_tolerant, warc_table
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["doc_id", "host", "content_length", "n_tokens", "rec_ok"]
         for pdf in batches:
             rows = {k: [] for k in cols}
             for payload in pdf["payload"]:
-                for doc_id, host, body in warc_record_fields(bytes(payload)):
+                for doc_id, host, body, ok in warc_record_fields_tolerant(
+                    bytes(payload)
+                ):
                     rows["doc_id"].append(doc_id)
                     rows["host"].append(host)
                     # Content-Length is OCTETS per the WARC spec — the
@@ -1004,8 +1012,14 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # length(text) (chars), so non-ASCII corpora stay
                     # parity-safe
                     rows["content_length"].append(len(body))
-                    rows["n_tokens"].append(len(body.decode("utf-8").split(" ")))
-                    rows["rec_ok"].append(1)
+                    try:
+                        n_tok = len(body.decode("utf-8").split(" ")) if ok else 0
+                    except UnicodeDecodeError:
+                        # structurally valid record, non-text body —
+                        # flag it rather than crash the task
+                        n_tok, ok = 0, 0
+                    rows["n_tokens"].append(n_tok)
+                    rows["rec_ok"].append(ok)
             yield pd.DataFrame(rows, columns=cols)
 
     return warc_table(spark, sf_dir).mapInPandas(

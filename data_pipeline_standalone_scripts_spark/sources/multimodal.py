@@ -1221,8 +1221,11 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"blob_id": [int(pdf["blob_id"].iloc[0])], "payload": [payload]}
         )
 
+    # Integer `div` keeps blob_id = doc_id // 8 exact for the full
+    # BIGINT range (a double-division detour loses exactness past
+    # 2^53); doc_ids are nonnegative, so div == floor division here.
     d = load(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / WARC_RECORDS_PER_BLOB).cast("long").alias("blob_id"),
+        F.expr(f"doc_id div {WARC_RECORDS_PER_BLOB}").cast("long").alias("blob_id"),
         "doc_id",
         "text",
     )
@@ -1235,7 +1238,9 @@ def warc_record_fields(payload: bytes):
     """Yield (doc_id, host, body_bytes) for every record in a blob —
     the ONE extraction walk shared by q_warc_extract and
     q_web_curation_e2e, so the record-ID/URI parsing can never drift
-    between them."""
+    between them. STRICT: raises on any malformed record — correct
+    for the generator-controlled parity path, where a violation is a
+    bug, not data."""
     for rec in warc_split_members(payload):
         r = warc_parse_record(rec)
         rid = r["headers"]["WARC-Record-ID"]
@@ -1245,3 +1250,38 @@ def warc_record_fields(payload: bytes):
             uri.split("/")[2],
             r["body"],
         )
+
+
+def warc_record_fields_tolerant(payload: bytes):
+    """Yield (doc_id, host, body_bytes, ok) per record, TOLERANT of
+    malformed input — the ingestion-path walk for q_warc_extract.
+    Real crawls contain structurally broken records; a per-record
+    parse failure yields (-1, "", b"", 0) instead of killing the
+    whole Spark task. A corrupt DEFLATE stream ends the blob walk
+    with one such row: gzip-member chaining frames the next member
+    by the previous one's unused_data, so there is no resync point
+    past a bad stream (same recovery posture as real WARC readers,
+    which skip to the next *file*, not the next record)."""
+    import zlib
+
+    rest = payload
+    while rest:
+        dec = zlib.decompressobj(47)
+        try:
+            rec = dec.decompress(rest) + dec.flush()
+            rest = dec.unused_data
+        except zlib.error:
+            yield (-1, "", b"", 0)
+            return
+        try:
+            r = warc_parse_record(rec)
+            rid = r["headers"]["WARC-Record-ID"]
+            uri = r["headers"]["WARC-Target-URI"]
+            yield (
+                int(rid.rstrip(">").split("-")[-1]),
+                uri.split("/")[2],
+                r["body"],
+                1,
+            )
+        except (ValueError, KeyError, IndexError, UnicodeDecodeError):
+            yield (-1, "", b"", 0)

@@ -335,6 +335,70 @@ def test_warc_rejects_malformed_records():
         warc_parse_record(good[:-4] + b"XXXX")
 
 
+def test_warc_tolerant_walker_flags_instead_of_raising():
+    """ADVICE r10: rec_ok must be REAL — a malformed record yields a
+    sentinel (-1, '', b'', 0) row and the walk continues to the next
+    member; a corrupt DEFLATE stream ends the blob with one sentinel
+    (no resync point exists past a bad gzip member)."""
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        warc_gz_member,
+        warc_record,
+        warc_record_fields_tolerant,
+    )
+
+    good = warc_gz_member(warc_record(7, b"alpha beta"))
+    bad_rec = warc_gz_member(
+        warc_record(8, b"x").replace(b"WARC/1.0", b"WARC/9.9")
+    )
+    tail = warc_gz_member(warc_record(9, b"gamma"))
+    rows = list(warc_record_fields_tolerant(good + bad_rec + tail))
+    assert [r[3] for r in rows] == [1, 0, 1]
+    assert rows[0][:3] == (7, "example-7.test", b"alpha beta")
+    assert rows[1] == (-1, "", b"", 0)
+    assert rows[2][0] == 9 and rows[2][2] == b"gamma"
+
+    # corrupt gzip member: one sentinel, walk ends (members chain via
+    # unused_data — nothing after a broken DEFLATE stream is framable)
+    corrupt = good + b"\x1f\x8b\x08\x00junkjunkjunk" + tail
+    rows2 = list(warc_record_fields_tolerant(corrupt))
+    assert rows2[0][3] == 1 and rows2[-1] == (-1, "", b"", 0)
+    assert len(rows2) == 2
+
+
+def test_warc_extract_survives_malformed_and_binary_records(spark, monkeypatch):
+    """End-to-end pin of X66's ingestion posture: one blob holding a
+    good record, a bad-magic record, and a structurally-valid record
+    with a non-UTF-8 body must produce three rows — rec_ok 1/0/0 —
+    not a task failure (the at-scale binaryFile path meets all three
+    in any real crawl)."""
+    from data_pipeline_standalone_scripts_spark.sources import (
+        multimodal as srcmod,
+    )
+    from data_pipeline_standalone_scripts_spark.sources.multimodal import (
+        warc_gz_member,
+        warc_record,
+    )
+
+    blob = (
+        warc_gz_member(warc_record(0, b"hello crawl world"))
+        + warc_gz_member(warc_record(1, b"y").replace(b"WARC/1.0", b"WARC/9.9"))
+        + warc_gz_member(warc_record(2, b"\xff\xfe\xfd"))
+    )
+
+    def fake_table(spark_, sf_dir_):
+        return spark_.createDataFrame(
+            [(0, bytearray(blob))], schema="blob_id long, payload binary"
+        )
+
+    monkeypatch.setattr(srcmod, "warc_table", fake_table)
+    out = REGISTRY["q_warc_extract"].fn(spark, "unused").orderBy("doc_id").collect()
+    assert [(r.doc_id, r.rec_ok) for r in out] == [(-1, 0), (0, 1), (2, 0)]
+    ok = [r for r in out if r.doc_id == 0][0]
+    assert ok.n_tokens == 3 and ok.content_length == 17
+    binrec = [r for r in out if r.doc_id == 2][0]
+    assert binrec.content_length == 3 and binrec.n_tokens == 0
+
+
 @settings(max_examples=40, deadline=None)
 @given(
     bodies=st.lists(

@@ -741,7 +741,10 @@ def test_pipeline_e2e_is_single_pass(spark, sf_med):
     plus one detail header."""
     plan = plan_of(REGISTRY["q_pipeline_e2e"].fn(spark, sf_med))
     assert plan.count("Scan parquet") <= 2, plan.count("Scan parquet")
-    assert plan.count("MapInPandas") == 4  # generate + fused kernel, x2 render
+    # generate + fused kernel: count tree-section node headers only
+    # (the detail blocks re-render each node; a raw substring count
+    # would break on any explain-format change without a regression)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan[:600]
 
 
 def test_warc_extract_single_generator_exchange(spark, sf_med):

@@ -26,93 +26,88 @@ from .registry import REGISTRY  # noqa: F401
 # checked this round (ADVICE r08 #1: the r8 list had 54 entries; the
 # 4 trailing ones rolled into this round's staleness backfill).
 #
-# THIS round (10): per VERDICT r09 "Next round #3" — rotate to the
-# r3/r4-stale cohort (six rounds of shared-helper refactors sit under
-# them unverified). Composition:
-#   slots 1-5   the round-10 NEW ops (q_pipeline_e2e — the composed
-#               FITS→clean→Hillas→assess→score run, VERDICT #1;
-#               q_saes_sweep / q_de_rand1bin — the SAES/DE-specific
-#               evolutionary semantics, VERDICT #6; q_warc_extract —
-#               WARC/WET crawl ingestion; q_web_curation_e2e — the
-#               composed web-curation run from crawl bytes) — never
+# THIS round (11): per VERDICT r10 "Next round #2" — rotate to the
+# r4-stale cohort (the stalest: 37 ops last driver-checked in round 4)
+# behind the round's new/behavior-touched rows. Composition:
+#   slots 1-2   the round-11 NEW ops (q_tailcut_hex — hexagonal
+#               camera-geometry tailcut via broadcast adjacency,
+#               VERDICT #3; q_atrous_ksigma — k·MAD-per-scale
+#               noise-model thresholding, VERDICT #4) — never
 #               externally checked.
-#   slots 6-9   behavior-touched rows needing re-certification:
-#               q_fits_roundtrip (fits_encode now rejects >80-char
-#               cards and left-justifies quoted strings, ADVICE #2),
-#               q_cleaner_assess (half-away micro-rounding replacing
-#               np.round half-to-even, ADVICE #3), q_minhash_lsh
-#               (size-conditional verify broadcast, VERDICT #5),
-#               q_bpe_merge (size-conditional coalesce(1), VERDICT #5).
-#   slots 10-40 the COMPLETE round-3-checked cohort (31 ops — the
-#               oldest), registry order.
-#   slots 41-50 the 10 oldest round-4-checked ops in registry order
-#               (q_incremental_agg q_group_by_all + the analytics AN
-#               r4 rows; q_histogram_equidepth/q_psi_drift roll to the
-#               r11 queue).
-# Verified by set arithmetic against CORRECTNESS_r01-r09: the r3
-# cohort is complete, the backfill disjoint from the front:
+#   slots 3-5   behavior-touched rows needing re-certification:
+#               q_cleaner_assess (now ranks THREE cleaners — the
+#               k·MAD 1-D twin joined the battery), q_warc_extract
+#               (rec_ok is now real: tolerant per-record walk,
+#               ADVICE r10 #2) and q_web_curation_e2e (warc_table's
+#               blob_id moved to exact integer div, ADVICE r10 #1 —
+#               same values on this corpus, re-certified anyway).
+#   slots 6-42  the COMPLETE round-4-checked cohort (37 ops — the
+#               stalest), registry order.
+#   slots 43-50 the 8 oldest round-5-checked ops in registry order.
+# Verified by set arithmetic against CORRECTNESS_r01-r10:
 #   last = {}  # op -> latest round checked
-#   for i in range(1, 10):
-#       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r0{i}.json")), i))
+#   for i in range(1, 11):
+#       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r{i:02d}.json")), i))
+#   r4 cohort == the 37 ops below, disjoint from the front slots.
 #
-# NEXT-ROUND QUEUE (round 11): any r11-new/changed ops first, then the
-# remaining 35 r4-checked rows (q_revenue_uplift and the OL TPC-H
-# block onward in registry order), then the r5 cohort.
+# NEXT-ROUND QUEUE (round 12): any r12-new/changed ops first, then the
+# remaining 37 r5-checked rows (q_skew_kurtosis onward in registry
+# order), then the r6 cohort.
 DRIVER_PRIORITY: list[str] = [
-    # round-10 new ops (never externally checked)
-    "q_pipeline_e2e",
-    "q_saes_sweep",
-    "q_de_rand1bin",
+    # round-11 new ops (never externally checked)
+    "q_tailcut_hex",
+    "q_atrous_ksigma",
+    # behavior-touched in round 11, for external re-certification
+    "q_cleaner_assess",
     "q_warc_extract",
     "q_web_curation_e2e",
-    # behavior-touched in round 10, for external re-certification
-    "q_fits_roundtrip",
-    "q_cleaner_assess",
-    "q_minhash_lsh",
-    "q_bpe_merge",
-    # the complete round-3-checked cohort (oldest), registry order
-    "q_morton_cluster",
-    "q_table_checksum",
-    "q_snapshot_diff",
-    "q_tailcut_clean",
-    "q_array_moments",
-    "q_xml_io",
-    "q_binaryfile_scan",
-    "q_unpivot",
-    "q_string_agg",
-    "q_bloom_prefilter",
-    "q_cms_frequency",
-    "q_token_count",
-    "q_contamination_check",
-    "q_repetition_filter",
-    "q_ngram_lm_score",
-    "q_quality_score_model",
-    "q_domain_quota",
-    "q_mixture_sample",
-    "q_doc_chunk",
-    "q_pack_sequences",
-    "q_token_entropy",
-    "q_train_test_split",
-    "q_rare_bucket",
-    "q_gap_fill_daily",
-    "q_scd2_intervals",
-    "q_rollup_multires",
-    "q_rolling_corr",
-    "q_decay_score",
-    "q_map_funcs",
-    "q_variant_json",
-    "q_try_arithmetic",
-    # oldest round-4-checked, registry order (fills the 50 window)
-    "q_incremental_agg",
-    "q_group_by_all",
-    "q_path_transitions",
-    "q_dau_rolling",
-    "q_benford_digits",
-    "q_mad_outliers",
-    "q_percentile_bands",
-    "q_mode_median",
-    "q_ab_lift",
-    "q_attribution_lasttouch",
+    # the complete round-4-checked cohort (stalest), registry order
+    "q_histogram_equidepth",
+    "q_psi_drift",
+    "q_kmeans_embed",
+    "q_power_iteration_pc",
+    "q_incremental_dedup",
+    "q_ttr_lexical",
+    "q_weighted_sample",
+    "q_ngram_novelty",
+    "q_prefix_dedup",
+    "q_curation_funnel",
+    "q_triangle_count",
+    "q_recursive_bfs",
+    "q_copurchase_recs",
+    "q_compaction_plan",
+    "q_partition_skew",
+    "q_dq_report",
+    "q_column_profile",
+    "q_zonemap_prune",
+    "q_revenue_uplift",
+    "q_volume_shipping",
+    "q_product_profit",
+    "q_returned_items",
+    "q_top_supplier",
+    "q_promo_revenue_share",
+    "q_priority_late_ship",
+    "q_cust_order_distribution",
+    "q_small_qty_revenue",
+    "q_disjunctive_revenue",
+    "q_important_parts",
+    "q_min_price_supplier",
+    "q_parts_supplier_count",
+    "q_bulk_part_suppliers",
+    "q_waiting_suppliers",
+    "q_idle_rich_customers",
+    "q_param_sweep",
+    "q_fft_lowpass",
+    "q_haar_denoise",
+    # the 8 oldest round-5-checked ops, registry order (fills the 50)
+    "q_pipe_sql",
+    "q_exact_median_twopass",
+    "q_grouping_id",
+    "q_forecast_backtest",
+    "q_gini_revenue",
+    "q_survival_km",
+    "q_chi2_term_assoc",
+    "q_winsorize",
 ]
 
 

@@ -35,6 +35,7 @@ from ..registry import register
 from ..tables import load
 from .common import davg, h60, o_davg, o_h60
 from .llm import _vec_double
+from .raster2d import ATROUS_KSIGMA_K
 
 CAT = "reference_analogs"
 
@@ -1482,8 +1483,40 @@ _ASSESS_ORACLE = f"""
                list_sum(list_transform(r, v -> v * v)) AS e_rec,
                list_sum(list_transform(c0, v -> v * v)) AS e_in
         FROM arec
+    ), kmads AS (
+        -- lower median of |w_j| (sorted element n/2, 1-indexed):
+        -- pure selection, bit-identical cross-engine on float data
+        -- (see _np_atrous_ksigma_recon's docstring)
+        SELECT vec_id, c0, c3, w1, w2, w3,
+               list_sort(list_transform(w1, v -> abs(v)))[{_ATROUS_N // 2}]
+                   AS m1,
+               list_sort(list_transform(w2, v -> abs(v)))[{_ATROUS_N // 2}]
+                   AS m2,
+               list_sort(list_transform(w3, v -> abs(v)))[{_ATROUS_N // 2}]
+                   AS m3
+        FROM abands
+    ), krec AS (
+        SELECT vec_id, c0,
+               list_transform(range(1, {_ATROUS_N + 1}),
+                   i -> ((c3[i]
+                          + CASE WHEN abs(w1[i]) < {ATROUS_KSIGMA_K} * m1
+                                 THEN 0.0 ELSE w1[i] END)
+                         + CASE WHEN abs(w2[i]) < {ATROUS_KSIGMA_K} * m2
+                                THEN 0.0 ELSE w2[i] END)
+                        + CASE WHEN abs(w3[i]) < {ATROUS_KSIGMA_K} * m3
+                               THEN 0.0 ELSE w3[i] END) AS r
+        FROM kmads
+    ), kmet AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, {_ATROUS_N + 1}),
+                   i -> (r[i] - c0[i]) * (r[i] - c0[i]))) / 64 AS mse,
+               list_sum(list_transform(r, v -> v * v)) AS e_rec,
+               list_sum(list_transform(c0, v -> v * v)) AS e_in
+        FROM krec
     ), per AS (
         {_assess_metrics_sql('amet', 'atrous')}
+        UNION ALL
+        {_assess_metrics_sql('kmet', 'atrous_ksigma')}
         UNION ALL
         {_assess_metrics_sql('hmet', 'haar')}
     ), ameans AS (
@@ -1491,21 +1524,36 @@ _ASSESS_ORACLE = f"""
                {o_davg('nrmse', 'mean_nrmse')},
                {o_davg('ree', 'mean_energy_err')}
         FROM per WHERE cleaner = 'atrous'
+    ), kmeans AS (
+        SELECT {o_davg('mse', 'mean_mse')},
+               {o_davg('nrmse', 'mean_nrmse')},
+               {o_davg('ree', 'mean_energy_err')}
+        FROM per WHERE cleaner = 'atrous_ksigma'
     ), hmeans AS (
         SELECT {o_davg('mse', 'mean_mse')},
                {o_davg('nrmse', 'mean_nrmse')},
                {o_davg('ree', 'mean_energy_err')}
         FROM per WHERE cleaner = 'haar'
     )
+    -- 3-way rank on (mean_mse, cleaner-name): strict-< against names
+    -- later in lex order, <= against earlier — total, tie-stable
     SELECT 'atrous' AS cleaner, a.mean_mse, a.mean_nrmse, a.mean_energy_err,
-           CAST(CASE WHEN a.mean_mse <= h.mean_mse THEN 1 ELSE 2 END
+           CAST(1 + CASE WHEN k.mean_mse < a.mean_mse THEN 1 ELSE 0 END
+                  + CASE WHEN h.mean_mse < a.mean_mse THEN 1 ELSE 0 END
                 AS BIGINT) AS rnk
-    FROM ameans a, hmeans h
+    FROM ameans a, hmeans h, kmeans k
+    UNION ALL
+    SELECT 'atrous_ksigma', k.mean_mse, k.mean_nrmse, k.mean_energy_err,
+           CAST(1 + CASE WHEN a.mean_mse <= k.mean_mse THEN 1 ELSE 0 END
+                  + CASE WHEN h.mean_mse < k.mean_mse THEN 1 ELSE 0 END
+                AS BIGINT)
+    FROM ameans a, hmeans h, kmeans k
     UNION ALL
     SELECT 'haar', h.mean_mse, h.mean_nrmse, h.mean_energy_err,
-           CAST(CASE WHEN a.mean_mse <= h.mean_mse THEN 2 ELSE 1 END
+           CAST(1 + CASE WHEN a.mean_mse <= h.mean_mse THEN 1 ELSE 0 END
+                  + CASE WHEN k.mean_mse <= h.mean_mse THEN 1 ELSE 0 END
                 AS BIGINT)
-    FROM ameans a, hmeans h
+    FROM ameans a, hmeans h, kmeans k
 """
 
 
@@ -1569,20 +1617,65 @@ def _np_atrous_recon(mat):
     return recon
 
 
+def _np_atrous_ksigma_recon(mat):
+    """À-trous decompose -> k·MAD-per-scale hard-threshold ->
+    reconstruct: the 1-D noise-model twin of X69's 2-D cleaner, as a
+    scoreable helper for MT9. MAD here is the LOWER median of |w_j|
+    (the sorted element at index n/2-1) — a pure selection statistic,
+    chosen over the interpolated median because embeddings are
+    arbitrary floats: an interpolated even-n median is (a+b)/2 in
+    numpy but lower+(upper-lower)/2 in DuckDB's quantile_cont, which
+    can differ in the last ulp and flip a threshold decision. The
+    selection statistic is bit-identical cross-engine by construction
+    (the same argument that picks half-away rounding elsewhere in
+    this module)."""
+    import numpy as np
+
+    from .raster2d import ATROUS_KSIGMA_K
+
+    n = mat.shape[1]
+
+    def shift(c, off):
+        idx = np.clip(np.arange(n) + off, 0, n - 1)
+        return c[:, idx]
+
+    levels = [mat]
+    c = mat
+    for j in range(ATROUS_LEVELS):
+        d = 1 << j
+        c = (
+            (((shift(c, -2 * d) + 4 * shift(c, -d)) + 6 * c)
+             + 4 * shift(c, d))
+            + shift(c, 2 * d)
+        ) / 16
+        levels.append(c)
+    recon = levels[-1].copy()
+    for j in range(ATROUS_LEVELS):
+        w = levels[j] - levels[j + 1]
+        mad = np.sort(np.abs(w), axis=1)[:, n // 2 - 1]
+        recon = recon + np.where(
+            np.abs(w) < ATROUS_KSIGMA_K * mad[:, None], 0.0, w
+        )
+    return recon
+
+
 @register("q_cleaner_assess", oracle=_ASSESS_ORACLE, category=CAT)
 def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MT9: the cleaner-assessment metric battery (reference:
     benchmark/assess.py [UNVERIFIED-PK] — per-image MSE / normalized
     RMSE / relative total-energy error of a cleaned image against a
     reference image, then a cleaner-vs-cleaner ranking; VERDICT r08
-    "What's missing" #2). Two REGISTERED cleaners — X14 Haar and X56
-    à-trous, same thresholds, same payloads — are each scored against
+    "What's missing" #2). THREE registered cleaners — X14 Haar, X56
+    fixed-threshold à-trous, and (round 11, VERDICT r10 #4) the k·MAD
+    noise-model à-trous (_np_atrous_ksigma_recon — X69's per-scale
+    rule in 1-D) — same payloads — are each scored against
     the original signal (the fixture family has no separate ground-
     truth channel, so the original plays the reference image and the
     metrics measure cleaning distortion; stated plainly here and in
     MIGRATION.md). Output: one row per cleaner with the three mean
-    metrics and the MSE rank — X46 q_dedup_eval's two-detectors-vs-
-    truth pattern applied to denoising.
+    metrics and the MSE rank (ties broken by cleaner name, mirrored
+    exactly in the oracle) — X46 q_dedup_eval's detectors-vs-truth
+    pattern applied to denoising.
 
     Determinism: per-record metrics are round(6) on both engines
     (same association story as X14/X56 — per-coefficient values are
@@ -1603,7 +1696,8 @@ def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf(
         "struct<h_mse: double, h_nrmse: double, h_ree: double, "
-        "a_mse: double, a_nrmse: double, a_ree: double>"
+        "a_mse: double, a_nrmse: double, a_ree: double, "
+        "k_mse: double, k_nrmse: double, k_ree: double>"
     )
     def assess(emb: pd.Series) -> pd.DataFrame:
         mat = np.stack(emb.to_numpy()).astype("float64")
@@ -1622,6 +1716,7 @@ def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
         for tag, recon in (
             ("h", _np_haar_recon(mat)),
             ("a", _np_atrous_recon(mat)),
+            ("k", _np_atrous_ksigma_recon(mat)),
         ):
             diff = recon - mat
             mse = (diff * diff).sum(axis=1) / n
@@ -1640,31 +1735,43 @@ def q_cleaner_assess(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("a_mse", "a_mean_mse"),
         davg("a_nrmse", "a_mean_nrmse"),
         davg("a_ree", "a_mean_ree"),
+        davg("k_mse", "k_mean_mse"),
+        davg("k_nrmse", "k_mean_nrmse"),
+        davg("k_ree", "k_mean_ree"),
     )
-    atrous_first = F.col("a_mean_mse") <= F.col("h_mean_mse")
+
+    # 3-way rank on (mean_mse, cleaner-name): strict-< against names
+    # later in lex order ('atrous' < 'atrous_ksigma' < 'haar'), <=
+    # against earlier — total and tie-stable, mirrored in the oracle.
+    def beats(x: str, y: str, tie_wins: bool):
+        cmp = F.col(x) <= F.col(y) if tie_wins else F.col(x) < F.col(y)
+        return F.when(cmp, F.lit(1)).otherwise(F.lit(0))
+
+    rnk_a = F.lit(1) + beats("k_mean_mse", "a_mean_mse", False) + beats(
+        "h_mean_mse", "a_mean_mse", False
+    )
+    rnk_k = F.lit(1) + beats("a_mean_mse", "k_mean_mse", True) + beats(
+        "h_mean_mse", "k_mean_mse", False
+    )
+    rnk_h = F.lit(1) + beats("a_mean_mse", "h_mean_mse", True) + beats(
+        "k_mean_mse", "h_mean_mse", True
+    )
+
+    def row(tag: str, name: str, rnk) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("cleaner"),
+            F.col(f"{tag}_mean_mse").alias("mean_mse"),
+            F.col(f"{tag}_mean_nrmse").alias("mean_nrmse"),
+            F.col(f"{tag}_mean_ree").alias("mean_energy_err"),
+            rnk.cast("long").alias("rnk"),
+        )
+
     rows = agg.select(
         F.explode(
             F.array(
-                F.struct(
-                    F.lit("atrous").alias("cleaner"),
-                    F.col("a_mean_mse").alias("mean_mse"),
-                    F.col("a_mean_nrmse").alias("mean_nrmse"),
-                    F.col("a_mean_ree").alias("mean_energy_err"),
-                    F.when(atrous_first, F.lit(1))
-                    .otherwise(F.lit(2))
-                    .cast("long")
-                    .alias("rnk"),
-                ),
-                F.struct(
-                    F.lit("haar").alias("cleaner"),
-                    F.col("h_mean_mse").alias("mean_mse"),
-                    F.col("h_mean_nrmse").alias("mean_nrmse"),
-                    F.col("h_mean_ree").alias("mean_energy_err"),
-                    F.when(atrous_first, F.lit(2))
-                    .otherwise(F.lit(1))
-                    .cast("long")
-                    .alias("rnk"),
-                ),
+                row("a", "atrous", rnk_a),
+                row("k", "atrous_ksigma", rnk_k),
+                row("h", "haar", rnk_h),
             )
         ).alias("row")
     )

@@ -1234,6 +1234,112 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- hexagonal camera geometry (X68) ----------------------------------------
+#
+# The reference's CTA cameras are HEXAGONAL pixel grids; its
+# geometry_converter modules map camera geometries to the arrays the
+# cleaners consume (datapipe/io/geometry_converter* [UNVERIFIED-PK,
+# SURVEY.md §1.1/§2.12]). Axial coordinates (public hex-grid math):
+# a camera of ring count R holds every (q, r) with |q| <= R, |r| <= R,
+# |q + r| <= R  —  3R(R+1)+1 pixels; each pixel has up to 6 neighbors
+# at (±1,0), (0,±1), (+1,−1), (−1,+1).
+
+HEXCAM_MAGIC = b"HEX1"
+
+
+def hex_geometry(R: int):
+    """(pixels, neighbor_index_map) for a ring-R hex camera.
+
+    pixels: list of (q, r) axial coords enumerated in (r, q) order —
+    the canonical pix_id order used by the payload writer AND the
+    kernel, so one definition serves both. nb: int32 array (npix, 6)
+    of neighbor pix_ids, -1 where the neighbor falls outside the
+    camera — the index-mapped adjacency table the cleaners consume
+    instead of rectangular array shifts."""
+    import numpy as np
+
+    pts = [
+        (q, r)
+        for r in range(-R, R + 1)
+        for q in range(max(-R, -r - R), min(R, -r + R) + 1)
+    ]
+    index = {p: i for i, p in enumerate(pts)}
+    nb = np.full((len(pts), 6), -1, np.int32)
+    for i, (q, r) in enumerate(pts):
+        for k, (dq, dr) in enumerate(
+            ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
+        ):
+            j = index.get((q + dq, r + dr))
+            if j is not None:
+                nb[i, k] = j
+    return pts, nb
+
+
+def hexcam_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) — one hex-camera image per document:
+    ``HEX1`` magic, uint8 ring count R = 10 + doc_id % 6, then
+    3R(R+1)+1 big-endian uint16 pixel values in (r, q) axial order
+    (hex_geometry's canonical enumeration). Values are arithmetic in
+    (doc_id, q, r): v = (101·(q+R) + 211·(r+R) + 11·doc_id) mod 4096
+    (multipliers sized so every image wraps the modulus — raster2d.HEX_MQ
+    note) —
+    so the DuckDB oracle re-derives every pixel AND every hex
+    neighbor with no codec and no join, the fits_table contract on a
+    hexagonal grid.
+
+    Generation is a stateless Arrow-batched mapInPandas kernel (same
+    shape as fits_table, same parallelism crutch)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    geos: dict[int, "np.ndarray"] = {}
+
+    def gen(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                R = 10 + doc_id % 6
+                if R not in geos:
+                    pts, _ = hex_geometry(R)
+                    geos[R] = np.array(pts, dtype=np.int64)
+                qr = geos[R]
+                v = (
+                    101 * (qr[:, 0] + R) + 211 * (qr[:, 1] + R) + 11 * doc_id
+                ) % 4096
+                payloads.append(
+                    HEXCAM_MAGIC
+                    + bytes([R])
+                    + v.astype(">u2").tobytes()
+                )
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "payload": payloads})
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    from ..operators.common import scan_splits_hint
+
+    par = spark.sparkContext.defaultParallelism
+    if scan_splits_hint(spark, sf_dir, "documents") < par:
+        d = d.repartition(par, "doc_id")
+    return d.mapInPandas(gen, schema="media_id bigint, payload binary")
+
+
+def hexcam_parse(payload: bytes):
+    """(R, values) from a HEX1 payload; raises on bad magic or a
+    length that disagrees with 3R(R+1)+1."""
+    import numpy as np
+
+    if payload[:4] != HEXCAM_MAGIC:
+        raise ValueError(f"hexcam: bad magic {payload[:4]!r}")
+    R = payload[4]
+    npix = 3 * R * (R + 1) + 1
+    vals = np.frombuffer(payload, dtype=">u2", offset=5)
+    if len(vals) != npix:
+        raise ValueError(f"hexcam: {len(vals)} values, expected {npix}")
+    return R, vals.astype(np.int64)
+
+
 def warc_record_fields(payload: bytes):
     """Yield (doc_id, host, body_bytes) for every record in a blob —
     the ONE extraction walk shared by q_warc_extract and

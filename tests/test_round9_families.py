@@ -292,8 +292,8 @@ def test_cleaner_assess_shape(spark, sf_small):
         REGISTRY["q_cleaner_assess"].fn(spark, sf_small).collect(),
         key=lambda r: r.cleaner,
     )
-    assert [r.cleaner for r in rows] == ["atrous", "haar"]
-    assert sorted(r.rnk for r in rows) == [1, 2]
+    assert [r.cleaner for r in rows] == ["atrous", "atrous_ksigma", "haar"]
+    assert sorted(r.rnk for r in rows) == [1, 2, 3]
     for r in rows:
         assert r.mean_mse >= 0 and r.mean_nrmse >= 0 and r.mean_energy_err >= 0
     # the rank follows the MSE ordering

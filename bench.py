@@ -73,6 +73,12 @@ HEADLINE = {
     # passes per image, DuckDB pays 6 window passes over the pixel
     # grain; both sides well above the job floor
     "media_atrous2d": "q_atrous_2d",
+    # round-11 row (VERDICT r10 #5): WARC/WET crawl ingestion — Spark
+    # pays real per-record gzip assembly + the multi-member decompress
+    # walk; the DuckDB comparator re-derives the fields arithmetically
+    # (no codec on the oracle side, BY DESIGN — same asymmetry class
+    # as media_decode/media_fits, disclosed in BASELINE.md)
+    "media_warc_extract": "q_warc_extract",
     # NOT added in driver-round 3 (considered, measured, rejected): the
     # dist_ntile/dist_running showcase rows (rfm, ks, late_watermark)
     # and q_jpeg_decode all have sub-50 ms DuckDB oracles — they would
@@ -138,9 +144,23 @@ def main() -> None:
         k: v for k, v in HEADLINE.items() if not only or k in only
     }
 
+    def loadavg() -> float:
+        # 1-min system load — co-tenant contention telemetry (VERDICT
+        # r10 #1: BENCH_r10's first-13-rows x2.1 inflation was traced
+        # to mid-run contention only via a same-day re-record; with
+        # per-row loadavg in the tail the next contended epoch is
+        # self-diagnosing)
+        try:
+            with open("/proc/loadavg") as f:
+                return float(f.read().split()[0])
+        except (OSError, ValueError):
+            return -1.0
+
     timings: dict[str, float] = {}
+    loads: dict[str, list[float]] = {}
     for label, qname in rows.items():
         fn = REGISTRY[qname].fn
+        la0 = loadavg()
         # toPandas(): Arrow-batched result transfer — the fair analog of
         # the baseline's fetchall (DuckDB also returns columnar batches).
         # Measured vs row-based collect(): 45 k-row results drop ~30%
@@ -173,6 +193,7 @@ def main() -> None:
             spark.catalog.clearCache()
             release_persists()
         timings[label] = round(statistics.median(runs), 4)
+        loads[label] = [la0, loadavg()]
 
     print(
         json.dumps(
@@ -182,6 +203,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # per-row [before, after] 1-min loadavg: a row whose
+                # wall inflated while loadavg >> 32-core busy baseline
+                # was measured under co-tenant contention, not a plan
+                # change (the bench itself drives load ~ its own
+                # parallelism; sustained values far above that are
+                # external)
+                "loadavg": loads,
             }
         )
     )

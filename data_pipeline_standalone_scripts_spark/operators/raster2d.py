@@ -232,6 +232,28 @@ _HEX_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
 HEX_MQ = 101
 HEX_MR = 211
 
+# hex pixel CTE shared by every hex-camera oracle (X68 tailcut, X70
+# connected components): ring column is cam_r because DuckDB
+# identifiers are case-insensitive — naming it R would capture the
+# axial coordinate r.
+_HEX_PX_CTE = f"""hdims AS (
+            SELECT doc_id, 10 + doc_id % 6 AS cam_r FROM documents
+        ), hrs AS (
+            SELECT doc_id, cam_r,
+                   unnest(range(-cam_r, cam_r + 1)) AS r
+            FROM hdims
+        ), hqr AS (
+            SELECT doc_id, cam_r, r,
+                   unnest(range(GREATEST(-cam_r, -r - cam_r),
+                                LEAST(cam_r, -r + cam_r) + 1)) AS q
+            FROM hrs
+        ), px AS (
+            SELECT doc_id, cam_r, q, r,
+                   ({HEX_MQ} * (q + cam_r) + {HEX_MR} * (r + cam_r)
+                    + 11 * doc_id) % 4096 AS v
+            FROM hqr
+        )"""
+
 
 def _hex_nb_core_sql() -> str:
     """OR over the 6 axial-direction hex neighbors of (in-camera AND
@@ -252,26 +274,7 @@ def _hex_nb_core_sql() -> str:
 @register(
     "q_tailcut_hex",
     oracle=f"""
-        WITH hdims AS (
-            -- ring count column is cam_r: DuckDB identifiers are
-            -- case-insensitive, so naming it R would capture the
-            -- axial coordinate r
-            SELECT doc_id, 10 + doc_id % 6 AS cam_r FROM documents
-        ), hrs AS (
-            SELECT doc_id, cam_r,
-                   unnest(range(-cam_r, cam_r + 1)) AS r
-            FROM hdims
-        ), hqr AS (
-            SELECT doc_id, cam_r, r,
-                   unnest(range(GREATEST(-cam_r, -r - cam_r),
-                                LEAST(cam_r, -r + cam_r) + 1)) AS q
-            FROM hrs
-        ), px AS (
-            SELECT doc_id, cam_r, q, r,
-                   ({HEX_MQ} * (q + cam_r) + {HEX_MR} * (r + cam_r)
-                    + 11 * doc_id) % 4096 AS v
-            FROM hqr
-        ), flags AS (
+        WITH {_HEX_PX_CTE}, flags AS (
             SELECT doc_id, v,
                    v >= {TAIL2D_HI} AS core,
                    v >= {TAIL2D_LO} AS boundary,
@@ -543,6 +546,193 @@ def q_connected_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return fits_table(spark, sf_dir).mapInPandas(
+        clean,
+        schema="media_id bigint, n_islands bigint, n_isolated bigint, "
+        "n_above bigint, kept_size bigint, kept_sum bigint",
+    )
+
+
+def connected_adjacency(v, nb_idx, thresh: int, order_key):
+    """Connected components over an INDEX-MAPPED neighbor list: v is
+    the flat pixel vector, nb_idx an (npix, k) adjacency table with
+    -1 for absent neighbors, order_key an int64 per-pixel tie-break
+    key (row-major linear id on rect grids, (r,q)-encoded on hex).
+    Union-find over the above-``thresh`` nodes; returns
+    (n_islands, n_isolated, n_above, kept_size, kept_sum) for the
+    largest-total-signal island (ties: smallest order_key), or None
+    when no pixel passes. Geometry-agnostic — the hex camera feeds
+    its 6-neighbor table, and a 4-neighbor rectangular table
+    reproduces X59's run-based union-find exactly (pytest pins the
+    equivalence across all images)."""
+    import numpy as np
+
+    mask = v >= thresh
+    nodes = np.flatnonzero(mask)
+    if len(nodes) == 0:
+        return None
+    pos = np.full(len(v), -1, np.int64)
+    pos[nodes] = np.arange(len(nodes))
+    parent = list(range(len(nodes)))
+
+    def find(i: int) -> int:
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for ni, oi in enumerate(nodes):
+        for j in nb_idx[oi]:
+            if j >= 0 and mask[j] and j < oi:
+                ra, rb = find(ni), find(int(pos[j]))
+                if ra != rb:
+                    parent[rb] = ra
+    comps: dict[int, list[int]] = {}
+    for ni, oi in enumerate(nodes):
+        st = comps.setdefault(find(ni), [0, 0, 1 << 62])
+        st[0] += 1
+        st[1] += int(v[oi])
+        st[2] = min(st[2], int(order_key[oi]))
+    islands = sorted(comps.values(), key=lambda s: (-s[1], s[2]))
+    return (
+        len(islands),
+        sum(1 for s in islands if s[0] == 1),
+        int(mask.sum()),
+        islands[0][0],
+        islands[0][1],
+    )
+
+
+@register(
+    "q_connected_hex",
+    oracle=f"""
+        WITH RECURSIVE {_HEX_PX_CTE}, above AS (
+            SELECT doc_id, cam_r, q, r, v FROM px WHERE v >= {CC2D_T}
+        ), runs0 AS (
+            SELECT doc_id, cam_r, r, q, v,
+                   q - row_number() OVER (PARTITION BY doc_id, r
+                                          ORDER BY q) AS grp
+            FROM above
+        ), nodes AS (
+            SELECT doc_id, cam_r, r, grp,
+                   MIN(q) AS q0, MAX(q) AS q1,
+                   CAST(COUNT(*) AS BIGINT) AS sz,
+                   CAST(SUM(v) AS BIGINT) AS sig,
+                   CAST(row_number() OVER (PARTITION BY doc_id
+                                           ORDER BY r, MIN(q)) AS BIGINT)
+                       AS rid
+            FROM runs0
+            GROUP BY doc_id, cam_r, r, grp
+        ), sym AS (
+            -- hex 6-adjacency between consecutive rows: pixel (q,r)
+            -- touches (q,r+1) and (q-1,r+1), so run A (row r) links
+            -- run B (row r+1) iff B.q0 <= A.q1 AND B.q1 >= A.q0 - 1;
+            -- the r-1 direction is the mirror of the same condition
+            SELECT a.doc_id, a.rid AS src, b.rid AS dst
+            FROM nodes a JOIN nodes b
+              ON a.doc_id = b.doc_id
+             AND ((b.r = a.r + 1 AND b.q0 <= a.q1 AND b.q1 >= a.q0 - 1)
+                  OR (b.r = a.r - 1 AND a.q0 <= b.q1 AND a.q1 >= b.q0 - 1))
+        ), reach AS (
+            SELECT doc_id, rid AS run, rid AS lab FROM nodes
+            UNION
+            SELECT s.doc_id, s.dst AS run, r.lab
+            FROM reach r JOIN sym s
+              ON r.doc_id = s.doc_id AND r.run = s.src
+        ), labels AS (
+            SELECT doc_id, run, MIN(lab) AS comp FROM reach
+            GROUP BY doc_id, run
+        ), islands AS (
+            SELECT n.doc_id, l.comp,
+                   CAST(SUM(n.sz) AS BIGINT) AS island_size,
+                   CAST(SUM(n.sig) AS BIGINT) AS island_sig,
+                   MIN((n.r + n.cam_r) * 4096 + (n.q0 + n.cam_r))
+                       AS first_px
+            FROM nodes n JOIN labels l
+              ON n.doc_id = l.doc_id AND n.rid = l.run
+            GROUP BY n.doc_id, l.comp
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY island_sig DESC,
+                                                  first_px ASC) AS rk
+            FROM islands
+        )
+        SELECT doc_id AS media_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(CASE WHEN island_size = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_isolated,
+               CAST(SUM(island_size) AS BIGINT) AS n_above,
+               CAST(MAX(CASE WHEN rk = 1 THEN island_size END) AS BIGINT)
+                   AS kept_size,
+               CAST(MAX(CASE WHEN rk = 1 THEN island_sig END) AS BIGINT)
+                   AS kept_sum
+        FROM ranked
+        GROUP BY doc_id
+    """,
+    category=CAT,
+)
+def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: isolated-island removal on the NATIVE camera geometry —
+    kill_isolated_pixels over the hexagonal pixel grid (r11; completes
+    the X68 pairing: the reference chains tailcut AND the island keep
+    on the same camera image, so the hex surface needs both).
+    Threshold at {CC2D_T}, label components over the 6-neighbor axial
+    adjacency, keep the island with the largest total signal (ties:
+    smallest (r, q) first-pixel), report island/isolated counts and
+    the kept island's size and signal — X59's report on X68's
+    geometry. Images with no pixel above the threshold emit no row.
+
+    Spark side: the geometry-agnostic union-find
+    (``connected_adjacency``) over the SAME broadcast adjacency
+    tables X68 ships — a 4-neighbor rectangular table reproduces
+    X59's run-based kernel exactly (pytest pins all 500 images
+    equal). Oracle side: the X59 recursive run-graph closure adapted
+    to hex row adjacency — runs of consecutive q within each r-row,
+    linked iff B.q0 <= A.q1 AND B.q1 >= A.q0 - 1 (the axial-shear
+    interval overlap), min-label closure in a RECURSIVE CTE. All
+    outputs integer-exact.
+
+    Scale: stateless Arrow-batched mapInPandas over the camera scan,
+    zero shuffles; the union-find touches above-threshold nodes (~1/8
+    of pixels at this threshold), per image, in Python-speed but
+    C-bounded counts. Only the oracle pays the closure, at parity
+    scale.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+
+    adj: dict[int, tuple] = {}
+    for R in range(10, 16):
+        pts, nb = hex_geometry(R)
+        key = np.array(
+            [(r + R) * 4096 + (q + R) for q, r in pts], dtype=np.int64
+        )
+        adj[R] = (nb, key)
+    badj = spark.sparkContext.broadcast(adj)
+
+    def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = (
+            "media_id",
+            "n_islands",
+            "n_isolated",
+            "n_above",
+            "kept_size",
+            "kept_sum",
+        )
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                R, v = hexcam_parse(bytes(p))
+                nb_idx, key = badj.value[R]
+                got = connected_adjacency(v, nb_idx, CC2D_T, key)
+                if got is None:
+                    continue
+                rows["media_id"].append(mid)
+                for c, val in zip(cols[1:], got):
+                    rows[c].append(val)
+            yield pd.DataFrame(rows, columns=list(cols))
+
+    return hexcam_table(spark, sf_dir).mapInPandas(
         clean,
         schema="media_id bigint, n_islands bigint, n_isolated bigint, "
         "n_above bigint, kept_size bigint, kept_sum bigint",

@@ -134,6 +134,76 @@ def test_tailcut_hex_fixture_not_degenerate(spark, sf_small):
     assert sum(r.n_rescued for r in rows) > 0
 
 
+def test_connected_adjacency_equals_x59_on_rect_grid(spark, sf_small):
+    """X70's geometry-agnostic union-find with a DEGENERATE 4-neighbor
+    rectangular adjacency must reproduce X59's run-based kernel on
+    every image of the FITS family (different algorithms, same
+    semantics)."""
+    from data_pipeline_standalone_scripts_spark.operators.raster2d import (
+        CC2D_T,
+        connected_adjacency,
+    )
+    from data_pipeline_standalone_scripts_spark.tables import load
+
+    nchars = {
+        r.doc_id: r.n_chars
+        for r in load(spark, sf_small, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    x59 = {
+        r.media_id: r
+        for r in REGISTRY["q_connected_2d"].fn(spark, sf_small).collect()
+    }
+    rect_adj: dict = {}
+    checked = 0
+    for mid in sorted(nchars):
+        v2 = (
+            3 * np.arange(32 + nchars[mid] % 32, dtype=np.int64)[None, :]
+            + 17 * np.arange(24 + mid % 24, dtype=np.int64)[:, None]
+            + 11 * mid
+        ) % 4096
+        h, w = v2.shape
+        if (w, h) not in rect_adj:
+            nb = np.full((w * h, 4), -1, np.int32)
+            for k, (dy, dx) in enumerate(((1, 0), (-1, 0), (0, 1), (0, -1))):
+                for y in range(h):
+                    for x in range(w):
+                        yy, xx = y + dy, x + dx
+                        if 0 <= yy < h and 0 <= xx < w:
+                            nb[y * w + x, k] = yy * w + xx
+            key = (
+                np.arange(h, dtype=np.int64)[:, None] * 64
+                + np.arange(w, dtype=np.int64)[None, :]
+            ).ravel()
+            rect_adj[(w, h)] = (nb, key)
+        nb, key = rect_adj[(w, h)]
+        got = connected_adjacency(v2.ravel(), nb, CC2D_T, key)
+        if mid not in x59:
+            assert got is None, mid
+            continue
+        r = x59[mid]
+        assert got == (
+            r.n_islands, r.n_isolated, r.n_above, r.kept_size, r.kept_sum
+        ), mid
+        checked += 1
+        if checked >= 60:
+            break
+    assert checked >= 50
+
+
+def test_connected_hex_sanity(spark, sf_small):
+    rows = REGISTRY["q_connected_hex"].fn(spark, sf_small).collect()
+    assert len(rows) > 400  # nearly every camera has pixels >= CC2D_T
+    for r in rows[:50]:
+        R = 10 + r.media_id % 6
+        npix = 3 * R * (R + 1) + 1
+        assert 0 < r.n_above <= npix
+        assert 1 <= r.kept_size <= r.n_above
+        assert r.n_isolated <= r.n_islands
+        assert r.kept_sum >= r.kept_size * 3584  # every member >= threshold
+
+
 # --- k·MAD noise-model à-trous (X69) ----------------------------------------
 
 

@@ -739,6 +739,179 @@ def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_hillas_hex",
+    oracle=f"""
+        WITH {_HEX_PX_CTE}, flags AS (
+            SELECT doc_id, cam_r, q, r, v,
+                   v >= {TAIL2D_HI} AS core,
+                   v >= {TAIL2D_LO} AS boundary,
+                   {_hex_nb_core_sql()} AS nb_core
+            FROM px
+        ), kept AS (
+            SELECT doc_id, q, r, v
+            FROM flags
+            WHERE core OR (boundary AND nb_core)
+        ), sums AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_kept,
+                   CAST(SUM(v) AS BIGINT) AS s0,
+                   CAST(SUM(q * v) AS BIGINT) AS sq,
+                   CAST(SUM(r * v) AS BIGINT) AS sr,
+                   CAST(SUM(q * q * v) AS BIGINT) AS sqq,
+                   CAST(SUM(r * r * v) AS BIGINT) AS srr,
+                   CAST(SUM(q * r * v) AS BIGINT) AS sqr
+            FROM kept
+            GROUP BY doc_id
+        ), cart AS (
+            -- axial -> cartesian camera coords: x = q + r/2,
+            -- y = (sqrt(3)/2) * r  (unit pixel pitch); moment sums
+            -- transform linearly/quadratically — evaluated with the
+            -- EXACT expression tree the Spark scalar pass uses
+            SELECT doc_id, n_kept, s0,
+                   CAST(sq AS DOUBLE) + CAST(sr AS DOUBLE) / 2 AS sx,
+                   (sqrt(3) / 2) * CAST(sr AS DOUBLE) AS sy,
+                   CAST(sqq AS DOUBLE) + CAST(sqr AS DOUBLE)
+                       + CAST(srr AS DOUBLE) / 4 AS sxx,
+                   (sqrt(3) / 2) * (CAST(sqr AS DOUBLE)
+                       + CAST(srr AS DOUBLE) / 2) AS sxy,
+                   0.75 * CAST(srr AS DOUBLE) AS syy
+            FROM sums
+            WHERE n_kept >= 3
+        )
+        SELECT doc_id AS media_id, n_kept, s0 AS size,
+               ROUND(cx, 6) AS cog_x,
+               ROUND(cy, 6) AS cog_y,
+               ROUND(sqrt((vxx + vyy + rr) / 2), 6) AS length,
+               ROUND(sqrt(GREATEST((vxx + vyy - rr) / 2, 0.0)), 6) AS width,
+               ROUND(atan2(2 * vxy, vxx - vyy) / 2, 6) AS psi
+        FROM (
+            SELECT *,
+                   sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy) AS rr
+            FROM (
+                SELECT doc_id, n_kept, s0, cx, cy,
+                       sxx / s0d - cx * cx AS vxx,
+                       syy / s0d - cy * cy AS vyy,
+                       sxy / s0d - cx * cy AS vxy
+                FROM (
+                    SELECT *,
+                           sx / s0d AS cx,
+                           sy / s0d AS cy
+                    FROM (
+                        SELECT doc_id, n_kept, s0,
+                               CAST(s0 AS DOUBLE) AS s0d,
+                               sx, sy, sxx, sxy, syy
+                        FROM cart
+                    )
+                )
+            )
+        )
+    """,
+    category=CAT,
+)
+def q_hillas_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: Hillas ellipse on the HEX-cleaned camera image (r11 —
+    the feature-extraction step in the reference's native geometry:
+    hillas_parameters runs on the cleaned CAMERA image, whose pixels
+    sit on a hex lattice; X62 is the rectangular twin). Pixels kept
+    by X68's tailcut rule are weighted by signal; moments accumulate
+    in AXIAL (q, r) coordinates as exact integers, then one linear
+    change of basis maps them to physical camera coordinates
+    (x = q + r/2, y = (√3/2)·r — the standard axial→cartesian map at
+    unit pitch): Sx = Sq + Sr/2, Sy = (√3/2)Sr, Sxx = Sqq + Sqr +
+    Srr/4, Sxy = (√3/2)(Sqr + Srr/2), Syy = ¾Srr. CoG, covariance
+    eigen-decomposition, length/width/psi follow exactly as in X62.
+    Images with fewer than 3 kept pixels are dropped.
+
+    Determinism: the kernel emits ONLY exact integer axial moment
+    sums (|q|,|r| ≤ 15, v ≤ 4095, npix ≤ 721 → |Sqq| < 2^30); the
+    cartesian conversion and the ellipse are the IDENTICAL float
+    expression tree on both engines from identical BIGINTs — √3 and
+    sqrt are correctly-rounded IEEE on both, atan2's last-ulp libm
+    latitude absorbed by round(6), width's tiny-negative eigenvalue
+    guarded with GREATEST(·, 0) on both sides (the X62 bet, with one
+    extra exactly-mirrored linear layer).
+
+    Scale: moments reduce INSIDE the stateless Arrow kernel (one row
+    per image, zero shuffles); the change of basis + ellipse is a
+    codegen scalar pass; the adjacency tables broadcast once.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+
+    geo: dict[int, tuple] = {}
+    for R in range(10, 16):
+        pts, nb = hex_geometry(R)
+        qr = np.array(pts, dtype=np.int64)
+        geo[R] = (nb, qr[:, 0], qr[:, 1])
+    bgeo = spark.sparkContext.broadcast(geo)
+
+    def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["media_id", "n_kept", "s0", "sq", "sr", "sqq", "srr", "sqr"]
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                R, v = hexcam_parse(bytes(p))
+                nb_idx, qs, rs = bgeo.value[R]
+                core = v >= TAIL2D_HI
+                nbc = np.zeros(len(v), dtype=bool)
+                for k in range(nb_idx.shape[1]):
+                    idx = nb_idx[:, k]
+                    valid = idx >= 0
+                    nbc[valid] |= core[idx[valid]]
+                kept = core | ((v >= TAIL2D_LO) & ~core & nbc)
+                n_kept = int(kept.sum())
+                if n_kept < 3:
+                    continue
+                kv = np.where(kept, v, 0)
+                rows["media_id"].append(mid)
+                rows["n_kept"].append(n_kept)
+                rows["s0"].append(int(kv.sum()))
+                rows["sq"].append(int((qs * kv).sum()))
+                rows["sr"].append(int((rs * kv).sum()))
+                rows["sqq"].append(int((qs * qs * kv).sum()))
+                rows["srr"].append(int((rs * rs * kv).sum()))
+                rows["sqr"].append(int((qs * rs * kv).sum()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    sums = hexcam_table(spark, sf_dir).mapInPandas(
+        moments,
+        schema="media_id bigint, n_kept bigint, s0 bigint, sq bigint, "
+        "sr bigint, sqq bigint, srr bigint, sqr bigint",
+    )
+    sqd = F.col("sq").cast("double")
+    srd = F.col("sr").cast("double")
+    sqqd = F.col("sqq").cast("double")
+    srrd = F.col("srr").cast("double")
+    sqrd = F.col("sqr").cast("double")
+    half_r3 = F.sqrt(F.lit(3.0)) / 2
+    sx = sqd + srd / 2
+    sy = half_r3 * srd
+    sxx = sqqd + sqrd + srrd / 4
+    sxy = half_r3 * (sqrd + srrd / 2)
+    syy = F.lit(0.75) * srrd
+    s0d = F.col("s0").cast("double")
+    cx = sx / s0d
+    cy = sy / s0d
+    vxx = sxx / s0d - cx * cx
+    vyy = syy / s0d - cy * cy
+    vxy = sxy / s0d - cx * cy
+    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    return sums.select(
+        "media_id",
+        "n_kept",
+        F.col("s0").alias("size"),
+        F.round(cx, 6).alias("cog_x"),
+        F.round(cy, 6).alias("cog_y"),
+        F.round(F.sqrt((vxx + vyy + rr) / 2), 6).alias("length"),
+        F.round(
+            F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6
+        ).alias("width"),
+        F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6).alias("psi"),
+    )
+
+
 def _conv_pass_sql(
     prev: str, name: str, src: str, out: str, d: int, part: str, ordc: str,
     carry: tuple[str, ...],

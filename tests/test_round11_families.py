@@ -204,6 +204,59 @@ def test_connected_hex_sanity(spark, sf_small):
         assert r.kept_sum >= r.kept_size * 3584  # every member >= threshold
 
 
+def test_hillas_hex_matches_naive_cartesian(spark, sf_small):
+    """X71's axial-moment + change-of-basis path must equal a naive
+    replay that places every kept pixel at its CARTESIAN camera
+    position first and loops scalar moments — a different computation
+    order (per-pixel floats vs integer sums then one linear map)."""
+    import math
+
+    got = {
+        r.media_id: r
+        for r in REGISTRY["q_hillas_hex"].fn(spark, sf_small).collect()
+    }
+    assert len(got) > 400
+    checked = 0
+    for mid in sorted(got):
+        if checked >= 5:
+            break
+        R = 10 + mid % 6
+        pts, nb = hex_geometry(R)
+        qr = np.array(pts)
+        v = (101 * (qr[:, 0] + R) + 211 * (qr[:, 1] + R) + 11 * mid) % 4096
+        core = v >= TAIL2D_HI
+        nbc = np.zeros(len(v), bool)
+        for k in range(6):
+            idx = nb[:, k]
+            val = idx >= 0
+            nbc[val] |= core[idx[val]]
+        kept = core | ((v >= TAIL2D_LO) & ~core & nbc)
+        xs = qr[:, 0] + qr[:, 1] / 2.0
+        ys = (math.sqrt(3) / 2) * qr[:, 1]
+        w = np.where(kept, v, 0).astype(float)
+        s0 = w.sum()
+        cx, cy = (xs * w).sum() / s0, (ys * w).sum() / s0
+        vxx = (xs * xs * w).sum() / s0 - cx * cx
+        vyy = (ys * ys * w).sum() / s0 - cy * cy
+        vxy = (xs * ys * w).sum() / s0 - cx * cy
+        d = math.sqrt((vxx - vyy) ** 2 + 4 * vxy * vxy)
+        r_ = got[mid]
+        assert r_.n_kept == int(kept.sum()) and r_.size == int(w.sum())
+        assert r_.cog_x == pytest.approx(cx, abs=1e-6)
+        assert r_.cog_y == pytest.approx(cy, abs=1e-6)
+        assert r_.length == pytest.approx(
+            math.sqrt((vxx + vyy + d) / 2), abs=1e-6
+        )
+        assert r_.width == pytest.approx(
+            math.sqrt(max((vxx + vyy - d) / 2, 0.0)), abs=1e-6
+        )
+        assert r_.psi == pytest.approx(
+            math.atan2(2 * vxy, vxx - vyy) / 2, abs=1e-6
+        )
+        checked += 1
+    assert checked == 5
+
+
 # --- k·MAD noise-model à-trous (X69) ----------------------------------------
 
 

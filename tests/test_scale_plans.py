@@ -726,12 +726,14 @@ def test_raster2d_kernels_plan_no_kernel_shuffle(spark, sf_med, name):
     _assert_raster_plan(plan_of(REGISTRY[name].fn(spark, sf_med)), name)
 
 
-def test_hillas_moments_reduce_inside_kernel(spark, sf_med):
-    """X62's moment sums must reduce INSIDE the kernel (one output row
-    per image): no aggregate operator anywhere — the ellipse math is a
-    scalar Project over the kernel's integer sums."""
-    plan = plan_of(REGISTRY["q_hillas_2d"].fn(spark, sf_med))
-    _assert_raster_plan(plan, "q_hillas_2d")
+@pytest.mark.parametrize("name", ["q_hillas_2d", "q_hillas_hex"])
+def test_hillas_moments_reduce_inside_kernel(spark, sf_med, name):
+    """X62/X71's moment sums must reduce INSIDE the kernel (one output
+    row per image): no aggregate operator anywhere — the ellipse math
+    (and X71's change of basis) is a scalar Project over the kernel's
+    integer sums."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_med))
+    _assert_raster_plan(plan, name)
     assert "Project" in plan
 
 

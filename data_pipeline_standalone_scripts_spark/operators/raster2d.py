@@ -1461,6 +1461,225 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_pipeline_hex",
+    oracle=f"""
+        WITH {_HEX_PX_CTE}, flags AS (
+            SELECT doc_id, cam_r, q, r, v,
+                   v >= {TAIL2D_HI} AS core,
+                   v >= {TAIL2D_LO} AS boundary,
+                   {_hex_nb_core_sql()} AS nb_core
+            FROM px
+        ), sums AS (
+            SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pix,
+                   CAST(SUM(v * v) AS BIGINT) AS e_in,
+                   CAST(COUNT(*) FILTER (WHERE core) AS BIGINT) AS n_core,
+                   CAST(COUNT(*) FILTER (WHERE boundary AND NOT core
+                                           AND nb_core) AS BIGINT)
+                       AS n_rescued,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN v ELSE 0 END) AS BIGINT) AS s0,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN q * v ELSE 0 END) AS BIGINT) AS sq,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN r * v ELSE 0 END) AS BIGINT) AS sr,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN q * q * v ELSE 0 END) AS BIGINT)
+                       AS sqq,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN r * r * v ELSE 0 END) AS BIGINT)
+                       AS srr,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN q * r * v ELSE 0 END) AS BIGINT)
+                       AS sqr,
+                   CAST(SUM(CASE WHEN core OR (boundary AND nb_core)
+                                 THEN v * v ELSE 0 END) AS BIGINT) AS e_kept
+            FROM flags
+            GROUP BY doc_id
+        ), feats AS (
+            SELECT *,
+                   n_core + n_rescued AS n_kept,
+                   CAST(round(CAST(e_in - e_kept AS DOUBLE) * 1000000
+                              / n_pix) AS BIGINT) AS mse_micro,
+                   CAST(round(CAST(e_kept AS DOUBLE) * 1000000
+                              / e_in) AS BIGINT) AS energy_ppm
+            FROM sums
+            WHERE n_core + n_rescued >= 3
+        ), cart AS (
+            SELECT *,
+                   CAST(s0 AS DOUBLE) AS s0d,
+                   CAST(sq AS DOUBLE) + CAST(sr AS DOUBLE) / 2 AS msx,
+                   (sqrt(3) / 2) * CAST(sr AS DOUBLE) AS msy,
+                   CAST(sqq AS DOUBLE) + CAST(sqr AS DOUBLE)
+                       + CAST(srr AS DOUBLE) / 4 AS msxx,
+                   (sqrt(3) / 2) * (CAST(sqr AS DOUBLE)
+                       + CAST(srr AS DOUBLE) / 2) AS msxy,
+                   0.75 * CAST(srr AS DOUBLE) AS msyy
+            FROM feats
+        ), ellipse AS (
+            SELECT *,
+                   sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy) AS rr
+            FROM (
+                SELECT *,
+                       msxx / s0d - cx * cx AS vxx,
+                       msyy / s0d - cy * cy AS vyy,
+                       msxy / s0d - cx * cy AS vxy
+                FROM (
+                    SELECT *,
+                           msx / s0d AS cx,
+                           msy / s0d AS cy
+                    FROM cart
+                )
+            )
+        )
+        SELECT doc_id AS media_id, n_pix, n_core, n_rescued, n_kept,
+               s0 AS size,
+               ROUND(cx, 6) AS cog_x,
+               ROUND(cy, 6) AS cog_y,
+               ROUND(sqrt((vxx + vyy + rr) / 2), 6) AS length,
+               ROUND(sqrt(GREATEST((vxx + vyy - rr) / 2, 0.0)), 6) AS width,
+               ROUND(atan2(2 * vxy, vxx - vyy) / 2, 6) AS psi,
+               ROUND(CAST(e_in - e_kept AS DOUBLE) / n_pix, 6) AS mse,
+               ROUND(CAST(e_kept AS DOUBLE) / e_in, 6) AS energy_ratio,
+               '{{"media_id":' || doc_id || ',"n_kept":' || n_kept
+                   || ',"size":' || s0
+                   || ',"mse_micro":' || mse_micro
+                   || ',"energy_ppm":' || energy_ppm || '}}' AS score_json
+        FROM ellipse
+    """,
+    category=CAT,
+)
+def q_pipeline_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: the COMPOSED reference run on the NATIVE camera geometry —
+    X63's fused load→clean→Hillas→assess→JSON-score pass, but over
+    hex cameras end to end (r11; the reference's CLI runs on hex
+    camera data, so the truest composed-fidelity op is this one):
+    HEX1 scan+parse → X68's tailcut over the broadcast adjacency →
+    X71's axial integer moments + change of basis → assess
+    (dropped-energy MSE, kept-energy ratio — exact integer ratios) →
+    MT8-shape JSON score document built from INTEGER fields only.
+    Images with <3 kept pixels are dropped.
+
+    Determinism: the kernel emits ONLY exact integer sums (counts,
+    axial moments < 2^30, energies < 2^34); every float is evaluated
+    from identical BIGINTs with the identical expression tree on both
+    engines (the X62/X71 bet); the JSON string contains integers
+    only, so it is byte-identical cross-engine.
+
+    Scale: one stateless Arrow kernel per image (zero shuffles, one
+    scan), codegen scalar pass for basis change + ellipse + score —
+    the X63 shape with the geometry table broadcast once.
+    """
+    import numpy as np
+
+    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+
+    geo: dict[int, tuple] = {}
+    for R in range(10, 16):
+        pts, nb = hex_geometry(R)
+        qr = np.array(pts, dtype=np.int64)
+        geo[R] = (nb, qr[:, 0], qr[:, 1])
+    bgeo = spark.sparkContext.broadcast(geo)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "media_id", "n_pix", "e_in", "n_core", "n_rescued",
+            "s0", "sq", "sr", "sqq", "srr", "sqr", "e_kept",
+        ]
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                R, v = hexcam_parse(bytes(p))
+                nb_idx, qs, rs = bgeo.value[R]
+                core = v >= TAIL2D_HI
+                nbc = np.zeros(len(v), dtype=bool)
+                for k in range(nb_idx.shape[1]):
+                    idx = nb_idx[:, k]
+                    valid = idx >= 0
+                    nbc[valid] |= core[idx[valid]]
+                rescued = (v >= TAIL2D_LO) & ~core & nbc
+                kept = core | rescued
+                if int(kept.sum()) < 3:
+                    continue
+                kv = np.where(kept, v, 0)
+                rows["media_id"].append(mid)
+                rows["n_pix"].append(len(v))
+                rows["e_in"].append(int((v * v).sum()))
+                rows["n_core"].append(int(core.sum()))
+                rows["n_rescued"].append(int(rescued.sum()))
+                rows["s0"].append(int(kv.sum()))
+                rows["sq"].append(int((qs * kv).sum()))
+                rows["sr"].append(int((rs * kv).sum()))
+                rows["sqq"].append(int((qs * qs * kv).sum()))
+                rows["srr"].append(int((rs * rs * kv).sum()))
+                rows["sqr"].append(int((qs * rs * kv).sum()))
+                rows["e_kept"].append(int((kv * kv).sum()))
+            yield pd.DataFrame(rows, columns=cols)
+
+    sums = hexcam_table(spark, sf_dir).mapInPandas(
+        kernel,
+        schema="media_id bigint, n_pix bigint, e_in bigint, "
+        "n_core bigint, n_rescued bigint, s0 bigint, sq bigint, "
+        "sr bigint, sqq bigint, srr bigint, sqr bigint, e_kept bigint",
+    )
+    sqd = F.col("sq").cast("double")
+    srd = F.col("sr").cast("double")
+    sqqd = F.col("sqq").cast("double")
+    srrd = F.col("srr").cast("double")
+    sqrd = F.col("sqr").cast("double")
+    half_r3 = F.sqrt(F.lit(3.0)) / 2
+    msx = sqd + srd / 2
+    msy = half_r3 * srd
+    msxx = sqqd + sqrd + srrd / 4
+    msxy = half_r3 * (sqrd + srrd / 2)
+    msyy = F.lit(0.75) * srrd
+    s0d = F.col("s0").cast("double")
+    cx = msx / s0d
+    cy = msy / s0d
+    vxx = msxx / s0d - cx * cx
+    vyy = msyy / s0d - cy * cy
+    vxy = msxy / s0d - cx * cy
+    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    dropped = (F.col("e_in") - F.col("e_kept")).cast("double")
+    mse_micro = F.round(dropped * 1_000_000 / F.col("n_pix")).cast("long")
+    energy_ppm = F.round(
+        F.col("e_kept").cast("double") * 1_000_000 / F.col("e_in")
+    ).cast("long")
+    return sums.select(
+        "media_id",
+        "n_pix",
+        "n_core",
+        "n_rescued",
+        (F.col("n_core") + F.col("n_rescued")).alias("n_kept"),
+        F.col("s0").alias("size"),
+        F.round(cx, 6).alias("cog_x"),
+        F.round(cy, 6).alias("cog_y"),
+        F.round(F.sqrt((vxx + vyy + rr) / 2), 6).alias("length"),
+        F.round(
+            F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6
+        ).alias("width"),
+        F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6).alias("psi"),
+        F.round(dropped / F.col("n_pix"), 6).alias("mse"),
+        F.round(F.col("e_kept").cast("double") / F.col("e_in"), 6).alias(
+            "energy_ratio"
+        ),
+        F.concat(
+            F.lit('{"media_id":'),
+            F.col("media_id").cast("string"),
+            F.lit(',"n_kept":'),
+            (F.col("n_core") + F.col("n_rescued")).cast("string"),
+            F.lit(',"size":'),
+            F.col("s0").cast("string"),
+            F.lit(',"mse_micro":'),
+            mse_micro.cast("string"),
+            F.lit(',"energy_ppm":'),
+            energy_ppm.cast("string"),
+            F.lit("}"),
+        ).alias("score_json"),
+    )
+
+
 _HILLAS_SUMS = """
         kept AS (
             SELECT doc_id, x, y, v

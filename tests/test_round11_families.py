@@ -257,6 +257,42 @@ def test_hillas_hex_matches_naive_cartesian(spark, sf_small):
     assert checked == 5
 
 
+def test_pipeline_hex_consistent_with_stages(spark, sf_small):
+    """X72 fuses the hex chain; its per-stage fields must equal the
+    standalone stage ops exactly — clean counts from X68, the full
+    ellipse from X71 — and its score_json must parse back to its own
+    integer fields (the X63 stage-consistency contract on hex)."""
+    import json as _json
+
+    fused = {
+        r.media_id: r
+        for r in REGISTRY["q_pipeline_hex"].fn(spark, sf_small).collect()
+    }
+    tail = {
+        r.media_id: r
+        for r in REGISTRY["q_tailcut_hex"].fn(spark, sf_small).collect()
+    }
+    hill = {
+        r.media_id: r
+        for r in REGISTRY["q_hillas_hex"].fn(spark, sf_small).collect()
+    }
+    assert set(fused) == set(hill)  # same <3-kept drop rule
+    assert len(fused) > 400
+    for mid, f in fused.items():
+        t = tail[mid]
+        assert (f.n_core, f.n_rescued, f.n_kept) == (
+            t.n_core, t.n_rescued, t.n_kept
+        )
+        hx = hill[mid]
+        assert (f.size, f.cog_x, f.cog_y, f.length, f.width, f.psi) == (
+            hx.size, hx.cog_x, hx.cog_y, hx.length, hx.width, hx.psi
+        )
+        doc = _json.loads(f.score_json)
+        assert doc["media_id"] == mid and doc["n_kept"] == f.n_kept
+        assert doc["size"] == f.size
+        assert 0 <= doc["energy_ppm"] <= 1_000_000
+
+
 # --- k·MAD noise-model à-trous (X69) ----------------------------------------
 
 

@@ -716,7 +716,8 @@ def _assert_raster_plan(plan: str, name: str) -> None:
 @pytest.mark.parametrize(
     "name",
     ["q_tailcut_2d", "q_connected_2d", "q_atrous_2d", "q_atrous_ksigma",
-     "q_tailcut_hex", "q_connected_hex", "q_pipeline_e2e"],
+     "q_tailcut_hex", "q_connected_hex", "q_pipeline_hex",
+     "q_pipeline_e2e"],
 )
 def test_raster2d_kernels_plan_no_kernel_shuffle(spark, sf_med, name):
     """The 2-D raster cleaners must stay embarrassingly parallel: one

@@ -201,13 +201,12 @@ def q_tailcut_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def tailcut_adjacency(v, nb_idx, hi: int, lo: int):
-    """Tailcut over an INDEX-MAPPED neighbor list: v is the flat pixel
-    vector in pix_id order, nb_idx an (npix, k) adjacency table with
-    -1 for absent neighbors. Returns (n_core, n_rescued, kept_sum).
-    Geometry-agnostic — the hex camera feeds its 6-neighbor table,
-    and a degenerate 8-neighbor rectangular table reproduces X58's
-    array-shift kernel exactly (pytest pins the equivalence)."""
+def tailcut_masks(v, nb_idx, hi: int, lo: int):
+    """(core, rescued) boolean masks of the two-threshold rescue rule
+    over an INDEX-MAPPED neighbor list — THE single copy of the
+    kept-set semantics every hex op builds on (r11 review #3: the
+    tailcut/hillas/pipeline kernels must share one implementation so
+    a rule change cannot desync the fused op from its stages)."""
     import numpy as np
 
     core = v >= hi
@@ -217,20 +216,28 @@ def tailcut_adjacency(v, nb_idx, hi: int, lo: int):
         valid = idx >= 0
         nbc[valid] |= core[idx[valid]]
     rescued = (v >= lo) & ~core & nbc
+    return core, rescued
+
+
+def tailcut_adjacency(v, nb_idx, hi: int, lo: int):
+    """Tailcut over an INDEX-MAPPED neighbor list: v is the flat pixel
+    vector in pix_id order, nb_idx an (npix, k) adjacency table with
+    -1 for absent neighbors. Returns (n_core, n_rescued, kept_sum).
+    Geometry-agnostic — the hex camera feeds its 6-neighbor table,
+    and a degenerate 8-neighbor rectangular table reproduces X58's
+    array-shift kernel exactly (pytest pins the equivalence)."""
+    core, rescued = tailcut_masks(v, nb_idx, hi, lo)
     kept = core | rescued
     return int(core.sum()), int(rescued.sum()), int(v[kept].sum())
 
 
 _HEX_DIRS = ((1, 0), (-1, 0), (0, 1), (0, -1), (1, -1), (-1, 1))
-# hex pixel-value multipliers: under the hex membership constraint
-# (q+R) + (r+R) is confined to [R, 3R], so the intra-image value span
-# is (2*HEX_MR + HEX_MQ - HEX_MQ) ... = (2*211 + 101 - 101)*R = 422R
-# >= 4220 ADU at the smallest camera (R=10) -- every image wraps the
-# 4096 modulus and has pixels on both sides of both thresholds. (A
-# 5/13 first cut spanned ~360 ADU and a 37/101 cut ~2020: no core
-# pixel anywhere -- degenerate fixtures; pytest guards this now.)
-HEX_MQ = 101
-HEX_MR = 211
+# Hex pixel-value multipliers are defined in sources/multimodal.py —
+# NEXT TO THE PAYLOAD WRITER — and imported here, so the four hex
+# oracles below and the writer can never drift (r11 review #1; the
+# modulus-wrap sizing argument lives with the definition). Re-exported
+# under the same names for the tests and SURVEY references.
+from ..sources.multimodal import HEX_MQ, HEX_MR  # noqa: E402
 
 # hex pixel CTE shared by every hex-camera oracle (X68 tailcut, X70
 # connected components): ring column is cam_r because DuckDB
@@ -329,10 +336,13 @@ def q_tailcut_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+    from ..sources.multimodal import (
+        hex_geometry_tables,
+        hexcam_parse,
+        hexcam_table,
+    )
 
-    adj = {R: hex_geometry(R)[1] for R in range(10, 16)}
-    badj = spark.sparkContext.broadcast(adj)
+    badj = spark.sparkContext.broadcast(hex_geometry_tables())
 
     def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ("media_id", "n_pix", "n_core", "n_rescued", "kept_sum")
@@ -340,7 +350,7 @@ def q_tailcut_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 R, v = hexcam_parse(bytes(p))
-                nb_idx = badj.value[R]
+                nb_idx = badj.value[R][0]
                 n_core, n_rescued, kept_sum = tailcut_adjacency(
                     v, nb_idx, TAIL2D_HI, TAIL2D_LO
                 )
@@ -699,16 +709,13 @@ def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+    from ..sources.multimodal import (
+        hex_geometry_tables,
+        hexcam_parse,
+        hexcam_table,
+    )
 
-    adj: dict[int, tuple] = {}
-    for R in range(10, 16):
-        pts, nb = hex_geometry(R)
-        key = np.array(
-            [(r + R) * 4096 + (q + R) for q, r in pts], dtype=np.int64
-        )
-        adj[R] = (nb, key)
-    badj = spark.sparkContext.broadcast(adj)
+    badj = spark.sparkContext.broadcast(hex_geometry_tables())
 
     def clean(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = (
@@ -723,7 +730,7 @@ def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 R, v = hexcam_parse(bytes(p))
-                nb_idx, key = badj.value[R]
+                nb_idx, _, _, key = badj.value[R]
                 got = connected_adjacency(v, nb_idx, CC2D_T, key)
                 if got is None:
                     continue
@@ -737,6 +744,82 @@ def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, n_islands bigint, n_isolated bigint, "
         "n_above bigint, kept_size bigint, kept_sum bigint",
     )
+
+
+def _hex_ellipse_sql(src: str, carry: tuple[str, ...] = ()) -> str:
+    """Oracle-side axial→cartesian + covariance/eigen chain over
+    ``src`` (must expose doc_id, n_kept, s0, sq, sr, sqq, srr, sqr
+    plus ``carry``); yields doc_id, n_kept, s0, carry…, cx, cy, vxx,
+    vyy, vxy, rr. ONE copy of the SQL expression tree shared by the
+    X71/X72 oracles, mirroring _hex_ellipse_exprs term for term —
+    the bit-identity bet requires the fused and staged ops to stay
+    textually synchronized, so there is exactly one text (r11 review
+    #4)."""
+    c = "".join(f"{x}, " for x in carry)
+    return f"""(
+            SELECT *,
+                   sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy) AS rr
+            FROM (
+                SELECT doc_id, n_kept, s0, {c}cx, cy,
+                       msxx / s0d - cx * cx AS vxx,
+                       msyy / s0d - cy * cy AS vyy,
+                       msxy / s0d - cx * cy AS vxy
+                FROM (
+                    SELECT *,
+                           msx / s0d AS cx,
+                           msy / s0d AS cy
+                    FROM (
+                        SELECT doc_id, n_kept, s0, {c}
+                               CAST(s0 AS DOUBLE) AS s0d,
+                               CAST(sq AS DOUBLE)
+                                   + CAST(sr AS DOUBLE) / 2 AS msx,
+                               (sqrt(3) / 2) * CAST(sr AS DOUBLE) AS msy,
+                               CAST(sqq AS DOUBLE) + CAST(sqr AS DOUBLE)
+                                   + CAST(srr AS DOUBLE) / 4 AS msxx,
+                               (sqrt(3) / 2) * (CAST(sqr AS DOUBLE)
+                                   + CAST(srr AS DOUBLE) / 2) AS msxy,
+                               0.75 * CAST(srr AS DOUBLE) AS msyy
+                        FROM {src}
+                    )
+                )
+            )
+        )"""
+
+
+def _hex_ellipse_exprs() -> dict:
+    """Spark-side twin of _hex_ellipse_sql: the axial→cartesian change
+    of basis (x = q + r/2, y = (√3/2)·r at unit pitch) and the
+    covariance/eigen terms as column expressions over the integer
+    moment columns sq…sqr, s0. Shared by q_hillas_hex and
+    q_pipeline_hex so the fused op's ellipse is the staged op's
+    ellipse by construction."""
+    sqd = F.col("sq").cast("double")
+    srd = F.col("sr").cast("double")
+    sqqd = F.col("sqq").cast("double")
+    srrd = F.col("srr").cast("double")
+    sqrd = F.col("sqr").cast("double")
+    half_r3 = F.sqrt(F.lit(3.0)) / 2
+    sx = sqd + srd / 2
+    sy = half_r3 * srd
+    sxx = sqqd + sqrd + srrd / 4
+    sxy = half_r3 * (sqrd + srrd / 2)
+    syy = F.lit(0.75) * srrd
+    s0d = F.col("s0").cast("double")
+    cx = sx / s0d
+    cy = sy / s0d
+    vxx = sxx / s0d - cx * cx
+    vyy = syy / s0d - cy * cy
+    vxy = sxy / s0d - cx * cy
+    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    return {
+        "cog_x": F.round(cx, 6),
+        "cog_y": F.round(cy, 6),
+        "length": F.round(F.sqrt((vxx + vyy + rr) / 2), 6),
+        "width": F.round(
+            F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6
+        ),
+        "psi": F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6),
+    }
 
 
 @register(
@@ -763,21 +846,6 @@ def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(q * r * v) AS BIGINT) AS sqr
             FROM kept
             GROUP BY doc_id
-        ), cart AS (
-            -- axial -> cartesian camera coords: x = q + r/2,
-            -- y = (sqrt(3)/2) * r  (unit pixel pitch); moment sums
-            -- transform linearly/quadratically — evaluated with the
-            -- EXACT expression tree the Spark scalar pass uses
-            SELECT doc_id, n_kept, s0,
-                   CAST(sq AS DOUBLE) + CAST(sr AS DOUBLE) / 2 AS sx,
-                   (sqrt(3) / 2) * CAST(sr AS DOUBLE) AS sy,
-                   CAST(sqq AS DOUBLE) + CAST(sqr AS DOUBLE)
-                       + CAST(srr AS DOUBLE) / 4 AS sxx,
-                   (sqrt(3) / 2) * (CAST(sqr AS DOUBLE)
-                       + CAST(srr AS DOUBLE) / 2) AS sxy,
-                   0.75 * CAST(srr AS DOUBLE) AS syy
-            FROM sums
-            WHERE n_kept >= 3
         )
         SELECT doc_id AS media_id, n_kept, s0 AS size,
                ROUND(cx, 6) AS cog_x,
@@ -785,27 +853,7 @@ def q_connected_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROUND(sqrt((vxx + vyy + rr) / 2), 6) AS length,
                ROUND(sqrt(GREATEST((vxx + vyy - rr) / 2, 0.0)), 6) AS width,
                ROUND(atan2(2 * vxy, vxx - vyy) / 2, 6) AS psi
-        FROM (
-            SELECT *,
-                   sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy) AS rr
-            FROM (
-                SELECT doc_id, n_kept, s0, cx, cy,
-                       sxx / s0d - cx * cx AS vxx,
-                       syy / s0d - cy * cy AS vyy,
-                       sxy / s0d - cx * cy AS vxy
-                FROM (
-                    SELECT *,
-                           sx / s0d AS cx,
-                           sy / s0d AS cy
-                    FROM (
-                        SELECT doc_id, n_kept, s0,
-                               CAST(s0 AS DOUBLE) AS s0d,
-                               sx, sy, sxx, sxy, syy
-                        FROM cart
-                    )
-                )
-            )
-        )
+        FROM {_hex_ellipse_sql("(SELECT * FROM sums WHERE n_kept >= 3)")}
     """,
     category=CAT,
 )
@@ -838,14 +886,13 @@ def q_hillas_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+    from ..sources.multimodal import (
+        hex_geometry_tables,
+        hexcam_parse,
+        hexcam_table,
+    )
 
-    geo: dict[int, tuple] = {}
-    for R in range(10, 16):
-        pts, nb = hex_geometry(R)
-        qr = np.array(pts, dtype=np.int64)
-        geo[R] = (nb, qr[:, 0], qr[:, 1])
-    bgeo = spark.sparkContext.broadcast(geo)
+    bgeo = spark.sparkContext.broadcast(hex_geometry_tables())
 
     def moments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["media_id", "n_kept", "s0", "sq", "sr", "sqq", "srr", "sqr"]
@@ -853,14 +900,9 @@ def q_hillas_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 R, v = hexcam_parse(bytes(p))
-                nb_idx, qs, rs = bgeo.value[R]
-                core = v >= TAIL2D_HI
-                nbc = np.zeros(len(v), dtype=bool)
-                for k in range(nb_idx.shape[1]):
-                    idx = nb_idx[:, k]
-                    valid = idx >= 0
-                    nbc[valid] |= core[idx[valid]]
-                kept = core | ((v >= TAIL2D_LO) & ~core & nbc)
+                nb_idx, qs, rs, _ = bgeo.value[R]
+                core, rescued = tailcut_masks(v, nb_idx, TAIL2D_HI, TAIL2D_LO)
+                kept = core | rescued
                 n_kept = int(kept.sum())
                 if n_kept < 3:
                     continue
@@ -880,35 +922,16 @@ def q_hillas_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="media_id bigint, n_kept bigint, s0 bigint, sq bigint, "
         "sr bigint, sqq bigint, srr bigint, sqr bigint",
     )
-    sqd = F.col("sq").cast("double")
-    srd = F.col("sr").cast("double")
-    sqqd = F.col("sqq").cast("double")
-    srrd = F.col("srr").cast("double")
-    sqrd = F.col("sqr").cast("double")
-    half_r3 = F.sqrt(F.lit(3.0)) / 2
-    sx = sqd + srd / 2
-    sy = half_r3 * srd
-    sxx = sqqd + sqrd + srrd / 4
-    sxy = half_r3 * (sqrd + srrd / 2)
-    syy = F.lit(0.75) * srrd
-    s0d = F.col("s0").cast("double")
-    cx = sx / s0d
-    cy = sy / s0d
-    vxx = sxx / s0d - cx * cx
-    vyy = syy / s0d - cy * cy
-    vxy = sxy / s0d - cx * cy
-    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    e = _hex_ellipse_exprs()
     return sums.select(
         "media_id",
         "n_kept",
         F.col("s0").alias("size"),
-        F.round(cx, 6).alias("cog_x"),
-        F.round(cy, 6).alias("cog_y"),
-        F.round(F.sqrt((vxx + vyy + rr) / 2), 6).alias("length"),
-        F.round(
-            F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6
-        ).alias("width"),
-        F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6).alias("psi"),
+        e["cog_x"].alias("cog_x"),
+        e["cog_y"].alias("cog_y"),
+        e["length"].alias("length"),
+        e["width"].alias("width"),
+        e["psi"].alias("psi"),
     )
 
 
@@ -1546,7 +1569,9 @@ def q_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                    || ',"size":' || s0
                    || ',"mse_micro":' || mse_micro
                    || ',"energy_ppm":' || energy_ppm || '}}' AS score_json
-        FROM ellipse
+        FROM {_hex_ellipse_sql("feats", ("n_pix", "n_core", "n_rescued",
+                                         "e_in", "e_kept", "mse_micro",
+                                         "energy_ppm"))}
     """,
     category=CAT,
 )
@@ -1573,14 +1598,13 @@ def q_pipeline_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import numpy as np
 
-    from ..sources.multimodal import hex_geometry, hexcam_parse, hexcam_table
+    from ..sources.multimodal import (
+        hex_geometry_tables,
+        hexcam_parse,
+        hexcam_table,
+    )
 
-    geo: dict[int, tuple] = {}
-    for R in range(10, 16):
-        pts, nb = hex_geometry(R)
-        qr = np.array(pts, dtype=np.int64)
-        geo[R] = (nb, qr[:, 0], qr[:, 1])
-    bgeo = spark.sparkContext.broadcast(geo)
+    bgeo = spark.sparkContext.broadcast(hex_geometry_tables())
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = [
@@ -1591,14 +1615,8 @@ def q_pipeline_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = {k: [] for k in cols}
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 R, v = hexcam_parse(bytes(p))
-                nb_idx, qs, rs = bgeo.value[R]
-                core = v >= TAIL2D_HI
-                nbc = np.zeros(len(v), dtype=bool)
-                for k in range(nb_idx.shape[1]):
-                    idx = nb_idx[:, k]
-                    valid = idx >= 0
-                    nbc[valid] |= core[idx[valid]]
-                rescued = (v >= TAIL2D_LO) & ~core & nbc
+                nb_idx, qs, rs, _ = bgeo.value[R]
+                core, rescued = tailcut_masks(v, nb_idx, TAIL2D_HI, TAIL2D_LO)
                 kept = core | rescued
                 if int(kept.sum()) < 3:
                     continue
@@ -1623,24 +1641,7 @@ def q_pipeline_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_core bigint, n_rescued bigint, s0 bigint, sq bigint, "
         "sr bigint, sqq bigint, srr bigint, sqr bigint, e_kept bigint",
     )
-    sqd = F.col("sq").cast("double")
-    srd = F.col("sr").cast("double")
-    sqqd = F.col("sqq").cast("double")
-    srrd = F.col("srr").cast("double")
-    sqrd = F.col("sqr").cast("double")
-    half_r3 = F.sqrt(F.lit(3.0)) / 2
-    msx = sqd + srd / 2
-    msy = half_r3 * srd
-    msxx = sqqd + sqrd + srrd / 4
-    msxy = half_r3 * (sqrd + srrd / 2)
-    msyy = F.lit(0.75) * srrd
-    s0d = F.col("s0").cast("double")
-    cx = msx / s0d
-    cy = msy / s0d
-    vxx = msxx / s0d - cx * cx
-    vyy = msyy / s0d - cy * cy
-    vxy = msxy / s0d - cx * cy
-    rr = F.sqrt((vxx - vyy) * (vxx - vyy) + 4 * vxy * vxy)
+    e = _hex_ellipse_exprs()
     dropped = (F.col("e_in") - F.col("e_kept")).cast("double")
     mse_micro = F.round(dropped * 1_000_000 / F.col("n_pix")).cast("long")
     energy_ppm = F.round(
@@ -1653,13 +1654,11 @@ def q_pipeline_hex(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rescued",
         (F.col("n_core") + F.col("n_rescued")).alias("n_kept"),
         F.col("s0").alias("size"),
-        F.round(cx, 6).alias("cog_x"),
-        F.round(cy, 6).alias("cog_y"),
-        F.round(F.sqrt((vxx + vyy + rr) / 2), 6).alias("length"),
-        F.round(
-            F.sqrt(F.greatest((vxx + vyy - rr) / 2, F.lit(0.0))), 6
-        ).alias("width"),
-        F.round(F.atan2(2 * vxy, vxx - vyy) / 2, 6).alias("psi"),
+        e["cog_x"].alias("cog_x"),
+        e["cog_y"].alias("cog_y"),
+        e["length"].alias("length"),
+        e["width"].alias("width"),
+        e["psi"].alias("psi"),
         F.round(dropped / F.col("n_pix"), 6).alias("mse"),
         F.round(F.col("e_kept").cast("double") / F.col("e_in"), 6).alias(
             "energy_ratio"

@@ -1589,9 +1589,12 @@ def _np_haar_recon(mat):
     return coeffs
 
 
-def _np_atrous_recon(mat):
-    """À-trous decompose -> hard-threshold -> reconstruct, the exact
-    math of q_atrous_filter's kernel (X56) as a scoreable helper."""
+def _np_atrous_levels(mat):
+    """The 1-D B3-spline à-trous decomposition (levels list, exactly
+    X56's kernel math) — THE single copy both scoreable recon helpers
+    below build on, so a filter-kernel fix can never desync the
+    fixed-threshold and k·MAD cleaners MT9 compares (r11 review #5;
+    the oracle's shared abands CTE is already single-sourced)."""
     import numpy as np
 
     n = mat.shape[1]
@@ -1610,6 +1613,15 @@ def _np_atrous_recon(mat):
             + shift(c, 2 * d)
         ) / 16
         levels.append(c)
+    return levels
+
+
+def _np_atrous_recon(mat):
+    """À-trous decompose -> hard-threshold -> reconstruct, the exact
+    math of q_atrous_filter's kernel (X56) as a scoreable helper."""
+    import numpy as np
+
+    levels = _np_atrous_levels(mat)
     recon = levels[-1].copy()
     for j in range(ATROUS_LEVELS):
         w = levels[j] - levels[j + 1]
@@ -1634,21 +1646,7 @@ def _np_atrous_ksigma_recon(mat):
     from .raster2d import ATROUS_KSIGMA_K
 
     n = mat.shape[1]
-
-    def shift(c, off):
-        idx = np.clip(np.arange(n) + off, 0, n - 1)
-        return c[:, idx]
-
-    levels = [mat]
-    c = mat
-    for j in range(ATROUS_LEVELS):
-        d = 1 << j
-        c = (
-            (((shift(c, -2 * d) + 4 * shift(c, -d)) + 6 * c)
-             + 4 * shift(c, d))
-            + shift(c, 2 * d)
-        ) / 16
-        levels.append(c)
+    levels = _np_atrous_levels(mat)
     recon = levels[-1].copy()
     for j in range(ATROUS_LEVELS):
         w = levels[j] - levels[j + 1]

@@ -1245,6 +1245,18 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at (±1,0), (0,±1), (+1,−1), (−1,+1).
 
 HEXCAM_MAGIC = b"HEX1"
+# Hex pixel-value multipliers — defined HERE, next to the payload
+# writer, and imported by every raster2d hex oracle (one source, no
+# writer-vs-oracle drift). Under the hex membership constraint
+# (q+R)+(r+R) is confined to [R, 3R], so the intra-image value span is
+# 2*HEX_MR*R + HEX_MQ*R - HEX_MQ*R = 422R >= 4220 ADU at the smallest
+# camera (R=10) — every image wraps the 4096 modulus and has pixels on
+# both sides of both thresholds. (A 5/13 first cut spanned ~360 ADU
+# and a 37/101 cut ~2020: no core pixel anywhere — degenerate
+# fixtures; pytest guards non-degeneracy now.)
+HEX_MQ = 101
+HEX_MR = 211
+HEXCAM_R_RANGE = range(10, 16)  # ring count R = 10 + doc_id % 6
 
 
 def hex_geometry(R: int):
@@ -1280,9 +1292,9 @@ def hexcam_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``HEX1`` magic, uint8 ring count R = 10 + doc_id % 6, then
     3R(R+1)+1 big-endian uint16 pixel values in (r, q) axial order
     (hex_geometry's canonical enumeration). Values are arithmetic in
-    (doc_id, q, r): v = (101·(q+R) + 211·(r+R) + 11·doc_id) mod 4096
-    (multipliers sized so every image wraps the modulus — raster2d.HEX_MQ
-    note) —
+    (doc_id, q, r): v = (HEX_MQ·(q+R) + HEX_MR·(r+R) + 11·doc_id)
+    mod 4096 (multipliers sized so every image wraps the modulus —
+    the HEX_MQ/HEX_MR note above) —
     so the DuckDB oracle re-derives every pixel AND every hex
     neighbor with no codec and no join, the fits_table contract on a
     hexagonal grid.
@@ -1291,8 +1303,6 @@ def hexcam_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as fits_table, same parallelism crutch)."""
     import numpy as np
     import pandas as pd
-
-    from pyspark.sql import functions as F  # noqa: F401
 
     geos: dict[int, "np.ndarray"] = {}
 
@@ -1307,7 +1317,9 @@ def hexcam_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     geos[R] = np.array(pts, dtype=np.int64)
                 qr = geos[R]
                 v = (
-                    101 * (qr[:, 0] + R) + 211 * (qr[:, 1] + R) + 11 * doc_id
+                    HEX_MQ * (qr[:, 0] + R)
+                    + HEX_MR * (qr[:, 1] + R)
+                    + 11 * doc_id
                 ) % 4096
                 payloads.append(
                     HEXCAM_MAGIC
@@ -1325,6 +1337,26 @@ def hexcam_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(gen, schema="media_id bigint, payload binary")
 
 
+_HEX_GEO_TABLES: dict[int, tuple] = {}
+
+
+def hex_geometry_tables() -> dict[int, tuple]:
+    """{R: (nb, qs, rs, order_key)} for every camera size the fixture
+    family ships (HEXCAM_R_RANGE) — built once per process and shared
+    by all hex ops, which sc.broadcast it as their adjacency/geometry
+    table. order_key = (r+R)*4096 + (q+R): the deterministic (r, q)
+    tie-break every hex op uses (matches the oracles' first_px)."""
+    import numpy as np
+
+    if not _HEX_GEO_TABLES:
+        for R in HEXCAM_R_RANGE:
+            pts, nb = hex_geometry(R)
+            qr = np.array(pts, dtype=np.int64)
+            key = (qr[:, 1] + R) * 4096 + (qr[:, 0] + R)
+            _HEX_GEO_TABLES[R] = (nb, qr[:, 0], qr[:, 1], key)
+    return _HEX_GEO_TABLES
+
+
 def hexcam_parse(payload: bytes):
     """(R, values) from a HEX1 payload; raises on bad magic or a
     length that disagrees with 3R(R+1)+1."""
@@ -1340,34 +1372,44 @@ def hexcam_parse(payload: bytes):
     return R, vals.astype(np.int64)
 
 
+def _warc_fields(rec: bytes):
+    """(doc_id, host, body) of ONE parsed record — the single copy of
+    the record-ID/URI extraction both walkers and both WARC ops share
+    (so the parsing can never drift between q_warc_extract and
+    q_web_curation_e2e). Raises like warc_parse_record on malformed
+    records; the tolerant walker catches."""
+    r = warc_parse_record(rec)
+    rid = r["headers"]["WARC-Record-ID"]
+    uri = r["headers"]["WARC-Target-URI"]
+    return (
+        int(rid.rstrip(">").split("-")[-1]),
+        uri.split("/")[2],
+        r["body"],
+    )
+
+
 def warc_record_fields(payload: bytes):
     """Yield (doc_id, host, body_bytes) for every record in a blob —
-    the ONE extraction walk shared by q_warc_extract and
-    q_web_curation_e2e, so the record-ID/URI parsing can never drift
-    between them. STRICT: raises on any malformed record — correct
+    the ONE extraction walk (warc_split_members ∘ _warc_fields)
+    shared by q_web_curation_e2e and, via the tolerant wrapper below,
+    q_warc_extract. STRICT: raises on any malformed record — correct
     for the generator-controlled parity path, where a violation is a
     bug, not data."""
     for rec in warc_split_members(payload):
-        r = warc_parse_record(rec)
-        rid = r["headers"]["WARC-Record-ID"]
-        uri = r["headers"]["WARC-Target-URI"]
-        yield (
-            int(rid.rstrip(">").split("-")[-1]),
-            uri.split("/")[2],
-            r["body"],
-        )
+        yield _warc_fields(rec)
 
 
 def warc_record_fields_tolerant(payload: bytes):
     """Yield (doc_id, host, body_bytes, ok) per record, TOLERANT of
     malformed input — the ingestion-path walk for q_warc_extract.
-    Real crawls contain structurally broken records; a per-record
-    parse failure yields (-1, "", b"", 0) instead of killing the
-    whole Spark task. A corrupt DEFLATE stream ends the blob walk
-    with one such row: gzip-member chaining frames the next member
-    by the previous one's unused_data, so there is no resync point
-    past a bad stream (same recovery posture as real WARC readers,
-    which skip to the next *file*, not the next record)."""
+    Same member walk and same _warc_fields extraction as the strict
+    path, with try/except added: a per-record parse failure yields
+    (-1, "", b"", 0) instead of killing the whole Spark task. A
+    corrupt DEFLATE stream ends the blob walk with one such row:
+    gzip-member chaining frames the next member by the previous one's
+    unused_data, so there is no resync point past a bad stream (same
+    recovery posture as real WARC readers, which skip to the next
+    *file*, not the next record)."""
     import zlib
 
     rest = payload
@@ -1380,14 +1422,6 @@ def warc_record_fields_tolerant(payload: bytes):
             yield (-1, "", b"", 0)
             return
         try:
-            r = warc_parse_record(rec)
-            rid = r["headers"]["WARC-Record-ID"]
-            uri = r["headers"]["WARC-Target-URI"]
-            yield (
-                int(rid.rstrip(">").split("-")[-1]),
-                uri.split("/")[2],
-                r["body"],
-                1,
-            )
+            yield _warc_fields(rec) + (1,)
         except (ValueError, KeyError, IndexError, UnicodeDecodeError):
             yield (-1, "", b"", 0)

@@ -1,5 +1,6 @@
 """Invariant tests for the round-11 additions — the hexagonal
-camera-geometry tailcut (X68, VERDICT r10 #3), the k·MAD noise-model
+camera-geometry family (X68 tailcut, X70 island keep, X71 Hillas,
+X72 the fused pipeline; VERDICT r10 #3), the k·MAD noise-model
 à-trous cleaner (X69, VERDICT r10 #4) and its MT9 ranking extension —
 structural and semantic properties parity alone doesn't state
 (SURVEY.md §5.2).

@@ -64,6 +64,8 @@ SHOWCASE = [
     # round 10
     ("q_pipeline_e2e", "five reference stages fused: one documents scan → generate+clean/Hillas/assess kernel → codegen scalar score tail; zero aggregates, zero kernel-output shuffle"),
     ("q_hillas_2d", "moment sums reduce INSIDE the Arrow kernel (one row/image); ellipse math is a scalar Project — no aggregate operator in the plan"),
+    ("q_tailcut_hex", "hex camera clean: broadcast adjacency walk inside the Arrow kernel; only the generator's parallelism-crutch exchange"),
+    ("q_pipeline_hex", "the composed CLI run fused ON hex geometry: one camera scan → clean/moments kernel → codegen basis-change + ellipse + integer-JSON score tail; zero aggregates"),
 ]
 
 

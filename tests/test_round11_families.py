@@ -74,6 +74,9 @@ def test_hexcam_payload_roundtrip(spark, sf_small):
         pts, _ = hex_geometry(R)
         assert len(v) == len(pts)
         qr = np.array(pts)
+        # literal 101/211 on purpose: an INDEPENDENT pin of HEX_MQ/HEX_MR
+        # (sources/multimodal.py) — a constant change must consciously
+        # touch this test, because the four hex oracles depend on it
         expect = (
             101 * (qr[:, 0] + R) + 211 * (qr[:, 1] + R) + 11 * int(row.media_id)
         ) % 4096

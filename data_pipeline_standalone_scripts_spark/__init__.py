@@ -29,26 +29,27 @@ from .registry import REGISTRY  # noqa: F401
 # THIS round (11): per VERDICT r10 "Next round #2" — rotate to the
 # r4-stale cohort (the stalest: 37 ops last driver-checked in round 4)
 # behind the round's new/behavior-touched rows. Composition:
-#   slots 1-5   the round-11 NEW ops (q_tailcut_hex — hexagonal
+#   slots 1-6   the round-11 NEW ops (q_tailcut_hex — hexagonal
 #               camera-geometry tailcut via broadcast adjacency,
 #               VERDICT #3; q_atrous_ksigma — k·MAD-per-scale
 #               noise-model thresholding, VERDICT #4; q_connected_hex
 #               — the island keep on the hex adjacency; q_hillas_hex
 #               — feature extraction on the same geometry;
 #               q_pipeline_hex — the composed CLI run fused on hex,
-#               capping the chain) — never externally checked.
-#   slots 6-8   behavior-touched rows needing re-certification:
+#               capping the chain; q_warc_roundtrip — the WARC write
+#               side) — never externally checked.
+#   slots 7-9   behavior-touched rows needing re-certification:
 #               q_cleaner_assess (now ranks THREE cleaners — the
 #               k·MAD 1-D twin joined the battery), q_warc_extract
 #               (rec_ok is now real: tolerant per-record walk,
 #               ADVICE r10 #2) and q_web_curation_e2e (warc_table's
 #               blob_id moved to exact integer div, ADVICE r10 #1 —
 #               same values on this corpus, re-certified anyway).
-#   slots 9-45  the COMPLETE round-4-checked cohort (37 ops — the
+#   slots 10-46 the COMPLETE round-4-checked cohort (37 ops — the
 #               stalest), registry order.
-#   slots 46-50 the 5 oldest round-5-checked ops in registry order
-#               (q_survival_km, q_chi2_term_assoc and q_winsorize
-#               rolled to the r12 queue to keep 50).
+#   slots 47-50 the 4 oldest round-5-checked ops in registry order
+#               (q_gini_revenue, q_survival_km, q_chi2_term_assoc and
+#               q_winsorize rolled to the r12 queue to keep 50).
 # Verified by set arithmetic against CORRECTNESS_r01-r10:
 #   last = {}  # op -> latest round checked
 #   for i in range(1, 11):
@@ -56,9 +57,9 @@ from .registry import REGISTRY  # noqa: F401
 #   r4 cohort == the 37 ops below, disjoint from the front slots.
 #
 # NEXT-ROUND QUEUE (round 12): any r12-new/changed ops first, then the
-# remaining 40 r5-checked rows (q_survival_km, q_chi2_term_assoc,
-# q_winsorize, q_skew_kurtosis onward in registry order), then the
-# r6 cohort.
+# remaining 41 r5-checked rows (q_gini_revenue, q_survival_km,
+# q_chi2_term_assoc, q_winsorize, q_skew_kurtosis onward in registry
+# order), then the r6 cohort.
 DRIVER_PRIORITY: list[str] = [
     # round-11 new ops (never externally checked)
     "q_tailcut_hex",
@@ -66,6 +67,7 @@ DRIVER_PRIORITY: list[str] = [
     "q_connected_hex",
     "q_hillas_hex",
     "q_pipeline_hex",
+    "q_warc_roundtrip",
     # behavior-touched in round 11, for external re-certification
     "q_cleaner_assess",
     "q_warc_extract",
@@ -108,12 +110,11 @@ DRIVER_PRIORITY: list[str] = [
     "q_param_sweep",
     "q_fft_lowpass",
     "q_haar_denoise",
-    # the 5 oldest round-5-checked ops, registry order (fills the 50)
+    # the 4 oldest round-5-checked ops, registry order (fills the 50)
     "q_pipe_sql",
     "q_exact_median_twopass",
     "q_grouping_id",
     "q_forecast_backtest",
-    "q_gini_revenue",
 ]
 
 

@@ -1151,3 +1151,80 @@ def q_web_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(kept.cast("double")) / F.count(F.lit(1)), 6
         ).alias("kept_frac"),
     )
+
+
+@register(
+    "q_warc_roundtrip",
+    oracle="""
+        SELECT doc_id,
+               CAST(224 + strlen(CAST(doc_id % 50 AS VARCHAR))
+                    + strlen(CAST(doc_id AS VARCHAR))
+                    + strlen(CAST(strlen(text) AS VARCHAR))
+                    + strlen(text) AS BIGINT) AS rec_len,
+               CAST(strlen(text) AS BIGINT) AS body_len,
+               CAST(1 AS BIGINT) AS rec_equal,
+               CAST(1 AS BIGINT) AS reparse_equal
+        FROM documents
+    """,
+    category=CAT,
+)
+def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X73: the WARC WRITE side (r11 — X61's roundtrip contract
+    applied to the crawl format; a real curation pipeline re-emits
+    curated WET/WARC, so the family needs the encoder proven, not
+    just the reader): walk each blob's members, parse the record,
+    RE-ENCODE it from the parsed fields alone (warc_record: named
+    headers, Content-Length framing, CRLF CRLF terminator), and
+    verify (a) the re-encoded record is BYTE-IDENTICAL to the
+    original member bytes, (b) re-parsing the re-encoded record
+    returns the identical fields, and (c) gzip member-compressing the
+    re-encoded record decompresses back byte-identically. Per record:
+    record length, body length, both equality flags.
+
+    The DuckDB oracle re-derives the record length ARITHMETICALLY
+    from the layout (224 fixed header/framing bytes + the three
+    variable decimal fields + the body octets) and pins both flags at
+    1 — a wrong encoder breaks the value hash, the X61 contract.
+
+    Scale: stateless Arrow-batched mapInPandas over the blob scan
+    (zero shuffles past the generator); encode+compare is C-speed
+    bytes work per record.
+    """
+    import zlib
+
+    from ..sources.multimodal import (
+        _warc_fields,
+        warc_gz_member,
+        warc_record,
+        warc_split_members,
+        warc_table,
+    )
+
+    def roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["doc_id", "rec_len", "body_len", "rec_equal", "reparse_equal"]
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for payload in pdf["payload"]:
+                for rec_bytes in warc_split_members(bytes(payload)):
+                    doc_id, host, body = _warc_fields(rec_bytes)
+                    re_enc = warc_record(doc_id, body)
+                    dec = zlib.decompressobj(47)
+                    gz_ok = (
+                        dec.decompress(warc_gz_member(re_enc)) + dec.flush()
+                        == re_enc
+                    )
+                    rows["doc_id"].append(doc_id)
+                    rows["rec_len"].append(len(rec_bytes))
+                    rows["body_len"].append(len(body))
+                    rows["rec_equal"].append(int(re_enc == rec_bytes))
+                    rows["reparse_equal"].append(
+                        int(_warc_fields(re_enc) == (doc_id, host, body)
+                            and gz_ok)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return warc_table(spark, sf_dir).mapInPandas(
+        roundtrip,
+        schema="doc_id bigint, rec_len bigint, body_len bigint, "
+        "rec_equal bigint, reparse_equal bigint",
+    )

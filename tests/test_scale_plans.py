@@ -751,11 +751,13 @@ def test_pipeline_e2e_is_single_pass(spark, sf_med):
     assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 2, plan[:600]
 
 
-def test_warc_extract_single_generator_exchange(spark, sf_med):
-    """X66: the only Exchange is the generator's blob-assembly groupBy
-    (real crawl files arrive via binaryFile with zero shuffle); the
-    extract kernel's output must never re-shuffle or aggregate."""
-    plan = plan_of(REGISTRY["q_warc_extract"].fn(spark, sf_med))
+@pytest.mark.parametrize("name", ["q_warc_extract", "q_warc_roundtrip"])
+def test_warc_kernel_single_generator_exchange(spark, sf_med, name):
+    """X66/X73: the only Exchange is the generator's blob-assembly
+    groupBy (real crawl files arrive via binaryFile with zero
+    shuffle); the extract/roundtrip kernel's output must never
+    re-shuffle or aggregate."""
+    plan = plan_of(REGISTRY[name].fn(spark, sf_med))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:600]
     assert "HashAggregate" not in plan and "SortAggregate" not in plan
     assert "FlatMapGroupsInPandas" in plan or "MapInPandas" in plan

@@ -195,6 +195,29 @@ def main() -> None:
         timings[label] = round(statistics.median(runs), 4)
         loads[label] = [la0, loadavg()]
 
+    # Telemetry goes to STDERR, not the stdout JSON line: r11's
+    # in-line loadavg dict grew the JSON line past the driver's
+    # capture window and BENCH_r11 recorded "parsed": null — the
+    # driver could no longer read the per-query numbers at all. The
+    # stdout contract line stays r10-sized (metric/value/unit/
+    # queries/sf); loadavg + the VERDICT-r11-#6 contention flags ride
+    # a separate stderr line a human (or the next judge) reads from
+    # the bench log. A row is flagged contended when its LAUNCH
+    # loadavg exceeds 2.0 — the bench runs queries back-to-back, so
+    # at row start its own prior load has largely drained and a high
+    # 1-min average is external co-tenancy (the r10/r11 epochs).
+    contended = {k: v for k, v in loads.items() if v[0] > 2.0}
+    print(
+        json.dumps(
+            {
+                "metric": "bench_telemetry",
+                "loadavg": loads,
+                "contended_rows": sorted(contended),
+                "n_contended": len(contended),
+            }
+        ),
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
@@ -203,13 +226,6 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
-                # per-row [before, after] 1-min loadavg: a row whose
-                # wall inflated while loadavg >> 32-core busy baseline
-                # was measured under co-tenant contention, not a plan
-                # change (the bench itself drives load ~ its own
-                # parallelism; sustained values far above that are
-                # external)
-                "loadavg": loads,
             }
         )
     )

@@ -385,10 +385,14 @@ def run_foreachbatch_upsert(
         merged.write.mode("overwrite").parquet(state_dir)
         merged.unpersist()
 
-    (
+    q = (
         stream_df.writeStream.foreachBatch(upsert)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
-        .awaitTermination(120)
     )
+    # awaitTermination returns False on timeout — a half-drained replay
+    # must fail loudly, not leave a partial state table behind
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("keyed-upsert availableNow replay did not drain in 300 s")

@@ -66,6 +66,21 @@ _SWAR_MUL = sum(1 << (9 * k) for k in range(_SWAR_FIELDS))
 _SWAR_MASK = sum(1 << (10 * k) for k in range(_SWAR_FIELDS))
 
 
+def _simhash_fold_sql(prefix: str = "s") -> str:
+    """The 60-bit majority fold — bit j set iff 2·popcount_j > n_tok —
+    rendered as one SQL CASE sum over the SWAR accumulator columns
+    ``{prefix}0..{prefix}9`` (plus ``n_tok``). One string, one parse:
+    see the r12 note in simhash_fingerprints for why this beats the
+    equivalent 60-step Column fold."""
+    terms = [
+        f"(CASE WHEN ((shiftright({prefix}{j // _SWAR_FIELDS},"
+        f" {10 * (j % _SWAR_FIELDS)}) & 1023) * 2 > n_tok)"
+        f" THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, simhash) — 60-bit SimHash over the distinct token set.
 
@@ -106,15 +121,16 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_tok"),
         *[F.sum(f"p{a}").alias(f"s{a}") for a in range(_SWAR_ACCS)],
     )
-    fp = None
-    for j in range(SIMHASH_BITS):
-        a, k = j // _SWAR_FIELDS, j % _SWAR_FIELDS
-        cnt = F.expr(f"shiftright(s{a}, {10 * k}) & 1023")
-        bit = F.when(cnt * 2 > F.col("n_tok"), F.lit(1 << j).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        fp = bit if fp is None else fp + bit
-    return sums.select("doc_id", fp.alias("simhash"))
+    # The 60-bit majority fold as ONE parsed SQL expression, not 60
+    # nested Column ops (r12, guide §1.2 "per-task work"): the Column
+    # fold built the identical CaseWhen/Add tree through ~180 py4j
+    # calls and a per-term-cast analysis pass — measured 1.16 s vs
+    # 0.47 s for this exact formulation at sf0.1 (ABBA, noop sink;
+    # plan-construction time is inside the timed region in the bench
+    # protocol, and the driver times queries the same way). A SWAR
+    # six-fields-at-once comparison variant measured no better
+    # (0.461 s) and is harder to audit, so the plain CASE sum ships.
+    return sums.select("doc_id", F.expr(_simhash_fold_sql()).alias("simhash"))
 
 
 _ORACLE_SIMHASH_CTE = f"""
@@ -334,19 +350,12 @@ def simhash_wide_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.sum(f"h{a}").alias(f"sh{a}") for a in range(_SWAR_ACCS)],
     )
 
-    def half(prefix: str):
-        fp = None
-        for j in range(SIMHASH_BITS):
-            a, k = j // _SWAR_FIELDS, j % _SWAR_FIELDS
-            cnt = F.expr(f"shiftright({prefix}{a}, {10 * k}) & 1023")
-            bit = F.when(
-                cnt * 2 > F.col("n_tok"), F.lit(1 << j).cast("long")
-            ).otherwise(F.lit(0).cast("long"))
-            fp = bit if fp is None else fp + bit
-        return fp
-
+    # One parsed CASE-sum per half instead of a 60-step Column fold —
+    # same r12 rationale (and measured win) as simhash_fingerprints.
     return sums.select(
-        "doc_id", half("sl").alias("sh_lo"), half("sh").alias("sh_hi")
+        "doc_id",
+        F.expr(_simhash_fold_sql("sl")).alias("sh_lo"),
+        F.expr(_simhash_fold_sql("sh")).alias("sh_hi"),
     )
 
 

@@ -232,6 +232,30 @@ def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WIDTH_SEC = "(10 + (CAST(props ->> '$.k' AS BIGINT) % 50)) * 60"
 
 
+# Deployment lever (VERDICT r06 #5 / r11 #8, shipped r12): a user_id-
+# bucketed events layout turns this op's ONE mandatory exchange into a
+# scan property — measured −39% at sf10 (tools/bench_bucketed.py,
+# BASELINE.md round-6). Set this conf to the name of a catalog table
+# bucketed by user_id (bucketBy(N, "user_id") saveAsTable) and the op
+# reads it instead of the plain parquet fixture; the window then
+# consumes the bucket HashPartitioning and the plan is exchange-free
+# (pytest-gated: tests/test_round12_opt.py). Default empty: the driver
+# hands us plain parquet and bucket metadata lives in the session
+# catalog, so the registry number stays the honest scan + exchange.
+EVENTS_BUCKETED_TABLE_CONF = (
+    "spark.data_pipeline_standalone_scripts.events.bucketed_table"
+)
+
+
+def _events_maybe_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a DataFrame — from the conf-named bucketed catalog
+    table when set (the deployment layout), else the plain fixture."""
+    tbl = spark.conf.get(EVENTS_BUCKETED_TABLE_CONF, "")
+    if tbl:
+        return spark.table(tbl)
+    return load(spark, sf_dir, "events")
+
+
 @register(
     "q_interval_coverage",
     oracle=f"""
@@ -308,7 +332,7 @@ def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     DEPLOYMENT lever for warehouses that own their events layout
     (SCALE.md: bucket what joins/windows unfiltered).
     """
-    e = load(spark, sf_dir, "events")
+    e = _events_maybe_bucketed(spark, sf_dir)
     sec = F.expr("unix_micros(ts) div 1000000")
     # Width parse audit (VERDICT r04 #2): this was the hot scalar.
     # Same-epoch sf1, warm medians: get_json_object 0.35 s,

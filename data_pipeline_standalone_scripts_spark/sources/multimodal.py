@@ -1203,10 +1203,11 @@ def warc_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``documents`` arithmetically, so q_warc_extract gets a full value
     oracle with no codec on the DuckDB side.
 
-    Generation pays ONE groupBy exchange to assemble multi-record
-    blobs (generator-only: at 100 TB the blobs are real crawl files
-    on object storage read via binaryFile — zero shuffle); the
-    per-blob build is an Arrow-batched applyInPandas kernel."""
+    Generation pays ONE blob_id exchange to co-locate each blob's
+    records (generator-only: at 100 TB the blobs are real crawl files
+    on object storage read via binaryFile — zero shuffle); the build
+    is a batched mapInPandas kernel assembling many blobs per Arrow
+    batch (see the r12 note below)."""
     import pandas as pd
 
     from pyspark.sql import functions as F

@@ -90,6 +90,19 @@ HEADLINE = {
 N_RUNS = 5
 
 
+def _loadavg() -> float:
+    """1-min system load — co-tenant contention telemetry (VERDICT
+    r10 #1: BENCH_r10's first-13-rows x2.1 inflation was traced to
+    mid-run contention only via a same-day re-record; with the
+    run-start value and per-row values in the stderr telemetry the
+    next contended epoch is self-diagnosing)."""
+    try:
+        with open("/proc/loadavg") as f:
+            return float(f.read().split()[0])
+    except (OSError, ValueError):
+        return -1.0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
@@ -131,6 +144,13 @@ def main() -> None:
         os.environ.get("SPARK_BENCH_AQE", "false"),
     )
 
+    # epoch contention signal: 1-min loadavg BEFORE the bench does any
+    # work — on this box a quiet epoch launches under ~2 while the
+    # r10/r11 contended epochs launched at 4-10 (per-row launch values
+    # can't separate external load from the bench's own decaying
+    # 2-6 self-load, so the run-level value is the trustworthy one)
+    la_start = _loadavg()
+
     # session warm-up: pay JVM + first-job overhead outside any timing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -144,23 +164,11 @@ def main() -> None:
         k: v for k, v in HEADLINE.items() if not only or k in only
     }
 
-    def loadavg() -> float:
-        # 1-min system load — co-tenant contention telemetry (VERDICT
-        # r10 #1: BENCH_r10's first-13-rows x2.1 inflation was traced
-        # to mid-run contention only via a same-day re-record; with
-        # per-row loadavg in the tail the next contended epoch is
-        # self-diagnosing)
-        try:
-            with open("/proc/loadavg") as f:
-                return float(f.read().split()[0])
-        except (OSError, ValueError):
-            return -1.0
-
     timings: dict[str, float] = {}
     loads: dict[str, list[float]] = {}
     for label, qname in rows.items():
         fn = REGISTRY[qname].fn
-        la0 = loadavg()
+        la0 = _loadavg()
         # toPandas(): Arrow-batched result transfer — the fair analog of
         # the baseline's fetchall (DuckDB also returns columnar batches).
         # Measured vs row-based collect(): 45 k-row results drop ~30%
@@ -193,7 +201,7 @@ def main() -> None:
             spark.catalog.clearCache()
             release_persists()
         timings[label] = round(statistics.median(runs), 4)
-        loads[label] = [la0, loadavg()]
+        loads[label] = [la0, _loadavg()]
 
     # Telemetry goes to STDERR, not the stdout JSON line: r11's
     # in-line loadavg dict grew the JSON line past the driver's
@@ -202,15 +210,19 @@ def main() -> None:
     # stdout contract line stays r10-sized (metric/value/unit/
     # queries/sf); loadavg + the VERDICT-r11-#6 contention flags ride
     # a separate stderr line a human (or the next judge) reads from
-    # the bench log. A row is flagged contended when its LAUNCH
-    # loadavg exceeds 2.0 — the bench runs queries back-to-back, so
-    # at row start its own prior load has largely drained and a high
-    # 1-min average is external co-tenancy (the r10/r11 epochs).
-    contended = {k: v for k, v in loads.items() if v[0] > 2.0}
+    # the bench log. Calibration (measured on quiet-vs-contended
+    # epochs this round): the bench's OWN decaying 1-min load sits at
+    # 2-6 mid-run even on an idle box, so the trustworthy run-level
+    # signal is loadavg_start (taken before any Spark work; quiet
+    # epochs launch under 2.0) and the per-row flag fires only above
+    # 8.0, where external co-tenancy is unambiguous.
+    contended = {k: v for k, v in loads.items() if v[0] > 8.0}
     print(
         json.dumps(
             {
                 "metric": "bench_telemetry",
+                "loadavg_start": la_start,
+                "epoch_contended": la_start > 2.0,
                 "loadavg": loads,
                 "contended_rows": sorted(contended),
                 "n_contended": len(contended),

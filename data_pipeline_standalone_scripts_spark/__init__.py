@@ -26,95 +26,87 @@ from .registry import REGISTRY  # noqa: F401
 # checked this round (ADVICE r08 #1: the r8 list had 54 entries; the
 # 4 trailing ones rolled into this round's staleness backfill).
 #
-# THIS round (11): per VERDICT r10 "Next round #2" — rotate to the
-# r4-stale cohort (the stalest: 37 ops last driver-checked in round 4)
-# behind the round's new/behavior-touched rows. Composition:
-#   slots 1-6   the round-11 NEW ops (q_tailcut_hex — hexagonal
-#               camera-geometry tailcut via broadcast adjacency,
-#               VERDICT #3; q_atrous_ksigma — k·MAD-per-scale
-#               noise-model thresholding, VERDICT #4; q_connected_hex
-#               — the island keep on the hex adjacency; q_hillas_hex
-#               — feature extraction on the same geometry;
-#               q_pipeline_hex — the composed CLI run fused on hex,
-#               capping the chain; q_warc_roundtrip — the WARC write
-#               side) — never externally checked.
-#   slots 7-9   behavior-touched rows needing re-certification:
-#               q_cleaner_assess (now ranks THREE cleaners — the
-#               k·MAD 1-D twin joined the battery), q_warc_extract
-#               (rec_ok is now real: tolerant per-record walk,
-#               ADVICE r10 #2) and q_web_curation_e2e (warc_table's
-#               blob_id moved to exact integer div, ADVICE r10 #1 —
-#               same values on this corpus, re-certified anyway).
-#   slots 10-46 the COMPLETE round-4-checked cohort (37 ops — the
+# THIS round (12, optimization round 1): per VERDICT r11 "Next round
+# #1" — rotate to the r5-stale cohort behind the round's
+# internals-touched rows. Composition:
+#   slots 1-8   the ops whose INTERNALS changed this round, for
+#               external re-certification (results proven identical
+#               by the full 331-op parity suite, re-certified by the
+#               driver anyway): q_simhash_neardup / q_simhash_wide
+#               (majority fold now one parsed CASE-sum expression),
+#               q_explode / q_bm25_rank (mapInArrow pyarrow-compute
+#               kernels), q_warc_extract / q_warc_roundtrip /
+#               q_web_curation_e2e (warc_table blob assembly moved to
+#               batched mapInPandas), q_interval_coverage (conf-gated
+#               bucketed-events branch; default path identical).
+#   slots 9-49  the COMPLETE round-5-checked cohort (41 ops — the
 #               stalest), registry order.
-#   slots 47-50 the 4 oldest round-5-checked ops in registry order
-#               (q_gini_revenue, q_survival_km, q_chi2_term_assoc and
-#               q_winsorize rolled to the r12 queue to keep 50).
-# Verified by set arithmetic against CORRECTNESS_r01-r10:
+#   slot  50    the oldest round-6-checked op in registry order
+#               (q_incremental_join); the rest of the r6 cohort rolls
+#               to the r13 queue.
+# Verified by set arithmetic against CORRECTNESS_r01-r11:
 #   last = {}  # op -> latest round checked
-#   for i in range(1, 11):
+#   for i in range(1, 12):
 #       last.update(dict.fromkeys(json.load(open(f"CORRECTNESS_r{i:02d}.json")), i))
-#   r4 cohort == the 37 ops below, disjoint from the front slots.
+#   r5 cohort == the 41 ops below, disjoint from the changed slots.
 #
-# NEXT-ROUND QUEUE (round 12): any r12-new/changed ops first, then the
-# remaining 41 r5-checked rows (q_gini_revenue, q_survival_km,
-# q_chi2_term_assoc, q_winsorize, q_skew_kurtosis onward in registry
-# order), then the r6 cohort.
+# NEXT-ROUND QUEUE (round 13): any r13-changed ops first, then the
+# remaining 48 r6-checked rows (q_rle_advisor, q_calibration_bins,
+# q_ndcg_eval onward in registry order), then the r7 cohort.
 DRIVER_PRIORITY: list[str] = [
-    # round-11 new ops (never externally checked)
-    "q_tailcut_hex",
-    "q_atrous_ksigma",
-    "q_connected_hex",
-    "q_hillas_hex",
-    "q_pipeline_hex",
-    "q_warc_roundtrip",
-    # behavior-touched in round 11, for external re-certification
-    "q_cleaner_assess",
+    # round-12 internals-touched ops (re-certification)
+    "q_simhash_neardup",
+    "q_simhash_wide",
+    "q_explode",
+    "q_bm25_rank",
     "q_warc_extract",
+    "q_warc_roundtrip",
     "q_web_curation_e2e",
-    # the complete round-4-checked cohort (stalest), registry order
-    "q_histogram_equidepth",
-    "q_psi_drift",
-    "q_kmeans_embed",
-    "q_power_iteration_pc",
-    "q_incremental_dedup",
-    "q_ttr_lexical",
-    "q_weighted_sample",
-    "q_ngram_novelty",
-    "q_prefix_dedup",
-    "q_curation_funnel",
-    "q_triangle_count",
-    "q_recursive_bfs",
-    "q_copurchase_recs",
-    "q_compaction_plan",
-    "q_partition_skew",
-    "q_dq_report",
-    "q_column_profile",
-    "q_zonemap_prune",
-    "q_revenue_uplift",
-    "q_volume_shipping",
-    "q_product_profit",
-    "q_returned_items",
-    "q_top_supplier",
-    "q_promo_revenue_share",
-    "q_priority_late_ship",
-    "q_cust_order_distribution",
-    "q_small_qty_revenue",
-    "q_disjunctive_revenue",
-    "q_important_parts",
-    "q_min_price_supplier",
-    "q_parts_supplier_count",
-    "q_bulk_part_suppliers",
-    "q_waiting_suppliers",
-    "q_idle_rich_customers",
-    "q_param_sweep",
-    "q_fft_lowpass",
-    "q_haar_denoise",
-    # the 4 oldest round-5-checked ops, registry order (fills the 50)
-    "q_pipe_sql",
-    "q_exact_median_twopass",
-    "q_grouping_id",
-    "q_forecast_backtest",
+    "q_interval_coverage",
+    # the complete round-5-checked cohort (stalest), registry order
+    "q_gini_revenue",
+    "q_survival_km",
+    "q_chi2_term_assoc",
+    "q_winsorize",
+    "q_skew_kurtosis",
+    "q_woe_iv",
+    "q_funnel_time_percentiles",
+    "q_cohort_ltv",
+    "q_rfm_segmentation",
+    "q_feature_snapshot",
+    "q_wau_mau",
+    "q_attribution_position",
+    "q_wau_hll",
+    "q_abandonment",
+    "q_phrase_search",
+    "q_trigram_search",
+    "q_knn_accuracy",
+    "q_random_projection",
+    "q_quantile_normalize",
+    "q_product_quantize",
+    "q_pq_adc_topk",
+    "q_token_pmi",
+    "q_zipf_slope",
+    "q_line_dedup",
+    "q_ann_ivf",
+    "q_ann_signlsh",
+    "q_ppjoin_neardup",
+    "q_mmr_rerank",
+    "q_dedup_radius_sweep",
+    "q_out_of_order_report",
+    "q_engagement_report",
+    "q_session_pattern",
+    "q_ohlc_bars",
+    "q_vwap_daily",
+    "q_time_weighted_avg",
+    "q_geo_nearest_hub",
+    "q_geo_grid_join",
+    "q_label_propagation",
+    "q_shortest_path_bf",
+    "q_join_nullsafe",
+    "q_join_overlap_binned",
+    # the oldest round-6-checked op in registry order (fills the 50)
+    "q_incremental_join",
 ]
 
 

@@ -1186,6 +1186,13 @@ def q_warc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable decimal fields + the body octets) and pins both flags at
     1 — a wrong encoder breaks the value hash, the X61 contract.
 
+    Precondition (ADVICE r11 #3): the 224-byte constant bakes in the
+    ``%012d`` zero-pad of WARC-Record-ID, i.e. it counts the doc_id
+    digits exactly once — valid while doc_id < 10^12 (the pad would
+    widen past that and the oracle would need
+    GREATEST(12, strlen(doc_id)) instead). Every fixture tier is ~9
+    orders of magnitude under the bound.
+
     Scale: stateless Arrow-batched mapInPandas over the blob scan
     (zero shuffles past the generator); encode+compare is C-speed
     bytes work per record.

@@ -356,23 +356,46 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle volume is (batches × d²), independent of n. The exploded
     self-join formulation (the oracle's spelling) was measured 2.3 s
     at sf0.1 vs ~0.6 s for the matmul path — identical integers
-    either way. Each iteration is then a d²-row broadcast matvec —
-    driver-side loop, no collect, fixed iteration count.
+    either way.
+
+    Round 13 (VERDICT r12 #3, guide §1.2/§2.4): the r12 shape ran the
+    matvec iterations as d²-row broadcast joins + whole-frame windows,
+    and because iteration 2's plan carries iteration 1's v_cur lineage
+    (and column pruning makes the repeated subtrees non-canonical —
+    no ReuseExchange), the ENTIRE Gram subtree planned and EXECUTED
+    twice per run: 34 Exchanges, 8 scans, the X^T X corpus kernel run
+    2×, the stats posexplode run 4× (plans/r13/
+    emb_power_iteration_pc_before.txt). Fused form: ONE corpus pass —
+    the X^T X kernel also emits per-batch column sums (j=0 rows) and
+    the row count (i=j=0), replacing the posexplode stats pass — one
+    (i,j) partial-sum exchange, then mean-centering + BOTH
+    renormalized power steps inside a single-partition mapInPandas
+    kernel over the d²-row Gram frame (4096 rows of exact int64 — the
+    driver-adjacent small-data step, same class as the kmeans
+    driver-side centroid merge). The numpy kernel spells every op
+    identically to the old Column tree (trunc-half-away rounds,
+    /1e10 → /nrm → *1e6 order, int64 matvec), so every integer and
+    double is bit-identical — pinned doc-for-doc against the retained
+    Column formulation in tests/test_round13_opt.py and by the
+    unchanged oracle. Measured (ABBA, toPandas protocol,
+    tools/bench_r13_ab.py): sf0.1 1.65→0.67 s, sf1 1.57→0.62 s,
+    sf10 11.6→7.5 s (contended epoch, candidate never lost a pair).
+    Plan: 34 Exchanges → 2, 8 scans → 1, MapInPandas×2 → ×2 (one
+    corpus kernel + one d²-row solver), zero broadcasts/windows.
     """
     import numpy as np
     import pandas as pd
 
     emb = load(spark, sf_dir, "embeddings")
-    vec = emb.select(
-        "vec_id", _quantize_micro(_vec_double()).alias("xq")
-    )
+    vec = emb.select(_quantize_micro(_vec_double()).alias("x"))
 
-    # One vectorized pass builds the UNcentered second moment S=Σvvᵀ;
-    # centering folds in afterwards via the exact integer identity
+    # One vectorized pass builds the UNcentered second moment S=Σvvᵀ
+    # AND the per-dimension sums / row count (the tagged j=0 / i=j=0
+    # rows); centering folds in inside the solver via the exact
+    # integer identity
     #   G[i,j] = S[i,j] − mu_j·s_i − mu_i·s_j + n·mu_i·mu_j
     # (mu is the half-away-rounded integer mean the oracle also uses,
     # so the expansion is algebraically exact — no float in sight).
-    # This is one data pass instead of three (means → center → gram).
     def partial_s(batches):
         # exact int64 X^T X per Arrow batch; bounds in the docstring
         # keep every entry ~500× under int64 even at SF 1
@@ -383,94 +406,73 @@ def q_power_iteration_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             G = X.T @ X
             d = G.shape[0]
             ij = np.indices((d, d))
-            yield pd.DataFrame(
-                {
-                    "i": (ij[0].ravel() + 1).astype("int32"),
-                    "j": (ij[1].ravel() + 1).astype("int32"),
-                    "p": G.ravel(),
-                }
+            i = np.concatenate(
+                [ij[0].ravel() + 1, np.arange(1, d + 1), np.array([0])]
+            ).astype("int32")
+            j = np.concatenate(
+                [ij[1].ravel() + 1, np.zeros(d, np.int64), np.array([0])]
+            ).astype("int32")
+            p = np.concatenate(
+                [G.ravel(), X.sum(0), np.array([len(X)], dtype=np.int64)]
             )
+            yield pd.DataFrame({"i": i, "j": j, "p": p})
 
-    smat = (
-        vec.select(F.col("xq").alias("x"))
-        .mapInPandas(partial_s, schema="i int, j int, p long")
+    merged = (
+        vec.mapInPandas(partial_s, schema="i int, j int, p long")
         .groupBy("i", "j")
-        .agg(F.sum("p").alias("s_ij"))
+        .agg(F.sum("p").alias("p"))
+        # single-task final agg feeding the solver: d²+d+1 rows
+        .coalesce(1)
     )
-    e = vec.select(
-        "vec_id", F.posexplode("xq").alias("pos0", "v")
-    ).select((F.col("pos0") + 1).alias("pos"), "v")
-    stats = e.groupBy("pos").agg(
-        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
-    )
-    stats = stats.withColumn(
-        "mu", _half_away_long(F.col("sv").cast("double") / F.col("n"))
-    )
-    gi = stats.select(
-        F.col("pos").alias("i"),
-        F.col("sv").alias("s_i"),
-        F.col("mu").alias("mu_i"),
-        "n",
-    )
-    gj = stats.select(
-        F.col("pos").alias("j"),
-        F.col("sv").alias("s_j"),
-        F.col("mu").alias("mu_j"),
-    )
-    centered_ij = (
-        F.col("s_ij")
-        - F.col("mu_j") * F.col("s_i")
-        - F.col("mu_i") * F.col("s_j")
-        + F.col("n") * F.col("mu_i") * F.col("mu_j")
-    )
-    g = (
-        smat.join(F.broadcast(gi), "i")
-        .join(F.broadcast(gj), "j")
-        .select(
-            "i",
-            "j",
-            _half_away_long(
-                centered_ij.cast("double") / 100000
-            ).alias("gu"),
+
+    def solve(batches):
+        rows = [pdf for pdf in batches if len(pdf)]
+        if not rows:
+            return  # empty embeddings table → empty result frame
+        allp = pd.concat(rows, ignore_index=True)
+        n = int(allp.loc[(allp["i"] == 0) & (allp["j"] == 0), "p"].iloc[0])
+        sv_rows = allp[(allp["j"] == 0) & (allp["i"] > 0)]
+        d = len(sv_rows)
+        sv = np.zeros(d, dtype=np.int64)
+        sv[sv_rows["i"].to_numpy() - 1] = sv_rows["p"].to_numpy()
+        S = np.zeros((d, d), dtype=np.int64)
+        g_rows = allp[(allp["i"] > 0) & (allp["j"] > 0)]
+        S[g_rows["i"].to_numpy() - 1, g_rows["j"].to_numpy() - 1] = (
+            g_rows["p"].to_numpy()
         )
-    )
-    # v0 from the (already aggregated) stats frame — reusing its
-    # exchange instead of paying a fresh distinct over g
-    v_cur = stats.select(
-        "pos",
-        F.when(F.col("pos") == 1, F.lit(1000000))
-        .otherwise(F.lit(0))
-        .cast("long")
-        .alias("vq"),
-    )
-    # the d-row norm rides a whole-frame window (64 rows — the
-    # "single partition" warning is the POINT here) instead of an
-    # extra agg + broadcast join per iteration
-    w_all = Window.partitionBy()
-    for _ in range(2):
-        w = (
-            g.join(F.broadcast(v_cur), g.j == v_cur.pos)
-            .groupBy("i")
-            .agg(F.sum(F.col("gu") * F.col("vq")).alias("w"))
-            .select(F.col("i").alias("pos"), "w")
+
+        def half_away(q: np.ndarray) -> np.ndarray:
+            # identical IEEE-754 ops to _half_away_long's codegen
+            # spelling: add ±0.5 on the unrounded double, truncate
+            return np.where(
+                q >= 0, np.trunc(q + 0.5), np.trunc(q - 0.5)
+            ).astype(np.int64)
+
+        mu = half_away(sv.astype(np.float64) / n)
+        G = (
+            S
+            - mu[None, :] * sv[:, None]
+            - mu[:, None] * sv[None, :]
+            + n * mu[:, None] * mu[None, :]
         )
-        u = _half_away_long(F.col("w").cast("double") / 10000000000)
-        wn = w.withColumn(
-            "nrm", F.sqrt(F.sum(u * u).over(w_all).cast("double"))
+        gu = half_away(G.astype(np.float64) / 100000)
+        vq = np.zeros(d, dtype=np.int64)
+        vq[0] = 1000000  # v0 = e₁ in micro-units
+        for _ in range(2):
+            w = gu @ vq  # exact int64 matvec (overflow bounds above)
+            u = half_away(w.astype(np.float64) / 10000000000)
+            nrm = np.sqrt(float((u * u).sum()))
+            vq = half_away(
+                w.astype(np.float64) / 10000000000 / nrm * 1000000
+            )
+        yield pd.DataFrame(
+            {
+                "pos": np.arange(1, d + 1, dtype=np.int64),
+                "loading": vq.astype(np.float64) / 1000000.0,
+            }
         )
-        v_cur = wn.select(
-            "pos",
-            _half_away_long(
-                F.col("w").cast("double")
-                / 10000000000
-                / F.col("nrm")
-                * 1000000
-            ).alias("vq"),
-        )
-    return v_cur.select(
-        F.col("pos").cast("long").alias("pos"),
-        (F.col("vq").cast("double") / 1000000.0).alias("loading"),
-    )
+
+    return merged.mapInPandas(solve, schema="pos long, loading double")
 
 
 _RP_OUT = 16  # projected dimensionality (64 -> 16)

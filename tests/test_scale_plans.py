@@ -212,22 +212,23 @@ def test_quality_score_is_exchange_free(spark, sf_med):
 def test_lm_score_is_two_narrow_passes(spark, sf_med):
     """The LM scorer is fit-pass + score-pass (CCNet shape): each pass
     re-explodes the corpus NARROWLY — no persist (a corpus-sized cache
-    write), no pre-explode shuffle. Gated: model tables broadcast into
-    the score pass (no sort-merge join against the stream), and no
-    exchange sits between the scan and either explode (the expansion
-    is map-side; the regression is a repartition ahead of it)."""
+    write), no pre-explode shuffle. Gated: exactly TWO corpus explodes
+    in the plan (r13 — the r12 shape's three broadcast builds each
+    re-exploded the corpus, 4 passes without AQE stage reuse; c1 and V
+    now derive from the bigram table via vocab-bounded windows), the
+    (g, m) model table broadcast into the score pass (no sort-merge
+    join against the stream), and no exchange between the scan and
+    either explode (the expansion is map-side; the regression is a
+    repartition ahead of it)."""
     spark.catalog.clearCache()
     df = REGISTRY["q_ngram_lm_score"].fn(spark, sf_med)
     plan = plan_of(df)
-    assert plan.count("BroadcastHashJoin") >= 2, plan[:1200]
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Generate") == 2, plan[:1200]
+    assert tree.count("Scan parquet") == 2, plan[:1200]
+    assert plan.count("BroadcastHashJoin") >= 1, plan[:1200]
     assert "SortMergeJoin" not in plan
     assert "InMemoryTableScan" not in plan  # no corpus-sized cache
-    # the model branches (big → uni → v) textually repeat the explode
-    # subtree, but execution dedupes them at the exchange boundary —
-    # the bigram-count shuffle must be computed once and REUSED
-    df.collect()
-    final = df._jdf.queryExecution().executedPlan().toString()
-    assert "ReusedExchange" in final, final[:1200]
     spark.catalog.clearCache()
 
 

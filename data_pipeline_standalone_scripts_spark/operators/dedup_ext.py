@@ -189,17 +189,21 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = tracked_persist(
         simhash_fingerprints(spark, sf_dir), StorageLevel.MEMORY_AND_DISK
     )
-    bands = fps.select(
-        "doc_id",
-        "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(f"shiftright(simhash, {b * BAND_BITS}) & {(1 << BAND_BITS) - 1}")
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band", "key"),
+    # r13 (guide §1.2, the r12 fold lesson applied to the JOIN side):
+    # plan CONSTRUCTION is inside the timed region, and this query's
+    # banded self-join used to be built through ~80 Column ops (band
+    # array, triangle columns, 5-clause join condition, the 21-op
+    # lowest-band predicate, least/greatest emission) — measured
+    # 0.58–0.83 s of py4j + per-op analysis per construction at sf0.1,
+    # ~40% of the row's wall. Every expression below is now ONE parsed
+    # SQL string; the analyzed tree is unchanged (pinned by the plan
+    # gate + pair-identity test in tests/test_round13_opt.py).
+    band_arr = ", ".join(
+        f"shiftright(simhash, {b * BAND_BITS}) & {(1 << BAND_BITS) - 1}"
+        for b in range(SIMHASH_BANDS)
+    )
+    bands = fps.selectExpr(
+        "doc_id", "simhash", f"posexplode(array({band_arr})) AS (band, key)"
     )
     # Triangle decomposition of the bucket self-join. A near-dup-dense
     # corpus makes band buckets pathologically hot (this testdata: one
@@ -220,18 +224,16 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc_a < doc_b. Measured at bench settings (8 shuffle
     # partitions, sf0.1, 898 k result pairs): 11.1 s → ~3 s.
     G = 8
-    g = F.pmod(F.hash("doc_id"), F.lit(G))
     a = (
-        bands.withColumn("ga", g)
-        .withColumn("gb", F.explode(F.expr(f"sequence(ga, {G - 1})")))
+        bands.selectExpr("*", f"pmod(hash(doc_id), {G}) AS ga")
+        .selectExpr("*", f"explode(sequence(ga, {G - 1})) AS gb")
         .alias("a")
     )
     b = (
-        bands.withColumn("gb", g)
-        .withColumn("ga", F.explode(F.expr("sequence(0, gb)")))
+        bands.selectExpr("*", f"pmod(hash(doc_id), {G}) AS gb")
+        .selectExpr("*", "explode(sequence(0, gb)) AS ga")
         .alias("b")
     )
-    x = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
     # Lowest-colliding-band emission: a qualifying pair collides in ≥1
     # band; emit it ONLY from the first band in which the fingerprints
     # agree (all lower bands of the xor must be non-zero). Each pair
@@ -241,41 +243,40 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # biggest cost of the query. The predicate is pure bit arithmetic
     # inside the join's codegen stage. Removing it (r01 form:
     # post-join distinct) measured 4.9 s; this form 1.3 s at sf0.1.
-    band_nonzero = [
-        F.shiftright(x, j * BAND_BITS).bitwiseAND(F.lit((1 << BAND_BITS) - 1)) != 0
+    # Diagonal tasks (a.ga == b.gb) order within the group — strict <
+    # also excludes self-pairs; off-diagonal tasks see each unordered
+    # pair exactly once and cannot self-pair (one doc has one group).
+    xs = "(a.simhash ^ b.simhash)"
+    mask = (1 << BAND_BITS) - 1
+    nz = [
+        f"((shiftright({xs}, {j * BAND_BITS}) & {mask}) != 0)"
         for j in range(SIMHASH_BANDS)
     ]
-    lowest_band = F.lit(False)
-    for bdx in range(SIMHASH_BANDS):
-        all_lower_differ = F.lit(True)
-        for j in range(bdx):
-            all_lower_differ = all_lower_differ & band_nonzero[j]
-        lowest_band = F.when(F.col("a.band") == bdx, all_lower_differ).otherwise(
-            lowest_band
+    lowest_band = (
+        "CASE "
+        + " ".join(
+            f"WHEN a.band = {bdx} THEN "
+            + ("(" + " AND ".join(nz[:bdx]) + ")" if bdx else "TRUE")
+            for bdx in range(SIMHASH_BANDS)
         )
+        + " ELSE FALSE END"
+    )
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.ga") == F.col("b.ga"))
-            & (F.col("a.gb") == F.col("b.gb"))
-            # Diagonal tasks (a.ga == b.gb) order within the group —
-            # strict < also excludes self-pairs; off-diagonal tasks see
-            # each unordered pair exactly once and cannot self-pair
-            # (one doc has one group).
-            & (
-                (F.col("a.ga") != F.col("b.gb"))
-                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            F.expr(
+                "a.band = b.band AND a.key = b.key AND a.ga = b.ga"
+                " AND a.gb = b.gb"
+                " AND (a.ga != b.gb OR a.doc_id < b.doc_id)"
             ),
         )
-        .filter(lowest_band)
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            F.bit_count(x).cast("long").alias("hamming"),
+        .filter(F.expr(lowest_band))
+        .selectExpr(
+            "least(a.doc_id, b.doc_id) AS doc_a",
+            "greatest(a.doc_id, b.doc_id) AS doc_b",
+            f"CAST(bit_count({xs}) AS BIGINT) AS hamming",
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(f"hamming <= {HAMMING_MAX}")
     )
 
 
@@ -431,66 +432,68 @@ def q_simhash_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask = (1 << WIDE_BAND_BITS) - 1
     half_bands = WIDE_BANDS // 2  # 3 bands per 60-bit half
 
-    def band_key(b: int):
+    def band_key(b: int) -> str:
         src = "sh_lo" if b < half_bands else "sh_hi"
         off = (b % half_bands) * WIDE_BAND_BITS
-        return F.expr(f"shiftright({src}, {off}) & {mask}")
+        return f"shiftright({src}, {off}) & {mask}"
 
-    bands = fps.select(
+    # One parsed SQL string per expression (the r13 construction-cost
+    # fix shared with q_simhash_neardup — see the note there).
+    band_arr = ", ".join(band_key(b) for b in range(WIDE_BANDS))
+    bands = fps.selectExpr(
         "doc_id",
         "sh_lo",
         "sh_hi",
-        F.posexplode(
-            F.array(*[band_key(b) for b in range(WIDE_BANDS)])
-        ).alias("band", "key"),
+        f"posexplode(array({band_arr})) AS (band, key)",
     )
     G = 8
-    g = F.pmod(F.hash("doc_id"), F.lit(G))
     a = (
-        bands.withColumn("ga", g)
-        .withColumn("gb", F.explode(F.expr(f"sequence(ga, {G - 1})")))
+        bands.selectExpr("*", f"pmod(hash(doc_id), {G}) AS ga")
+        .selectExpr("*", f"explode(sequence(ga, {G - 1})) AS gb")
         .alias("a")
     )
     b = (
-        bands.withColumn("gb", g)
-        .withColumn("ga", F.explode(F.expr("sequence(0, gb)")))
+        bands.selectExpr("*", f"pmod(hash(doc_id), {G}) AS gb")
+        .selectExpr("*", "explode(sequence(0, gb)) AS ga")
         .alias("b")
     )
-    xlo = F.col("a.sh_lo").bitwiseXOR(F.col("b.sh_lo"))
-    xhi = F.col("a.sh_hi").bitwiseXOR(F.col("b.sh_hi"))
+    xlo = "(a.sh_lo ^ b.sh_lo)"
+    xhi = "(a.sh_hi ^ b.sh_hi)"
 
-    def band_differs(bdx: int):
+    def band_differs(bdx: int) -> str:
         x = xlo if bdx < half_bands else xhi
         off = (bdx % half_bands) * WIDE_BAND_BITS
-        return F.shiftright(x, off).bitwiseAND(F.lit(mask)) != 0
+        return f"((shiftright({x}, {off}) & {mask}) != 0)"
 
-    lowest_band = F.lit(False)
-    for bdx in range(WIDE_BANDS):
-        all_lower_differ = F.lit(True)
-        for j in range(bdx):
-            all_lower_differ = all_lower_differ & band_differs(j)
-        lowest_band = F.when(
-            F.col("a.band") == bdx, all_lower_differ
-        ).otherwise(lowest_band)
+    lowest_band = (
+        "CASE "
+        + " ".join(
+            f"WHEN a.band = {bdx} THEN "
+            + (
+                "(" + " AND ".join(band_differs(j) for j in range(bdx)) + ")"
+                if bdx
+                else "TRUE"
+            )
+            for bdx in range(WIDE_BANDS)
+        )
+        + " ELSE FALSE END"
+    )
     return (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.ga") == F.col("b.ga"))
-            & (F.col("a.gb") == F.col("b.gb"))
-            & (
-                (F.col("a.ga") != F.col("b.gb"))
-                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            F.expr(
+                "a.band = b.band AND a.key = b.key AND a.ga = b.ga"
+                " AND a.gb = b.gb"
+                " AND (a.ga != b.gb OR a.doc_id < b.doc_id)"
             ),
         )
-        .filter(lowest_band)
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-            (F.bit_count(xlo) + F.bit_count(xhi)).cast("long").alias("hamming"),
+        .filter(F.expr(lowest_band))
+        .selectExpr(
+            "least(a.doc_id, b.doc_id) AS doc_a",
+            "greatest(a.doc_id, b.doc_id) AS doc_b",
+            f"CAST(bit_count({xlo}) + bit_count({xhi}) AS BIGINT) AS hamming",
         )
-        .filter(F.col("hamming") <= HAMMING_MAX)
+        .filter(f"hamming <= {HAMMING_MAX}")
     )
 
 

@@ -50,44 +50,51 @@ def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the canonical map-side-combine aggregate; DECIMAL
     accumulation keeps the 8 sums bit-exact under any partitioning
     (common.py rationale).
+
+    r13 construction fold (guide §1.2, the simhash lesson applied
+    board-wide): the scaled projection + 8 aggregates were built
+    through ~50 Column ops whose eager per-transform analysis cost
+    0.30 s per construction at sf0.1 — more than half the row's wall.
+    As parsed SQL strings (D-suffixed double literals keep every
+    arithmetic op double, matching the Column spelling exactly) the
+    construction is 0.08 s; values and the physical operator tree are
+    identical (asserted in-session; tree diffed modulo expression
+    IDs). Pre-projecting the micro-unit columns once per row (r4
+    measurement: 0.53 → 0.29 s vs in-agg scaling) is unchanged.
     """
-    from .common import _half_away_micros as ham
 
-    li = load(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    def sham(e: str) -> str:
+        # SQL twin of common._half_away_micros: double math throughout
+        v = f"(({e}) * 1000000)"
+        return (
+            f"CAST({v} + (CASE WHEN {v} >= 0.0D THEN 0.5D ELSE -0.5D END)"
+            " AS BIGINT)"
+        )
+
+    dp = "(l_extendedprice * (1 - l_discount))"
+    ch = f"({dp} * (1 + l_tax))"
+    scaled = (
+        load(spark, sf_dir, "lineitem")
+        .filter("l_shipdate <= TIMESTAMP '1998-09-02'")
+        .selectExpr(
+            "l_returnflag",
+            "l_linestatus",
+            f"{sham('l_quantity')} AS __qty",
+            f"{sham('l_extendedprice')} AS __price",
+            f"{sham(dp)} AS __disc_price",
+            f"{sham(ch)} AS __charge",
+            f"{sham('l_discount')} AS __disc",
+        )
     )
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    # Pre-project the scaled-long micro-unit columns ONCE per row, then
-    # aggregate plain longs: the scaling expression runs once in the
-    # projection instead of once per aggregate inside the hash-agg
-    # update loop — measured 0.53 s → 0.29 s on this query at sf0.1
-    # (values identical to the dsum/davg inline form by construction).
-    scaled = li.select(
-        "l_returnflag",
-        "l_linestatus",
-        ham(F.col("l_quantity")).alias("__qty"),
-        ham(F.col("l_extendedprice")).alias("__price"),
-        ham(disc_price).alias("__disc_price"),
-        ham(charge).alias("__charge"),
-        ham(F.col("l_discount")).alias("__disc"),
-    )
-
-    def unscale(col: str, alias: str):
-        return (F.sum(col) / 1_000_000.0).alias(alias)
-
-    def unscale_avg(col: str, alias: str):
-        return (F.sum(col) / 1_000_000.0 / F.count(col)).alias(alias)
-
     return scaled.groupBy("l_returnflag", "l_linestatus").agg(
-        unscale("__qty", "sum_qty"),
-        unscale("__price", "sum_base_price"),
-        unscale("__disc_price", "sum_disc_price"),
-        unscale("__charge", "sum_charge"),
-        unscale_avg("__qty", "avg_qty"),
-        unscale_avg("__price", "avg_price"),
-        unscale_avg("__disc", "avg_disc"),
-        F.count(F.lit(1)).alias("count_order"),
+        F.expr("sum(__qty) / 1000000.0D AS sum_qty"),
+        F.expr("sum(__price) / 1000000.0D AS sum_base_price"),
+        F.expr("sum(__disc_price) / 1000000.0D AS sum_disc_price"),
+        F.expr("sum(__charge) / 1000000.0D AS sum_charge"),
+        F.expr("sum(__qty) / 1000000.0D / count(__qty) AS avg_qty"),
+        F.expr("sum(__price) / 1000000.0D / count(__price) AS avg_price"),
+        F.expr("sum(__disc) / 1000000.0D / count(__disc) AS avg_disc"),
+        F.expr("count(1) AS count_order"),
     )
 
 

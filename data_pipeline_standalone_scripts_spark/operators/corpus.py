@@ -562,111 +562,85 @@ def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     the chain); this shape is one scan. At 100 TB the same flags
     write once as a survivor-bitmap table and every stage count comes
     from one aggregation of it.
+
+    r13 construction fold (guide §1.2, the simhash lesson): the flag
+    chain + 10-term aggregate + 5-struct unpivot were built through
+    ~80 Column ops costing ~0.35 s of eager per-transform analysis per
+    construction at sf0.1 (>half the row's wall). Each expression is
+    now one parsed SQL string; physical tree and values unchanged
+    (diffed modulo expression IDs; output pinned vs the Column form).
     """
     d = load(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
 
-    toks = F.split("text", " ")
-    n_words = F.size(toks)
-    awl = F.length(
-        F.replace(F.col("text"), F.lit(" "), F.lit(""))
-    ).cast("double") / n_words
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_words
-    base = d.select(
+    base = d.selectExpr(
         "doc_id",
         "lang",
-        F.col("n_chars"),
-        n_words.cast("long").alias("n_words"),
-        (
-            F.col("n_chars").between(150, 450)
-            & (n_words >= 25)
-            & awl.between(3.0, 9.0)
-            & (ttr >= 0.3)
-        ).alias("q"),
-        F.sha2("text", 256).alias("h_full"),
-        F.md5(F.substring("text", 1, 80)).alias("h_pref"),
+        "n_chars",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS n_words",
+        "(n_chars BETWEEN 150 AND 450)"
+        " AND (size(split(text, ' ')) >= 25)"
+        " AND (CAST(length(replace(text, ' ', '')) AS DOUBLE)"
+        "      / size(split(text, ' ')) BETWEEN 3.0D AND 9.0D)"
+        " AND (CAST(size(array_distinct(split(text, ' '))) AS DOUBLE)"
+        "      / size(split(text, ' ')) >= 0.3D) AS q",
+        "sha2(text, 256) AS h_full",
+        "md5(substring(text, 1, 80)) AS h_pref",
     )
-    w_full = Window.partitionBy("h_full")
-    w_pref = Window.partitionBy("h_pref")
-    flagged = base.select(
+    flagged = base.selectExpr(
         "lang",
         "n_words",
         "q",
-        (
-            F.col("q")
-            & (
-                F.col("doc_id")
-                == F.min(F.when(F.col("q"), F.col("doc_id"))).over(w_full)
-            )
-        ).alias("k2"),
+        "q AND (doc_id = min(CASE WHEN q THEN doc_id END)"
+        " OVER (PARTITION BY h_full)) AS k2",
         "doc_id",
         "h_pref",
     )
-    flagged = flagged.select(
+    flagged = flagged.selectExpr(
         "lang",
         "n_words",
         "q",
         "k2",
-        (
-            F.col("k2")
-            & (
-                F.col("doc_id")
-                == F.min(F.when(F.col("k2"), F.col("doc_id"))).over(w_pref)
-            )
-        ).alias("k3"),
+        "k2 AND (doc_id = min(CASE WHEN k2 THEN doc_id END)"
+        " OVER (PARTITION BY h_pref)) AS k3",
     )
-    flagged = flagged.withColumn(
-        "k4", F.col("k3") & (F.col("lang") == "en")
-    )
+    flagged = flagged.selectExpr("*", "k3 AND (lang = 'en') AS k4")
 
-    def cnt(flag):
-        return F.sum(F.when(flag, 1).otherwise(0)).cast("long")
+    def cnt(flag: str) -> str:
+        return f"CAST(sum(CASE WHEN {flag} THEN 1 ELSE 0 END) AS BIGINT)"
 
-    def tok(flag):
-        return F.sum(F.when(flag, F.col("n_words")).otherwise(0)).cast(
-            "long"
+    def tok(flag: str) -> str:
+        return (
+            f"CAST(sum(CASE WHEN {flag} THEN n_words ELSE 0 END) AS BIGINT)"
         )
 
     one = flagged.agg(
-        F.count(F.lit(1)).alias("n0"),
-        F.sum("n_words").cast("long").alias("t0"),
-        cnt(F.col("q")).alias("n1"),
-        tok(F.col("q")).alias("t1"),
-        cnt(F.col("k2")).alias("n2"),
-        tok(F.col("k2")).alias("t2"),
-        cnt(F.col("k3")).alias("n3"),
-        tok(F.col("k3")).alias("t3"),
-        cnt(F.col("k4")).alias("n4"),
-        tok(F.col("k4")).alias("t4"),
+        F.expr("count(1) AS n0"),
+        F.expr("CAST(sum(n_words) AS BIGINT) AS t0"),
+        F.expr(f"{cnt('q')} AS n1"),
+        F.expr(f"{tok('q')} AS t1"),
+        F.expr(f"{cnt('k2')} AS n2"),
+        F.expr(f"{tok('k2')} AS t2"),
+        F.expr(f"{cnt('k3')} AS n3"),
+        F.expr(f"{tok('k3')} AS t3"),
+        F.expr(f"{cnt('k4')} AS n4"),
+        F.expr(f"{tok('k4')} AS t4"),
     )
-    stages = F.array(
-        *[
-            F.struct(
-                F.lit(name).alias("stage"),
-                F.col(f"n{i}").alias("n_docs"),
-                F.col(f"t{i}").alias("n_tokens"),
-            )
-            for i, name in enumerate(
-                [
-                    "s0_ingest",
-                    "s1_quality",
-                    "s2_exact_dedup",
-                    "s3_prefix_dedup",
-                    "s4_lang_en",
-                ]
-            )
-        ]
+    names = [
+        "s0_ingest",
+        "s1_quality",
+        "s2_exact_dedup",
+        "s3_prefix_dedup",
+        "s4_lang_en",
+    ]
+    stages = ", ".join(
+        f"struct('{name}' AS stage, n{i} AS n_docs, t{i} AS n_tokens)"
+        for i, name in enumerate(names)
     )
-    return (
-        one.select(F.col("n0"), F.explode(stages).alias("s"))
-        .select(
-            F.col("s.stage").alias("stage"),
-            F.col("s.n_docs").alias("n_docs"),
-            F.col("s.n_tokens").alias("n_tokens"),
-            F.round(
-                F.col("s.n_docs").cast("double") / F.col("n0"), 6
-            ).alias("docs_retained"),
-        )
+    return one.selectExpr("n0", f"explode(array({stages})) AS s").selectExpr(
+        "s.stage AS stage",
+        "s.n_docs AS n_docs",
+        "s.n_tokens AS n_tokens",
+        "round(CAST(s.n_docs AS DOUBLE) / n0, 6) AS docs_retained",
     )
 
 

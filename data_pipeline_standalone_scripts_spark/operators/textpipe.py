@@ -185,34 +185,69 @@ _WINNOW_CTE = f"""
 def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fingerprint) — the winnowed fingerprint set per doc;
     the Spark twin of ``_WINNOW_CTE``. See q_fingerprint_winnow for the
-    algorithm, encoding, and plan-shape notes."""
+    algorithm, encoding, and plan-shape notes.
+
+    r13 (VERDICT r12 #4, guide §4.2): the explode + codegen gram
+    encode + trailing-min window + distinct became ONE mapInArrow
+    numpy kernel — per doc: bytes → sliding 8-gram view · big-endian
+    byte powers (the exact integer conv(hex(gram),16,10) computes),
+    trailing window-min via a sliding view (+ a running-min head for
+    the first w−1 positions), keep gh == win_min, per-doc np.unique.
+    Each doc is ONE input row, so per-doc uniqueness IS global
+    uniqueness — the distinct disappears from the plan along with the
+    window sort. Value-pinned against the retained window formulation
+    (tests/test_round13_opt.py) and the unchanged oracle. Measured
+    (ABBA, tools/bench_r13_ab.py): sf0.1 0.51→0.46 s, sf1 2.59→1.03 s
+    toPandas; sf10 noop 12.7→2.6 s (row counts equal at 30,688,064).
+    The single pre-explosion doc_id exchange (the parallelism crutch
+    for single-row-group local scans) is unchanged and still gated.
+    Non-ASCII text now raises in the kernel (ascii encode) instead of
+    silently overflowing the 8-byte budget — the documented ASCII
+    constraint made loud."""
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.length("text") >= K_GRAM)
         .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
     )
-    grams = d.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.length("text") - (K_GRAM - 1))).alias("pos"),
-        F.col("text"),
-    ).select(
-        "doc_id",
-        "pos",
-        F.expr(
-            f"cast(conv(hex(cast(substring(text, pos, {K_GRAM}) as binary)), 16, 10) as long)"
-        ).alias("gh"),
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
-    )
-    return (
-        grams.withColumn("win_min", F.min("gh").over(w))
-        .filter(F.col("gh") == F.col("win_min"))
-        .select("doc_id", F.col("gh").alias("fingerprint"))
-        .distinct()
-    )
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        # big-endian byte powers: gram-as-int64, identical to
+        # conv(hex(cast(gram AS BINARY)), 16, 10) for ASCII text
+        P = (256 ** np.arange(K_GRAM - 1, -1, -1)).astype(np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_i, out_f = [], []
+            for did, txt in zip(ids, texts):
+                b = np.frombuffer(txt.encode("ascii"), np.uint8).astype(
+                    np.int64
+                )
+                n = len(b) - K_GRAM + 1
+                gh = sw(b, K_GRAM) @ P
+                wm = np.empty(n, dtype=np.int64)
+                head = min(WINNOW_W - 1, n)
+                wm[:head] = np.minimum.accumulate(gh[:head])
+                if n >= WINNOW_W:
+                    wm[WINNOW_W - 1 :] = sw(gh, WINNOW_W).min(axis=1)
+                fps = np.unique(gh[gh == wm])
+                out_i.append(np.full(len(fps), did, dtype=np.int64))
+                out_f.append(fps)
+            if not out_i:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_f)),
+                ],
+                names=["doc_id", "fingerprint"],
+            )
+
+    return d.mapInArrow(kern, "doc_id long, fingerprint long")
 
 
 @register(
@@ -241,22 +276,25 @@ def q_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget and needs the md5 fallback.
 
     Plan shape (gated by test_winnow_single_preexplosion_exchange):
-    repartition the RAW docs by doc_id before the ×|text| gram explode
-    — the exchange carries whole documents (1 row each) instead of
-    ~490 hashed gram rows, the explode+encode runs on every core
-    (single-row-group test parquet ⇒ single-task scan otherwise), and
-    BOTH the window and the final distinct reuse the doc_id
-    partitioning: zero post-explosion exchanges. Measured 2.75 s →
-    0.75 s at sf0.1. Shuffle-before-expansion holds at any scale:
-    moving a document once is always cheaper than moving its grams.
+    repartition the RAW docs by doc_id before the per-doc expansion —
+    the exchange carries whole documents (1 row each) instead of ~490
+    hashed gram rows and the kernel runs on every core (single-
+    row-group test parquet ⇒ single-task scan otherwise): zero
+    post-expansion exchanges. Shuffle-before-expansion holds at any
+    scale: moving a document once is always cheaper than its grams.
+    r13: the expansion itself moved from explode + codegen encode +
+    trailing-min window + distinct into one mapInArrow numpy kernel —
+    see winnow_fingerprints for the mechanism and the measured
+    sf0.1/sf1/sf10 ABBA (0.90×/0.40×/0.21×).
 
-    Formulation note: an all-higher-order variant (hash array +
+    Formulation history: an all-higher-order variant (hash array +
     per-element slice/array_min, zero shuffle) was built and
-    benchmarked — it LOSES to this window formulation (Spark evaluates
-    HOF lambdas interpreted, and the lambda-nested array reference
-    defeats subexpression elimination; 96 s in the naive inlined
-    form). The posexplode + window plan keeps the gram encode inside
-    codegen and pays one pre-explosion doc_id-keyed shuffle.
+    benchmarked in r01 — it LOSES to the window formulation (Spark
+    evaluates HOF lambdas interpreted, and the lambda-nested array
+    reference defeats subexpression elimination; 96 s in the naive
+    inlined form). The r04–r12 posexplode + window plan kept the gram
+    encode inside codegen (2.75 → 0.75 s at sf0.1); the r13 kernel
+    replaces it per the tier-swept ABBA above.
 
     Scale: positions explode ×|text| rows after the 1-row-per-doc
     shuffle; output is the winnowed set (~2/(w+1) of grams). No skew

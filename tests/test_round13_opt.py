@@ -235,6 +235,56 @@ def test_power_iteration_empty_table_degrades(spark, tmp_path):
     assert list(out.columns) == ["pos", "loading"]
 
 
+def _winnow_r12(spark, sf_dir):
+    """The r12 explode + window + distinct formulation of
+    winnow_fingerprints, verbatim — the value pin for the mapInArrow
+    kernel."""
+    from data_pipeline_standalone_scripts_spark.operators.textpipe import (
+        K_GRAM,
+        WINNOW_W,
+    )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= K_GRAM)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (K_GRAM - 1))
+        ).alias("pos"),
+        F.col("text"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.expr(
+            f"cast(conv(hex(cast(substring(text, pos, {K_GRAM}) as binary)),"
+            " 16, 10) as long)"
+        ).alias("gh"),
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    return (
+        grams.withColumn("win_min", F.min("gh").over(w))
+        .filter(F.col("gh") == F.col("win_min"))
+        .select("doc_id", F.col("gh").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def test_winnow_kernel_matches_r12_formulation(spark, sf_med):
+    """The mapInArrow winnow kernel must emit EXACTLY the fingerprint
+    set of the explode + trailing-min window + distinct formulation
+    (same injective gram integers, same window-min survivors)."""
+    new = REGISTRY["q_fingerprint_winnow"].fn(spark, sf_med).toPandas()
+    old = _winnow_r12(spark, sf_med).toPandas()
+    assert _frames_equal(new, old)
+
+
 def test_lm_score_model_matches_r12_formulation(spark, sf_med):
     """The windowed (g, m) model table must reproduce the r12
     three-broadcast formulation exactly: same (c2, c1, V) integers per

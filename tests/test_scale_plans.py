@@ -149,11 +149,17 @@ def test_no_cartesian_products(spark, sf_med, qname):
 
 def test_winnow_single_preexplosion_exchange(spark, sf_med):
     """Winnowing must shuffle whole DOCUMENTS (1 row each, before the
-    ×490 gram explosion) exactly once; the window and the distinct
-    must reuse that partitioning. A second exchange means the plan
-    regressed to shuffling exploded gram rows."""
+    per-doc gram expansion) exactly once. A second exchange means the
+    plan regressed to shuffling expanded gram rows. r13: the expansion
+    is one mapInArrow kernel (explode/window/distinct folded in), so
+    the plan must also carry exactly one MapInArrow and no Window or
+    hash-distinct aggregate."""
     plan = plan_of(REGISTRY["q_fingerprint_winnow"].fn(spark, sf_med))
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:800]
+    tree = plan.split("\n\n")[0]
+    assert tree.count("MapInArrow") == 1, plan[:800]
+    assert "Window" not in tree
+    assert "HashAggregate" not in tree
 
 
 def test_repetition_filter_single_preexplosion_exchange(spark, sf_med):

@@ -234,9 +234,66 @@ def lm_score_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ winnow (arrow twin)
+def winnow_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VERDICT r12 #4 candidate: the explode + codegen gram-encode +
+    trailing-min window + distinct, all inside one mapInArrow numpy
+    kernel (per-doc sliding windows; per-doc uniqueness IS global
+    uniqueness because each doc is one input row)."""
+    from data_pipeline_standalone_scripts_spark.operators.textpipe import (
+        K_GRAM,
+        WINNOW_W,
+    )
+
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.length("text") >= K_GRAM)
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", "text")
+    )
+
+    def kern(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        # big-endian byte powers: matches conv(hex(gram), 16, 10)
+        P = (256 ** np.arange(K_GRAM - 1, -1, -1)).astype(np.int64)
+        sw = np.lib.stride_tricks.sliding_window_view
+        for batch in batches:
+            ids = batch.column(0).to_pylist()
+            texts = batch.column(1).to_pylist()
+            out_i, out_f = [], []
+            for did, txt in zip(ids, texts):
+                b = np.frombuffer(txt.encode("ascii"), np.uint8).astype(
+                    np.int64
+                )
+                n = len(b) - K_GRAM + 1
+                gh = sw(b, K_GRAM) @ P
+                wm = np.empty(n, dtype=np.int64)
+                head = min(WINNOW_W - 1, n)
+                wm[:head] = np.minimum.accumulate(gh[:head])
+                if n >= WINNOW_W:
+                    wm[WINNOW_W - 1 :] = sw(gh, WINNOW_W).min(axis=1)
+                fps = np.unique(gh[gh == wm])
+                out_i.append(np.full(len(fps), did, dtype=np.int64))
+                out_f.append(fps)
+            if not out_i:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_i)),
+                    pa.array(np.concatenate(out_f)),
+                ],
+                names=["doc_id", "fingerprint"],
+            )
+
+    return d.mapInArrow(kern, "doc_id long, fingerprint long")
+
+
 PAIRS = {
     "q_power_iteration_pc": power_iteration_fused,
     "q_ngram_lm_score": lm_score_model,
+    "q_fingerprint_winnow": winnow_arrow,
 }
 
 

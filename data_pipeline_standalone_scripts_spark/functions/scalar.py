@@ -324,10 +324,18 @@ def q_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(flat) == 0:
                 continue
             parent = pc.list_parent_indices(split)
-            offsets = np.asarray(split.offsets)
-            pos = np.arange(len(flat), dtype=np.int64) - offsets.astype(
-                np.int64
-            )[np.asarray(parent)]
+            # slice-proof position math (ADVICE r12 #4): list_flatten
+            # and list_parent_indices are offset-relative to the
+            # array's first element, while split.offsets is the raw
+            # buffer view — subtract offsets[0] so a sliced input
+            # (split.offset > 0, zero-copy views) can never silently
+            # shift positions. Today's mapInArrow batches are unsliced
+            # (offsets[0] == 0) and the subtraction is a no-op.
+            offsets = np.asarray(split.offsets).astype(np.int64)
+            offsets = offsets - offsets[0]
+            pos = np.arange(len(flat), dtype=np.int64) - offsets[
+                np.asarray(parent)
+            ]
             t = pa.table(
                 {"token": flat, "parent": parent, "pos": pa.array(pos)}
             )

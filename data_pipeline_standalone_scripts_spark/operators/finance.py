@@ -249,10 +249,30 @@ EVENTS_BUCKETED_TABLE_CONF = (
 
 def _events_maybe_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a DataFrame — from the conf-named bucketed catalog
-    table when set (the deployment layout), else the plain fixture."""
+    table when set (the deployment layout), else the plain fixture.
+
+    CONTRACT (ADVICE r12 #2): the conf-named table must be WRITTEN
+    FROM load() OUTPUT (as the r12 gate test does), because load()
+    normalizes events.ts to session-UTC TimestampType (ns→µs / NTZ→LTZ
+    per fixture generation). A bucketed table built from raw fixture
+    parquet would carry long/NTZ ts into `unix_micros()` and diverge
+    from the oracle. Enforced loudly here rather than documented only:
+    a non-TimestampType ts raises at plan-build time."""
     tbl = spark.conf.get(EVENTS_BUCKETED_TABLE_CONF, "")
     if tbl:
-        return spark.table(tbl)
+        from pyspark.sql import types as T
+
+        df = spark.table(tbl)
+        dt = df.schema["ts"].dataType
+        if not isinstance(dt, T.TimestampType):
+            raise TypeError(
+                f"{EVENTS_BUCKETED_TABLE_CONF}={tbl!r}: ts is {dt}, not"
+                " TIMESTAMP — the bucketed table must be written from"
+                " tables.load() output (which normalizes ns/NTZ"
+                " encodings), or its timestamps will diverge from the"
+                " oracle"
+            )
+        return df
     return load(spark, sf_dir, "events")
 
 

@@ -51,8 +51,30 @@ def table_path(sf_dir: str, name: str) -> str:
 # parquet from disk (the plan-gated scans prove it). The entry keeps
 # its session alive via the DataFrame's back-reference, which also
 # guarantees id(spark) cannot be recycled while its entries exist;
-# sessions per process are few, so the leak is bounded and harmless.
+# sessions per process are few and there are ≤ len(TABLES) entries
+# per (session, sf_dir), so growth is bounded in practice.
+#
+# PRECONDITION (ADVICE r12 #1): fixture directories are immutable
+# within a session — rewriting a table's files at the SAME path after
+# a load() serves a stale file index (exactly the catalog-table
+# semantics this mirrors: REFRESH TABLE exists for that). Tests that
+# write fresh parquet use fresh tmp dirs; ``invalidate_scan_cache``
+# is the explicit REFRESH analog for anything else.
 _SCAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def invalidate_scan_cache(sf_dir: str | None = None) -> int:
+    """Drop cached scan handles (all, or those under ``sf_dir``) —
+    the REFRESH TABLE analog for in-session fixture rewrites. Returns
+    the number of entries dropped."""
+    keys = [
+        k
+        for k in _SCAN_CACHE
+        if sf_dir is None or k[1] == sf_dir
+    ]
+    for k in keys:
+        del _SCAN_CACHE[k]
+    return len(keys)
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -69,11 +91,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     TIMESTAMP (ltz) type. DuckDB reads the same file as its (naive)
     TIMESTAMP, so oracle comparisons agree to the microsecond.
     """
+    # run BEFORE the cache lookup (ADVICE r12 #1): the UTC/nanosAsLong
+    # pins stay (re)applied on every load even on cache hits — they are
+    # idempotent session-conf sets, and a driver-owned session that
+    # mutated its timezone between calls is re-pinned rather than
+    # silently trusted
+    ensure_runtime_conf(spark)
     key = (id(spark), sf_dir, name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
-    ensure_runtime_conf(spark)
     df = spark.read.parquet(table_path(sf_dir, name))
     if name == "events":
         from pyspark.sql import functions as F

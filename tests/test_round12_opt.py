@@ -69,8 +69,30 @@ def test_scan_handle_cache_returns_fresh_lazy_scans(spark, sf_small):
     assert df1.storageLevel.useMemory is False
     assert df1.storageLevel.useDisk is False
     assert "InMemoryRelation" not in df1._jdf.queryExecution().toString()
-    # distinct sf_dirs never alias
-    assert load(spark, "/root/testdata/sf0.01", "lineitem") is not df1
+    # distinct sf_dirs never alias (ADVICE r12 #3: guard rather than
+    # error on boxes without the second fixture tier)
+    other = "/root/testdata/sf0.01"
+    if os.path.isdir(other):
+        assert load(spark, other, "lineitem") is not df1
+
+
+def test_scan_cache_invalidation_serves_fresh_listing(spark, tmp_path):
+    """ADVICE r12 #1 hardening: an in-session rewrite of a fixture dir
+    is served stale by design (catalog-table semantics); the explicit
+    invalidate_scan_cache REFRESH analog must pick up the new files."""
+    from data_pipeline_standalone_scripts_spark.tables import (
+        invalidate_scan_cache,
+    )
+
+    d = str(tmp_path / "sf_rw")
+    src = load(spark, "/root/testdata/sf0.001", "nation")
+    src.limit(3).write.parquet(f"{d}/nation.parquet")
+    assert load(spark, d, "nation").count() == 3
+    src.limit(5).write.mode("overwrite").parquet(f"{d}/nation.parquet")
+    # stale-by-design: the cached handle still serves the old listing
+    # (same contract as an unrefreshed catalog table)
+    invalidate_scan_cache(d)
+    assert load(spark, d, "nation").count() == 5
 
 
 def test_simhash_fold_sql_matches_naive_conditional_sum(spark, sf_small):

@@ -24,7 +24,7 @@ SHOWCASE = [
     ("q_multimodal_decode", "Arrow-batched Python stage over binary payloads"),
     ("q_event_funnel", "user-keyed range join: equality key prunes the time-range predicate"),
     ("q_simhash_neardup", "SWAR sketch pass (persisted) + band-bucket join, lowest-band emission (no distinct)"),
-    ("q_ngram_lm_score", "fit-pass + score-pass bigram LM; model exchange computed once and reused"),
+    ("q_ngram_lm_score", "fit-pass + score-pass bigram LM; c1/V via windows over the bigram table, one (g,m) broadcast — exactly 2 corpus explodes"),
     ("q_bm25_rank", "corpus stats as 1-row broadcast, top-20 via TakeOrderedAndProject"),
     ("q_corr_subquery", "correlated scalar + EXISTS decorrelated to aggregate-join + semi join"),
     ("q_unpivot", "wide→long Expand, zero exchange"),
@@ -44,7 +44,7 @@ SHOWCASE = [
     ("q_disjunctive_revenue", "Q19 shape: per-disjunct envelopes pushed to BOTH scans, zero fact shuffle"),
     ("q_waiting_suppliers", "Q21 shape: EXISTS pair lowered to one per-order set aggregate — 2 exchanges"),
     ("q_kmeans_embed", "broadcast centroids; thin (id,cid,d2) argmin shuffle; vector re-attach by keyed join"),
-    ("q_power_iteration_pc", "Arrow-batched int64 Gram partials; d2-row broadcast matvec per step"),
+    ("q_power_iteration_pc", "ONE corpus pass (Gram + stats partials fused); both power steps in a single-partition d2-row solver kernel"),
     ("q_ppjoin_neardup", "rarest-first prefix self-join; array_intersect verify on candidates only"),
     ("q_pii_redact", "chained codegen regex passes, zero joins, one small-key agg"),
     ("q_ks_test", "fact collapsed to distinct values before the exact-integer ECDF walk"),
